@@ -1,0 +1,63 @@
+"""Benchmark runner: times the engine's headline queries and prints ONE
+JSON line {"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{name: sec}, "sf": ...}.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default os.cpu_count()).
+
+Each query is executed twice: a warm-up pass at the first query only (to
+pay JVM/codegen startup once, outside any measurement) and then one timed
+pass per query. Results are materialized via count() on a cached-nothing
+plan — no driver-side collection of payload rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    match = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(match.group(1)) if match else -1.0
+
+    from data_algorithms_with_pyspark_spark.plans.catalog import all_queries
+    from data_algorithms_with_pyspark_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    catalog = all_queries()
+    headline = {name: q for name, q in catalog.items() if q.bench}
+
+    # Warm-up: JVM + codegen + parquet footer caches, not measured.
+    next(iter(headline.values())).fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, q in headline.items():
+        start = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,349 @@
+"""Deduplication operators for LLM-data pipelines (north-star extension).
+
+Five dedup families, each Spark-first and shuffle-conscious:
+
+  exact          — content hash (md5 of normalized text) + hash-groupBy.
+                   One shuffle on the hash key; at 100 TB this is the
+                   canonical "group by fingerprint, keep min id" pass.
+  minhash_lsh    — word-shingle MinHash signatures + banded LSH bucketing;
+                   candidate pairs come from equi-joining band buckets, so
+                   the quadratic all-pairs comparison never materializes.
+  simhash        — 64-bit SimHash per document + banded candidate pairs
+                   (hamming-distance style near-dup).
+  ngram_jaccard  — exact Jaccard over distinct word n-gram shingles; brute
+                   force all-pairs (correctness baseline / oracle-checkable),
+                   to be fed LSH candidates at scale.
+  embedding      — cosine near-dup over embedding vectors (see also
+                   operators/similarity.py for the ANN scale path).
+
+Everything is Catalyst expressions (xxhash64, higher-order array functions)
+— no Python UDFs, deterministic (fixed seed), so results are reproducible
+run-to-run and across cluster sizes.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_algorithms_with_pyspark_spark.functions.text_functions import (
+    normalize_text,
+    words,
+)
+from data_algorithms_with_pyspark_spark.functions.vectors import (
+    cosine_similarity,
+    to_double_array,
+)
+
+__all__ = [
+    "exact_dedup_groups",
+    "exact_deduplicate",
+    "word_shingles",
+    "minhash_signatures",
+    "minhash_candidate_pairs",
+    "simhash",
+    "simhash_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup_pairs",
+]
+
+# --- exact ------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct content hash: canonical (min) id + duplicate count."""
+    return (
+        docs.select(
+            F.md5(normalize_text(text_col)).alias("content_hash"), F.col(id_col)
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("dup_count"),
+        )
+    )
+
+
+def exact_deduplicate(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Return the deduplicated rows themselves (keep the min-id row per hash).
+
+    min_by avoids a window sort: one hash-aggregate shuffle total.
+    """
+    hashed = docs.withColumn("content_hash", F.md5(normalize_text(text_col)))
+    keep = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    return hashed.join(keep, on=["content_hash", id_col], how="inner").drop(
+        "content_hash"
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+_MERSENNE_PRIME_31 = (1 << 31) - 1
+
+
+def _minhash_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_PRIME_31), rng.randrange(0, _MERSENNE_PRIME_31))
+        for _ in range(num_perm)
+    ]
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text -> array<string>.
+
+    Expression-level sliding window (no explode): shingle i joins words
+    [i, i+n). Documents shorter than n words fall back to their full text
+    as a single shingle so they still participate in dedup.
+    """
+    ws = words(col)
+    n_sh = F.size(ws) - F.lit(n - 1)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_sh - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+    )
+    return F.when(n_sh > 0, F.array_distinct(shingles)).otherwise(
+        F.array(F.concat_ws(" ", ws))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document MinHash signature (array<long> of length num_perm).
+
+    Universal hashing h_i(x) = (a_i * x + b_i) mod p over p = 2^31-1, with
+    base hash xxhash64 folded into [0, p). Operands stay < 2^31 so the
+    64-bit products cannot overflow (ANSI-safe).
+    """
+    params = _minhash_params(num_perm, seed)
+    base = F.transform(
+        word_shingles(text_col, shingle_n),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_PRIME_31)),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("_mh_base"),
+                    lambda h: F.pmod(
+                        F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_PRIME_31)
+                    ),
+                )
+            )
+            for a, b in params
+        ]
+    )
+    return (
+        docs.select(F.col(id_col), base.alias("_mh_base"))
+        .select(F.col(id_col), sig.alias("signature"))
+    )
+
+
+def minhash_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """LSH banding: docs agreeing on any band become a candidate pair.
+
+    Output: (id_1, id_2, est_jaccard) with id_1 < id_2; est_jaccard is the
+    fraction of matching signature components. The band equi-join is the
+    scale move — buckets shuffle by (band, band_hash), never all-pairs.
+    """
+    # rows per band derived from the actual signature length at plan time
+    sig_len = F.size(F.col("signature"))
+    rows_per_band = (sig_len / F.lit(bands)).cast("int")
+    banded = signatures.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).select(
+        F.col(id_col),
+        F.col("signature"),
+        F.col("band"),
+        F.xxhash64(
+            F.col("band"),
+            F.slice(F.col("signature"), F.col("band") * rows_per_band + 1, rows_per_band),
+        ).alias("band_hash"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_1"),
+        F.col("signature").alias("sig_1"),
+        "band",
+        "band_hash",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_2"),
+        F.col("signature").alias("sig_2"),
+        "band",
+        "band_hash",
+    )
+    pairs = (
+        left.join(right, on=["band", "band_hash"], how="inner")
+        .where(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", "sig_1", "sig_2")
+        .dropDuplicates(["id_1", "id_2"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_1"), F.col("sig_2"), lambda a, b: a == b),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.size(F.col("sig_1"))
+    )
+    return (
+        pairs.select("id_1", "id_2", F.round(est, 4).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= F.lit(min_jaccard))
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (unweighted).
+
+    Per bit b: sum over tokens of ±1 depending on bit b of xxhash64(token);
+    bit set iff the sum is positive. Pure array expressions, one pass.
+    """
+    with_hashes = docs.select(
+        F.col(id_col),
+        F.transform(words(text_col), lambda t: F.xxhash64(t)).alias("_th"),
+    )
+    # One vote column per bit (Python-unrolled: shift amounts must be
+    # literals); each vote is a fold over the token-hash array.
+    def _vote_fold(bit: int):
+        # closure (not a default arg: pyspark derives lambda arity from the
+        # parameter list, so extra defaulted params would become Columns)
+        return lambda acc, h: (
+            acc + F.shiftright(h, bit).bitwiseAND(F.lit(1).cast("long")) * 2 - 1
+        )
+
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        vote = F.aggregate(F.col("_th"), F.lit(0).cast("long"), _vote_fold(b))
+        sim = sim.bitwiseOR(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return with_hashes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    hashes: DataFrame, id_col: str = "doc_id", bands: int = 4
+) -> DataFrame:
+    """Near-dup candidates: docs sharing any 16-bit band of their SimHash
+    (catches pairs within small hamming distance), plus exact hamming."""
+    band_width = 64 // bands
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * band_width).bitwiseAND(
+                F.lit((1 << band_width) - 1).cast("long")
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = hashes.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(band_vals).alias("band", "band_val"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_1"), F.col("simhash").alias("sh_1"), "band", "band_val"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_2"), F.col("simhash").alias("sh_2"), "band", "band_val"
+    )
+    hamming = F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2")))
+    return (
+        left.join(right, on=["band", "band_val"], how="inner")
+        .where(F.col("id_1") < F.col("id_2"))
+        .dropDuplicates(["id_1", "id_2"])
+        .select("id_1", "id_2", hamming.cast("int").alias("hamming"))
+    )
+
+
+# --- exact n-gram Jaccard ---------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct word n-gram shingles.
+
+    Without ``candidates`` this is the O(n^2) brute-force baseline (cross
+    join) — correct, oracle-checkable, and only for modest n. At scale,
+    pass ``minhash_candidate_pairs`` output as ``candidates`` so only LSH
+    survivors are verified.
+    """
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+    )
+    left = sh.select(F.col(id_col).alias("id_1"), F.col("shingles").alias("sh_1"))
+    right = sh.select(F.col(id_col).alias("id_2"), F.col("shingles").alias("sh_2"))
+    if candidates is not None:
+        base = (
+            candidates.select("id_1", "id_2")
+            .join(left, on="id_1")
+            .join(right, on="id_2")
+        )
+    else:
+        base = left.crossJoin(right).where(F.col("id_1") < F.col("id_2"))
+    inter = F.size(F.array_intersect(F.col("sh_1"), F.col("sh_2"))).cast("double")
+    union = F.size(F.array_union(F.col("sh_1"), F.col("sh_2"))).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        base.select("id_1", "id_2", F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+# --- embedding cosine -------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairs of vectors with cosine similarity >= threshold (id_1 < id_2).
+
+    Brute-force all-pairs baseline; the LSH-bucketed scale path is
+    ``operators/similarity.py:lsh_near_dup_pairs``.
+    """
+    vecs = embeddings.select(
+        F.col(id_col), to_double_array(vec_col).alias("vec")
+    )
+    left = vecs.select(F.col(id_col).alias("id_1"), F.col("vec").alias("v_1"))
+    right = vecs.select(F.col(id_col).alias("id_2"), F.col("vec").alias("v_2"))
+    cos = cosine_similarity(F.col("v_1"), F.col("v_2"))
+    return (
+        left.crossJoin(right)
+        .where(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= F.lit(threshold))
+    )

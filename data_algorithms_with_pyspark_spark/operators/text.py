@@ -1,0 +1,121 @@
+"""Text analysis operators for LLM-data pipelines (north-star extension).
+
+All pure Catalyst expressions over the ``documents`` table — no Python UDFs,
+so language ID / quality scoring / token counting over 100 TB of text stays
+inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_algorithms_with_pyspark_spark.functions.text_functions import (
+    normalize_text,
+    subword_count,
+    words,
+)
+
+__all__ = [
+    "LANG_MARKERS",
+    "token_counts",
+    "quality_scores",
+    "language_id",
+    "fingerprint",
+]
+
+# Tiny high-frequency marker vocabularies per language; a deterministic
+# n-gram/stopword heuristic (not a model), good enough for coarse routing.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "una"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "une", "est", "dans"),
+    "zh": ("的", "是", "不", "了", "在", "我", "有", "他"),
+}
+
+
+def _marker_hits(tokens: Column, markers: tuple[str, ...]) -> Column:
+    marker_array = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(marker_array, t))).cast(
+        "long"
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate (ceil(len/4))."""
+    return docs.select(
+        "doc_id",
+        F.size(words(text_col)).cast("long").alias("n_tokens"),
+        subword_count(text_col).alias("n_subword_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality features: length, mean token length,
+    stopword ratio, alphabetic-character ratio, and a combined score.
+
+    The score formula is arbitrary but fixed; what matters for a data
+    pipeline is that it is deterministic, cheap, and monotone in the
+    features a filter would use.
+    """
+    tokens = words(text_col)
+    n_tokens = F.size(tokens).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_alpha = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]"), 0))
+    stop_hits = _marker_hits(tokens, LANG_MARKERS["en"])
+    safe_tokens = F.greatest(n_tokens, F.lit(1).cast("long"))
+    safe_chars = F.greatest(n_chars, F.lit(1).cast("long"))
+    mean_tok_len = (n_chars.cast("double") / safe_tokens).alias("x")
+    stop_ratio = stop_hits.cast("double") / safe_tokens
+    alpha_ratio = n_alpha.cast("double") / safe_chars
+    score = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + stop_ratio * 0.3
+        + alpha_ratio * 0.3
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_measured"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID over the marker vocabularies.
+
+    Argmax with a fixed tie-break order (de < en < es < fr < zh by code,
+    first-wins on equal score) so the result is deterministic and exactly
+    reproducible by an external oracle.
+    """
+    tokens = words(text_col)
+    scores = {
+        lang: _marker_hits(tokens, markers) for lang, markers in LANG_MARKERS.items()
+    }
+    order = sorted(scores)  # deterministic tie-break: alphabetical
+    best = F.greatest(*[scores[lang] for lang in order])
+    pred: Column = F.lit("und")
+    # Build CASE WHEN score == best THEN lang, first (alphabetical) wins.
+    expr = None
+    for lang in order:
+        cond = scores[lang] == best
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    pred = F.when(best > 0, expr.otherwise(F.lit("und"))).otherwise(F.lit("und"))
+    sel = [F.col("doc_id"), pred.alias("pred_lang")]
+    sel += [scores[lang].alias(f"score_{lang}") for lang in order]
+    return docs.select(*sel)
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 over whitespace-normalized lowercase text.
+
+    The exact-dedup key (operators/dedup.py); also usable as a stable doc
+    identity across recrawls.
+    """
+    return docs.select(
+        "doc_id", F.md5(normalize_text(text_col)).alias("fingerprint")
+    )

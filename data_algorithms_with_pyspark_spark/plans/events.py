@@ -1,0 +1,120 @@
+"""Event-stream analytics over the ``events`` table (batch form).
+
+The reference has zero streaming surface (SURVEY.md §2.11); these queries
+supply the event-time capability batch-first — tumbling windows via
+``date_trunc`` and gap-based sessionization via window functions — with the
+Structured Streaming forms of the same computations in
+``streaming/events.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_algorithms_with_pyspark_spark.operators.windows import sessionize
+from data_algorithms_with_pyspark_spark.plans.catalog import cents_sum, register
+from data_algorithms_with_pyspark_spark.sources.readers import load_table
+
+
+@register(
+    "events_hourly_windows",
+    bench=True,
+    tags=("events", "window"),
+    description="Tumbling 1-hour event-time windows per event type",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor((value) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        cents_sum(F.col("value")).alias("sum_value"),
+    )
+
+
+@register(
+    "events_sessionization",
+    tags=("events", "window"),
+    description="Gap-based sessionization (30 min) via lag + cumulative sum",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               CAST(sum(is_new) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM marked
+        GROUP BY user_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    with_sessions = sessionize(events, gap_minutes=30)
+    return with_sessions.groupBy("user_id").agg(
+        (F.max("session_id") + 1).cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "events_user_running_totals",
+    tags=("events", "window"),
+    description="Per-user running event count + value sum (analytic frame)",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(row_number() OVER w AS BIGINT) AS event_seq,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT) / 100.0 AS running_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("long").alias("event_seq"),
+        (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).over(frame) / 100.0).alias("running_value"),
+    )
+
+
+@register(
+    "events_props_extraction",
+    tags=("events", "json"),
+    description="JSON prop extraction from the props string column",
+    oracle="""
+        SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               count(*) AS n
+        FROM events
+        WHERE props IS NOT NULL
+        GROUP BY 1
+    """,
+)
+def events_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(F.col("props").isNotNull())
+        .select(F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )

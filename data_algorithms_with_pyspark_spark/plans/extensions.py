@@ -1,0 +1,345 @@
+"""North-star extension queries: dedup, similarity search, text analysis,
+multimodal plumbing (BASELINE.json: LLM-data-pipeline operators).
+
+Oracle policy: everything SQL-expressible gets a DuckDB oracle built from
+the SAME constants (marker vocabularies, shingle sizes, thresholds) via
+f-strings, so Spark and oracle cannot drift. MinHash/SimHash/SRP-LSH use
+xxhash64, which DuckDB doesn't have -> rows-only checks (the exact-Jaccard
+and exact-cosine brute-force baselines are the oracle-checked ground truth
+those approximations are validated against in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_algorithms_with_pyspark_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup_groups,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_candidate_pairs,
+)
+from data_algorithms_with_pyspark_spark.operators.multimodal import (
+    binary_metadata,
+    with_binary_payload,
+)
+from data_algorithms_with_pyspark_spark.operators.similarity import (
+    cosine_topk,
+    lsh_near_dup_pairs,
+)
+from data_algorithms_with_pyspark_spark.operators.text import (
+    LANG_MARKERS,
+    fingerprint,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+from data_algorithms_with_pyspark_spark.plans.catalog import register
+from data_algorithms_with_pyspark_spark.sources.readers import load_table
+
+# Shared DuckDB SQL fragments — single source of truth with the Spark side.
+_TOKENS = (
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> len(w) > 0)"
+)
+_NORMALIZED = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_NGRAM_N = 3
+_JACCARD_THRESHOLD = 0.2
+# Testdata embeddings are uniform-random (max pairwise cosine ~0.5 at these
+# SFs), so the "near-dup" threshold sits in the top tail of that
+# distribution to keep the query's output non-trivial.
+_COSINE_DUP_THRESHOLD = 0.35
+_ANN_QUERY_ID = 0
+_ANN_K = 10
+
+
+def _marker_sql(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_TOKENS}, t -> list_contains([{lst}], t)))"
+
+
+# --- exact dedup / fingerprint ---------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    bench=True,
+    tags=("dedup",),
+    description="Exact dedup: md5(normalized text) hash-groupBy, keep min id",
+    oracle=f"""
+        SELECT md5({_NORMALIZED}) AS content_hash,
+               min(doc_id) AS keep_id,
+               count(*) AS dup_count
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    tags=("dedup", "text"),
+    description="Stable content fingerprint per document (md5 of normalized text)",
+    oracle=f"""
+        SELECT doc_id, md5({_NORMALIZED}) AS fingerprint
+        FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# --- near-dup: exact baselines (oracle-checked) -----------------------------
+
+
+@register(
+    "ngram_jaccard_near_dups",
+    tags=("dedup",),
+    description=f"Exact word-{_NGRAM_N}-gram Jaccard pairs >= {_JACCARD_THRESHOLD} "
+    "(brute-force baseline for the MinHash path)",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   CASE WHEN len({_TOKENS}) >= {_NGRAM_N}
+                        THEN list_distinct(list_transform(
+                                 range(1, len({_TOKENS}) - {_NGRAM_N} + 2),
+                                 i -> array_to_string(list_slice({_TOKENS}, i, i + {_NGRAM_N} - 1), ' ')))
+                        ELSE [array_to_string({_TOKENS}, ' ')]
+                   END AS shingles
+            FROM documents
+        )
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+               round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+              >= {_JACCARD_THRESHOLD}
+    """,
+)
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, _JACCARD_THRESHOLD, shingle_n=_NGRAM_N)
+
+
+@register(
+    "embedding_cosine_near_dups",
+    tags=("dedup", "similarity"),
+    description=f"Exact cosine near-dup pairs >= {_COSINE_DUP_THRESHOLD} "
+    "(brute-force baseline for the SRP-LSH path)",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+        SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+               round(list_cosine_similarity(a.vec, b.vec), 6) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= {_COSINE_DUP_THRESHOLD}
+    """,
+)
+def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, _COSINE_DUP_THRESHOLD)
+
+
+# --- near-dup: sketch/LSH scale paths (rows-only checks) --------------------
+
+
+@register(
+    "minhash_near_dup_candidates",
+    bench=True,
+    tags=("dedup", "lsh"),
+    description="MinHash(64) + 16-band LSH candidate pairs with est. Jaccard "
+    "(scale path: band equi-join, no all-pairs). xxhash64-based -> no SQL oracle",
+)
+def minhash_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_perm=64, shingle_n=_NGRAM_N)
+    return minhash_candidate_pairs(sigs, bands=16, min_jaccard=0.1)
+
+
+@register(
+    "simhash_near_dup_candidates",
+    tags=("dedup", "lsh"),
+    description="64-bit SimHash banded candidates with hamming distance "
+    "(xxhash64-based -> no SQL oracle)",
+)
+def simhash_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(simhash(docs)).where(F.col("hamming") <= 16)
+
+
+@register(
+    "srp_lsh_cosine_near_dups",
+    tags=("dedup", "similarity", "lsh"),
+    description="Cosine near-dups via sign-random-projection buckets "
+    "(scale path; seeded hyperplanes -> no SQL oracle)",
+)
+def srp_lsh_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_near_dup_pairs(
+        emb, dim=64, threshold=_COSINE_DUP_THRESHOLD, n_planes=8
+    )
+
+
+# --- similarity search ------------------------------------------------------
+
+
+@register(
+    "ann_cosine_topk",
+    bench=True,
+    tags=("similarity",),
+    description=f"Exact cosine top-{_ANN_K} for query vec_id={_ANN_QUERY_ID} "
+    "(broadcast query vector + TakeOrdered)",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+             q AS (SELECT vec FROM v WHERE vec_id = {_ANN_QUERY_ID})
+        SELECT a.vec_id,
+               round(list_cosine_similarity(a.vec, q.vec), 6) AS cosine
+        FROM v a, q
+        WHERE a.vec_id <> {_ANN_QUERY_ID}
+        ORDER BY cosine DESC, a.vec_id
+        LIMIT {_ANN_K}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, query_id=_ANN_QUERY_ID, k=_ANN_K)
+
+
+@register(
+    "embedding_label_centroids",
+    tags=("similarity", "aggregate"),
+    description="Per-label centroid norms — array aggregation over vectors",
+    oracle="""
+        WITH counts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+        dims AS (
+            SELECT label, i, sum(embedding[i]::DOUBLE) AS s
+            FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+            GROUP BY label, i
+        )
+        SELECT d.label, c.n,
+               round(sqrt(sum((d.s / c.n) * (d.s / c.n))), 6) AS centroid_norm
+        FROM dims d JOIN counts c USING (label)
+        GROUP BY d.label, c.n
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    vec = F.col("embedding").cast("array<double>")
+    per_dim_sums = [
+        F.sum(F.element_at(vec, i + 1)).alias(f"_s{i}") for i in range(dim)
+    ]
+    agg = emb.groupBy("label").agg(F.count("*").alias("n"), *per_dim_sums)
+    sq = None
+    for i in range(dim):
+        term = (F.col(f"_s{i}") / F.col("n")) * (F.col(f"_s{i}") / F.col("n"))
+        sq = term if sq is None else sq + term
+    return agg.select(
+        "label", "n", F.round(F.sqrt(sq), 6).alias("centroid_norm")
+    )
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+@register(
+    "doc_token_counts",
+    bench=True,
+    tags=("text",),
+    description="Whitespace + BPE-ish subword token counts per document",
+    oracle=f"""
+        SELECT doc_id,
+               len({_TOKENS}) AS n_tokens,
+               CAST(COALESCE(list_sum(list_transform({_TOKENS},
+                    w -> CAST(ceil(len(w) / 4.0) AS BIGINT))), 0) AS BIGINT)
+                   AS n_subword_tokens
+        FROM documents
+    """,
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_quality_scores",
+    tags=("text",),
+    description="Heuristic quality features + combined score per document",
+    oracle=f"""
+        SELECT doc_id,
+               len({_TOKENS}) AS n_tokens,
+               len(text) AS n_chars_measured,
+               round(CAST(len(text) AS DOUBLE) / greatest(len({_TOKENS}), 1), 4) AS mean_token_len,
+               round(CAST({_marker_sql(LANG_MARKERS['en'])} AS DOUBLE)
+                     / greatest(len({_TOKENS}), 1), 4) AS stopword_ratio,
+               round(CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
+                     / greatest(len(text), 1), 4) AS alpha_ratio,
+               round(least(CAST(len({_TOKENS}) AS DOUBLE) / 100.0, 1.0) * 0.4
+                     + (CAST({_marker_sql(LANG_MARKERS['en'])} AS DOUBLE)
+                        / greatest(len({_TOKENS}), 1)) * 0.3
+                     + (CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
+                        / greatest(len(text), 1)) * 0.3, 4) AS quality_score
+        FROM documents
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n               ".join(
+        f"{_marker_sql(LANG_MARKERS[lang])} AS score_{lang}" for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    score_cols = ", ".join(f"score_{lang}" for lang in langs)
+    return f"""
+        WITH scored AS (
+            SELECT doc_id,
+               {scores}
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN {best} <= 0 THEN 'und' {case} ELSE 'und' END AS pred_lang,
+               {score_cols}
+        FROM scored
+    """
+
+
+@register(
+    "doc_language_id",
+    tags=("text",),
+    description="Stopword-vote language ID with deterministic tie-break",
+    oracle=_lang_id_oracle(),
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+
+@register(
+    "multimodal_binary_metadata",
+    tags=("multimodal",),
+    description="Binary payload metadata pass (size + sha256) over the "
+    "documents-as-bytes multimodal table",
+    oracle="""
+        SELECT doc_id AS media_id,
+               'application/octet-stream' AS mime_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS sha256
+        FROM documents
+    """,
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return binary_metadata(with_binary_payload(docs))

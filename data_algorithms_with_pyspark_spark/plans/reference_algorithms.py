@@ -1,0 +1,273 @@
+"""The reference's composite algorithms (SURVEY.md §2.13), re-expressed as
+single declarative DataFrame plans over the synthetic tables.
+
+Mapping (reference file -> catalog query):
+  rdd_transformations_overview.py:27-37 word count      -> word_count
+  dna_base_count_ver_{1,2,3}.py char counting           -> char_count
+      (the three RDD variants differ only in shuffle volume; the DataFrame
+       plan IS the optimal variant — Spark's partial aggregation does the
+       in-mapper combining of ver_3 automatically)
+  average_by_key_reducebykey.py / movie_avg_rating.py   -> avg_quantity_by_returnflag
+  reduction_warmup.py sum-by-key (4 RDD ways)           -> sum_quantity_by_linestatus
+  mappartitions_transformation.py per-partition stats   -> events_value_stats
+      (per-partition intermediates are an execution detail; the global
+       min/max/sum/count + sign buckets are the semantics)
+  graph_basics.py / flight_analysis.py                  -> graph_* queries
+  flight_analysis.py:61-88 route analytics              -> event_type_stats
+
+Graph edges derive deterministically from lineitem keys (20-vertex directed
+graph: src = l_orderkey % 20, dst = l_partkey % 20) so graph queries are
+oracle-checkable on the star schema (FIXTURES.md §2 suggests key-pair
+derived edges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_algorithms_with_pyspark_spark.functions.text_functions import (
+    char_counts_expr,
+    words,
+)
+from data_algorithms_with_pyspark_spark.operators.graph import (
+    bidirectional_edges,
+    degrees,
+    triangles,
+    two_hop_paths,
+)
+from data_algorithms_with_pyspark_spark.plans.catalog import register
+from data_algorithms_with_pyspark_spark.sources.readers import load_table
+
+_N_GRAPH_VERTICES = 20
+
+_EDGES_SQL = f"""
+        SELECT DISTINCT l_orderkey % {_N_GRAPH_VERTICES} AS src,
+                        l_partkey % {_N_GRAPH_VERTICES} AS dst
+        FROM lineitem
+        WHERE l_orderkey % {_N_GRAPH_VERTICES} <> l_partkey % {_N_GRAPH_VERTICES}
+"""
+
+
+def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic 20-vertex test graph (directed, no self-loops)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.select(
+            (F.col("l_orderkey") % _N_GRAPH_VERTICES).alias("src"),
+            (F.col("l_partkey") % _N_GRAPH_VERTICES).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+@register(
+    "word_count",
+    bench=True,
+    tags=("reference", "text"),
+    description="Word count over documents.text (rdd_transformations_overview.py:27-37)",
+    oracle="""
+        SELECT word, count(*) AS n
+        FROM (
+            SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                      w -> len(w) > 0)) AS word
+            FROM documents
+        )
+        GROUP BY word
+    """,
+)
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "char_count",
+    tags=("reference", "text"),
+    description="Character frequencies (DNA base count shape, dna_base_count_ver_*.py)",
+    oracle="""
+        SELECT ch, count(*) AS n
+        FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z]')) AS ch
+            FROM documents
+        )
+        GROUP BY ch
+    """,
+)
+def char_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(char_counts_expr("text")).alias("ch"))
+        .groupBy("ch")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "avg_quantity_by_returnflag",
+    tags=("reference", "aggregate"),
+    description="Monoid-safe average by key (average_by_key_reducebykey.py, "
+    "movie_avg_rating.py — Spark's avg is the correct (sum,count) monoid)",
+    oracle="""
+        SELECT l_returnflag,
+               round(avg(l_quantity), 2) AS avg_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def avg_quantity_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "sum_quantity_by_linestatus",
+    tags=("reference", "aggregate"),
+    description="Sum by key — the reference's 4 RDD reduction styles "
+    "(reduceByKey/groupByKey/aggregateByKey/combineByKey, reduction_warmup.py) "
+    "collapse to one hash-aggregate plan",
+    oracle="""
+        SELECT l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY l_linestatus
+    """,
+)
+def sum_quantity_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@register(
+    "events_value_stats",
+    tags=("reference", "aggregate"),
+    description="Global stats + sign buckets (mappartitions_transformation.py "
+    "per-partition summaries — semantics are the global aggregate)",
+    oracle="""
+        SELECT round(min(value), 4) AS min_value,
+               round(max(value), 4) AS max_value,
+               round(sum(value), 2) AS sum_value,
+               count(*)             AS n,
+               count(*) FILTER (WHERE value < 0) AS n_negative,
+               count(*) FILTER (WHERE value = 0) AS n_zero,
+               count(*) FILTER (WHERE value > 0) AS n_positive
+        FROM events
+    """,
+)
+def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("n_negative"),
+        F.count(F.when(F.col("value") == 0, 1)).alias("n_zero"),
+        F.count(F.when(F.col("value") > 0, 1)).alias("n_positive"),
+    )
+
+
+@register(
+    "event_type_stats",
+    tags=("reference", "aggregate"),
+    description="Route-analytics shape: count/avg/max per key "
+    "(flight_analysis.py:61-88)",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               round(avg(value), 4) AS avg_value,
+               round(max(value), 4) AS max_value
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+@register(
+    "graph_degrees",
+    bench=True,
+    tags=("graph",),
+    description="In/out/total degree via two aggs + full outer join + fillna "
+    "(graph_basics.py:45-62, flight_analysis.py:48-58)",
+    oracle=f"""
+        WITH edges AS ({_EDGES_SQL}),
+        out_deg AS (SELECT src AS id, count(*) AS out_degree FROM edges GROUP BY src),
+        in_deg  AS (SELECT dst AS id, count(*) AS in_degree  FROM edges GROUP BY dst)
+        SELECT COALESCE(o.id, i.id) AS id,
+               COALESCE(out_degree, 0) AS out_degree,
+               COALESCE(in_degree, 0)  AS in_degree,
+               COALESCE(out_degree, 0) + COALESCE(in_degree, 0) AS total_degree
+        FROM out_deg o FULL OUTER JOIN in_deg i ON o.id = i.id
+    """,
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deg = degrees(derived_edges(spark, sf_dir))
+    return deg.select("id", "out_degree", "in_degree", "total_degree")
+
+
+@register(
+    "graph_bidirectional_edges",
+    tags=("graph",),
+    description="Mutual-edge pairs via reversed self-join (graph_basics.py:70-88)",
+    oracle=f"""
+        WITH edges AS ({_EDGES_SQL})
+        SELECT DISTINCT e1.src AS a, e1.dst AS b
+        FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+        WHERE e1.src < e1.dst
+    """,
+)
+def graph_bidirectional_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bidirectional_edges(derived_edges(spark, sf_dir))
+
+
+@register(
+    "graph_two_hop_paths",
+    tags=("graph",),
+    description="2-hop reachability with middle-vertex counts "
+    "(graph_basics.py:91-107, connecting flights flight_analysis.py:96-132)",
+    oracle=f"""
+        WITH edges AS ({_EDGES_SQL})
+        SELECT e1.src AS a, e2.dst AS c,
+               count(DISTINCT e1.dst) AS n_paths
+        FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+        WHERE e1.src <> e2.dst
+        GROUP BY e1.src, e2.dst
+    """,
+)
+def graph_two_hop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return two_hop_paths(derived_edges(spark, sf_dir))
+
+
+@register(
+    "graph_triangles",
+    tags=("graph",),
+    description="Directed 3-cycles, canonical a=min orientation "
+    "(graph_basics.py:110-132 triple self-join)",
+    oracle=f"""
+        WITH edges AS ({_EDGES_SQL})
+        SELECT DISTINCT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.dst = e2.src
+        JOIN edges e3 ON e2.dst = e3.src AND e3.dst = e1.src
+        WHERE e1.src < e1.dst AND e1.src < e2.dst
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangles(derived_edges(spark, sf_dir))

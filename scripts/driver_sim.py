@@ -1,0 +1,70 @@
+"""Driver simulation: runs the exact comparison the external harness does —
+every ``__spark_entry__.queries()`` entry vs its ``oracle_sql()`` DuckDB
+twin (row count, column names, order-insensitive values) at a given scale
+factor. Usage: python scripts/driver_sim.py [SF_DIR]."""
+
+from __future__ import annotations
+
+import math
+import sys
+from datetime import datetime
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from data_algorithms_with_pyspark_spark.schemas import TABLE_NAMES  # noqa: E402
+from data_algorithms_with_pyspark_spark.session import get_spark  # noqa: E402
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else (0.0 if v == 0.0 else v)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None)
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="driver-sim")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    print("entry rows:", entry_mod.entry(spark).count())
+    queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    print(f"{len(queries)} queries, {len(oracles)} with oracles, sf_dir={sf_dir}")
+
+    failures = []
+    for name, fn in sorted(queries.items()):
+        sdf = fn(spark, sf_dir)
+        if name not in oracles:
+            print(f"  {name}: rows-only, {sdf.count()} rows")
+            continue
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        so = sorted(range(len(scols)), key=lambda i: scols[i])
+        do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        s_set = sorted([tuple(_norm(r[i]) for i in so) for r in srows], key=repr)
+        d_set = sorted([tuple(_norm(r[i]) for i in do) for r in drows], key=repr)
+        ok = sorted(scols) == sorted(dcols) and s_set == d_set
+        print(f"  {name}: {'MATCH' if ok else 'MISMATCH'} ({len(srows)} rows)")
+        if not ok:
+            failures.append(name)
+            for a, b in list(zip(s_set, d_set))[:5]:
+                if a != b:
+                    print("    spark:", a, "\n    duck :", b)
+    print("FAILURES:", failures if failures else "none")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
