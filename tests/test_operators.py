@@ -1,0 +1,162 @@
+"""Unit tests with hand-built inputs and known answers (the reference's
+test style, tests/test_smoke.py:25-77 in /root/reference) for graph, dedup,
+windows, and text operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_algorithms_with_pyspark_spark.operators.dedup import (
+    exact_dedup_groups,
+    exact_deduplicate,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_candidate_pairs,
+)
+from data_algorithms_with_pyspark_spark.operators.graph import (
+    bidirectional_edges,
+    degrees,
+    triangles,
+    two_hop_paths,
+    vertices_from_edges,
+)
+from data_algorithms_with_pyspark_spark.operators.similarity import cosine_topk
+from data_algorithms_with_pyspark_spark.operators.text import language_id
+from data_algorithms_with_pyspark_spark.operators.windows import sessionize
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def test_graph_known_answers(spark):
+    # a->b, b->a (bidirectional); a->b->c->a (triangle); c->d
+    e = _edges(
+        spark, [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("c", "d")]
+    )
+    assert sorted(r["id"] for r in vertices_from_edges(e).collect()) == [
+        "a", "b", "c", "d",
+    ]
+
+    deg = {r["id"]: (r["out_degree"], r["in_degree"]) for r in degrees(e).collect()}
+    assert deg == {"a": (1, 2), "b": (2, 1), "c": (2, 1), "d": (0, 1)}
+
+    assert [tuple(r) for r in bidirectional_edges(e).collect()] == [("a", "b")]
+
+    hops = {(r["a"], r["c"]): r["n_paths"] for r in two_hop_paths(e).collect()}
+    # a->b->c, a->b->a excluded (a==c), b->c->a, b->c->d, c->a->b
+    assert hops == {("a", "c"): 1, ("b", "a"): 1, ("b", "d"): 1, ("c", "b"): 1}
+
+    tri = [tuple(r) for r in triangles(e).collect()]
+    assert tri == [("a", "b", "c")]
+
+
+def test_exact_dedup_with_planted_duplicates(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello   World"),
+            (2, "hello world"),  # dup of 1 after normalization
+            (3, "something else"),
+        ],
+        ["doc_id", "text"],
+    )
+    groups = exact_dedup_groups(docs).collect()
+    by_keep = {r["keep_id"]: r["dup_count"] for r in groups}
+    assert by_keep == {1: 2, 3: 1}
+
+    kept = sorted(r["doc_id"] for r in exact_deduplicate(docs).collect())
+    assert kept == [1, 3]
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("lazy", "sleepy")),  # near-dup of 1
+            (3, "completely different content about spark query engines at scale"),
+        ],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(docs)
+    assert sigs.select(F.size("signature")).first()[0] == 64
+    pairs = {
+        (r["id_1"], r["id_2"]): r["est_jaccard"]
+        for r in minhash_candidate_pairs(sigs).collect()
+    }
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] > 0.3
+    assert (1, 3) not in pairs
+
+    exact = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, 0.0).collect()
+    }
+    assert exact[(1, 2)] > 0.5
+    assert exact[(1, 3)] < 0.1
+    # LSH estimate should be in the neighborhood of exact jaccard
+    assert abs(pairs[(1, 2)] - exact[(1, 2)]) < 0.35
+
+
+def test_simhash_near_dup(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " thirteen"), (3, "alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    hashes = simhash(docs)
+    pairs = {
+        (r["id_1"], r["id_2"]): r["hamming"]
+        for r in simhash_candidate_pairs(hashes).collect()
+    }
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] <= 12  # near-dups agree on most bits
+
+
+def test_cosine_topk_self_similarity(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # closest to 0
+            (2, [0.0, 1.0, 0.0]),   # orthogonal
+            (3, [-1.0, 0.0, 0.0]),  # opposite
+        ],
+        ["vec_id", "embedding"],
+    )
+    top = cosine_topk(vecs, query_id=0, k=3).collect()
+    assert [r["vec_id"] for r in top] == [1, 2, 3]
+    assert top[0]["cosine"] > 0.99
+    assert abs(top[1]["cosine"]) < 1e-9
+    assert top[2]["cosine"] == -1.0
+
+
+def test_sessionize_gap_rule(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", 100),
+        (2, "2024-01-01 10:10:00", 100),  # same session (10 min gap)
+        (3, "2024-01-01 11:00:00", 100),  # new session (50 min gap)
+        (4, "2024-01-01 10:00:00", 200),  # other user
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts_str", "user_id"]
+    ).withColumn("ts", F.to_timestamp("ts_str"))
+    sessions = {
+        r["event_id"]: r["session_id"] for r in sessionize(events).collect()
+    }
+    assert sessions == {1: 0, 2: 0, 3: 1, 4: 0}
+
+
+def test_language_id_markers(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in a house"),
+            (2, "el perro y la casa de los gatos en una calle"),
+            (3, "der hund und die katze ist nicht hier"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        ["doc_id", "text"],
+    )
+    langs = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
+    assert langs == {1: "en", 2: "es", 3: "de", 4: "und"}

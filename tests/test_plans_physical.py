@@ -1,0 +1,90 @@
+"""Physical-plan assertions: the optimizations SURVEY.md §4 requires must
+actually appear in the executed plans — pushed filters, pruned scan
+schemas, broadcast joins, whole-stage codegen, partial aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_algorithms_with_pyspark_spark.plans.catalog import all_queries
+from data_algorithms_with_pyspark_spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _executed_plan(df) -> str:
+    df.collect()  # materialize THIS plan so AQE finalizes it (isFinalPlan=true)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q6_filter_pushdown_and_pruned_schema(spark):
+    df = all_queries()["q6_forecast_revenue"].fn(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read quantities we don't need
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_returnflag" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_q5_uses_broadcast_joins(spark):
+    df = all_queries()["q5_local_supplier_volume"].fn(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q1_partial_aggregation_and_codegen(spark):
+    df = all_queries()["q1_pricing_summary"].fn(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    # two-phase hash aggregate (map-side combine before the shuffle)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert "*(" in plan  # whole-stage-codegen stage markers
+
+
+def test_q3_take_ordered_not_global_sort(spark):
+    df = all_queries()["q3_shipping_priority"].fn(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_and_anti_join_plans(spark):
+    semi = all_queries()["q4_order_priority"].fn(spark, SF_SMOKE)
+    assert "LeftSemi" in _optimized_plan(semi)
+    anti = all_queries()["customers_without_orders"].fn(spark, SF_SMOKE)
+    assert "LeftAnti" in _optimized_plan(anti)
+
+
+def test_ann_topk_broadcasts_query_vector(spark):
+    df = all_queries()["ann_cosine_topk"].fn(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "Broadcast" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_python_udfs_in_relational_plans(spark):
+    """Engine policy (SURVEY.md §2.12): relational/dedup hot paths stay
+    JVM-side — no BatchEvalPython / ArrowEvalPython stages."""
+    for name in [
+        "q1_pricing_summary",
+        "q10_returned_items",
+        "dedup_exact_groups",
+        "minhash_near_dup_candidates",
+        "word_count",
+        "doc_token_counts",
+    ]:
+        plan = _executed_plan(all_queries()[name].fn(spark, SF_SMOKE))
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_scan_defaults_to_multiple_partitions_at_scale(spark):
+    # local sanity: lineitem at sf0.001 is one file; the session's
+    # maxPartitionBytes must not make it explode into tiny tasks either.
+    df = load_table(spark, SF_SMOKE, "lineitem")
+    n = df.rdd.getNumPartitions()
+    assert 1 <= n <= 8
+    assert df.where(F.col("l_orderkey") < 0).count() == 0

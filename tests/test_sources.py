@@ -1,0 +1,104 @@
+"""IO layer tests: the three CSV schema modes, JSON, partitioned parquet
+write + partition-discovery read + pruning (SURVEY.md §2.1-2.2)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_algorithms_with_pyspark_spark.sources.readers import (
+    load_table,
+    read_csv,
+    read_json,
+    read_parquet,
+    read_text,
+)
+from data_algorithms_with_pyspark_spark.sources.writers import (
+    write_csv,
+    write_json,
+    write_parquet,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_csv_three_schema_modes(spark, tmp_path):
+    p = str(tmp_path / "people.csv")
+    with open(p, "w") as f:
+        f.write("name,age\nalex,30\nmary,25\n")
+
+    inferred = read_csv(spark, p, header=True, infer_schema=True)
+    assert dict(inferred.dtypes) == {"name": "string", "age": "int"}
+
+    explicit_schema = T.StructType(
+        [
+            T.StructField("name", T.StringType(), False),
+            T.StructField("age", T.LongType(), True),
+        ]
+    )
+    explicit = read_csv(spark, p, schema=explicit_schema)
+    assert dict(explicit.dtypes) == {"name": "string", "age": "bigint"}
+
+    headerless = read_csv(spark, p, header=False, infer_schema=False)
+    assert headerless.columns == ["_c0", "_c1"]  # default naming
+    assert headerless.count() == 3  # header row becomes data
+
+
+def test_json_nested_inference_and_explode(spark, tmp_path):
+    p = str(tmp_path / "emps.json")
+    with open(p, "w") as f:
+        f.write('{"name":"alex","skills":["python","spark"]}\n')
+        f.write('{"name":"mary","skills":["sql"]}\n')
+    df = read_json(spark, p)
+    assert isinstance(df.schema["skills"].dataType, T.ArrayType)
+    exploded = df.select("name", F.explode("skills").alias("skill"))
+    assert exploded.count() == 3
+
+
+def test_text_reader(spark, tmp_path):
+    p = str(tmp_path / "sample.txt")
+    with open(p, "w") as f:
+        f.write(">header\nATCG\nGGTA\n")
+    df = read_text(spark, p)
+    assert df.columns == ["value"]
+    assert df.where(~F.col("value").startswith(">")).count() == 2
+
+
+def test_partitioned_write_discovery_and_pruning(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    write_parquet(orders, out, partition_by=("o_year",))
+
+    # one file per hive partition (repartition-before-partitionBy compaction)
+    for d in os.listdir(out):
+        if d.startswith("o_year="):
+            files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+            assert len(files) == 1, f"expected 1 compacted file in {d}, got {files}"
+
+    back = read_parquet(spark, out)
+    assert "o_year" in back.columns  # partition discovery
+    pruned = back.where(F.col("o_year") == 1996)
+    expected = orders.where(F.col("o_year") == 1996).count()
+    assert pruned.count() == expected
+
+    # partition pruning visible in the physical plan
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_csv_json_writers_roundtrip(spark, tmp_path):
+    df = load_table(spark, SF_SMOKE, "region")
+    csv_out = str(tmp_path / "region_csv")
+    write_csv(df, csv_out, sep="|", single_file=True)
+    back = read_csv(spark, csv_out, header=True, infer_schema=True, sep="|")
+    assert sorted([tuple(r) for r in back.collect()]) == sorted(
+        [tuple(r) for r in df.collect()]
+    )
+
+    json_out = str(tmp_path / "region_json")
+    write_json(df, json_out, single_file=True)
+    back_json = read_json(spark, json_out).select("r_regionkey", "r_name")
+    assert back_json.count() == df.count()
