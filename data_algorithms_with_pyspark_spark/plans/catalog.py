@@ -35,6 +35,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERY_MODULES = (
     "data_algorithms_with_pyspark_spark.plans.tpch",
+    "data_algorithms_with_pyspark_spark.plans.tpch_extended",
     "data_algorithms_with_pyspark_spark.plans.reference_algorithms",
     "data_algorithms_with_pyspark_spark.plans.events",
     "data_algorithms_with_pyspark_spark.plans.extensions",

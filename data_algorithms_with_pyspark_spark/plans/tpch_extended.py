@@ -1,0 +1,514 @@
+"""Extended TPC-H-shaped query set (adapted to the driver's synthetic schema).
+
+Widens the relational surface beyond plans/tpch.py with the join/agg shapes
+of TPC-H Q7/Q8/Q9/Q12/Q14/Q15/Q16/Q17/Q18/Q19/Q22, adapted to the columns
+that exist (no partsupp table, no l_receiptdate/l_shipmode; money stays
+DOUBLE per the reference's type policy — SURVEY.md §1.3). These exercise:
+fact-fact self-aggregation joins, conditional aggregation, disjunctive
+pushable predicates, correlated-subquery decorrelation (re-expressed as
+aggregate+join), distinct aggregation, scalar subqueries, and
+anti-join + scalar-subquery composition.
+
+Scale notes (100 TB design point): every dimension join is an explicit
+``F.broadcast``; the only fact-fact shuffles are key-partitioned hash
+aggregations on l_orderkey / l_partkey, which AQE coalesces and
+skew-splits. Shares/ratios are computed from integer-cent sums
+(catalog.cents_sum) so results are order- and partitioning-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_algorithms_with_pyspark_spark.plans.catalog import (
+    cents_sum,
+    cents_sum_sql,
+    register,
+    ts,
+)
+from data_algorithms_with_pyspark_spark.sources.readers import load_table
+
+
+def _revenue():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+def _cents(expr):
+    """Exact integer cents for one row (IEEE-exact in Spark and DuckDB)."""
+    return F.floor(expr * 100 + F.lit(0.5)).cast("long")
+
+
+@register(
+    "q7_nation_trade_volume",
+    tags=("relational", "join"),
+    description="TPC-H Q7 shape: supplier-nation x customer-nation revenue by year",
+    oracle=f"""
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               {cents_sum_sql(_REVENUE_SQL)} AS revenue
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND n1.n_name IN ('NATION_3', 'NATION_7')
+          AND n2.n_name IN ('NATION_3', 'NATION_7')
+          AND n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pair = nation.where(F.col("n_name").isin("NATION_3", "NATION_7"))
+    n1 = pair.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = pair.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= ts("1996-01-01"))
+            & (F.col("l_shipdate") < ts("1998-01-01"))
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("c_nkey") == F.col("c_nationkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(cents_sum(_revenue()).alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    tags=("relational", "join", "conditional-agg"),
+    description="TPC-H Q8 shape: NATION_5 suppliers' share of the ASIA market by year",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               round(
+                 CAST(sum(CASE WHEN n_s.n_name = 'NATION_5'
+                     THEN CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS BIGINT)
+                 * 1.0 /
+                 CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT),
+                 6) AS mkt_share
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n_c ON n_c.n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = n_c.n_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n_s ON n_s.n_nationkey = s_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n_c = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n_s = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    cents = _cents(_revenue())
+    return (
+        lineitem.join(
+            orders.where(
+                (F.col("o_orderdate") >= ts("1996-01-01"))
+                & (F.col("o_orderdate") < ts("1998-01-01"))
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n_c), F.col("c_nkey") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("r_regionkey") == F.col("c_rkey"),
+        )
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n_s), F.col("s_nkey") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", cents).otherwise(
+                        F.lit(0)
+                    )
+                )
+                * 1.0
+                / F.sum(cents),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_nation_profit",
+    tags=("relational", "join"),
+    description="TPC-H Q9 shape: widget-part revenue by supplier nation and year",
+    oracle=f"""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               {cents_sum_sql(_REVENUE_SQL)} AS sum_profit
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+    """,
+)
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        lineitem.join(
+            F.broadcast(part.where(F.col("p_name").contains("widget"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(cents_sum(_revenue()).alias("sum_profit"))
+    )
+
+
+@register(
+    "q12_priority_by_linestatus",
+    tags=("relational", "conditional-agg"),
+    description="TPC-H Q12 shape: high/low-priority order counts per linestatus",
+    oracle="""
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_linestatus
+    """,
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= ts("1997-01-01"))
+            & (F.col("l_shipdate") < ts("1998-01-01"))
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    tags=("relational", "conditional-agg"),
+    description="TPC-H Q14 shape: PROMO parts' share of one month's revenue",
+    oracle="""
+        SELECT round(
+                 100.0 *
+                 CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS BIGINT)
+                 /
+                 CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT),
+                 4) AS promo_revenue_pct
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cents = _cents(_revenue())
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= ts("1996-09-01"))
+            & (F.col("l_shipdate") < ts("1996-10-01"))
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0)))
+                / F.sum(cents),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    tags=("relational", "scalar-subquery"),
+    description="TPC-H Q15 shape: supplier(s) with max quarterly revenue",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, revenue_cents / 100.0 AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE revenue_cents = (SELECT max(revenue_cents) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        lineitem.where(
+            (F.col("l_shipdate") >= ts("1996-01-01"))
+            & (F.col("l_shipdate") < ts("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_cents(_revenue())).alias("revenue_cents"))
+    )
+    mx = revenue.agg(F.max("revenue_cents").alias("_mx"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("revenue_cents") == F.col("_mx"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("revenue_cents") / 100.0).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_variety",
+    tags=("relational", "distinct-agg"),
+    description="TPC-H Q16 shape: distinct suppliers per brand/type for small parts",
+    oracle="""
+        SELECT p_brand, p_type,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM part
+        JOIN lineitem ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_size <= 15
+        GROUP BY p_brand, p_type
+    """,
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(
+            F.broadcast(
+                part.where((F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 15))
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    tags=("relational", "correlated-subquery"),
+    description="TPC-H Q17 shape: avg yearly revenue of below-half-average-quantity lineitems",
+    oracle="""
+        SELECT round(
+                 CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 / 100.0 / 7.0, 2) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13'
+          AND l_quantity < (
+              SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = part.p_partkey
+          )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The correlated scalar subquery decorrelates to a per-part aggregate
+    # joined back to the fact table (exactly what Catalyst does for the SQL
+    # form). l_quantity values are small integers stored as DOUBLE, so
+    # avg = exact-sum / count is bit-identical across engines.
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    half_avg = lineitem.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("_half_avg")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.where(F.col("p_brand") == "Brand#13")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(half_avg), F.col("_pk") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < F.col("_half_avg"))
+        .agg(
+            F.round(
+                F.sum(_cents(F.col("l_extendedprice"))) / 100.0 / 7.0, 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    tags=("relational", "having"),
+    description="TPC-H Q18 shape: orders whose total quantity exceeds a threshold",
+    oracle="""
+        SELECT c_custkey, o_orderkey, o_totalprice, sum_qty
+        FROM (
+            SELECT l_orderkey, sum(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+        )
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+@register(
+    "q19_bracket_revenue",
+    tags=("relational", "disjunctive-filter"),
+    description="TPC-H Q19 shape: revenue under OR-ed brand/size/quantity brackets",
+    oracle=f"""
+        SELECT {cents_sum_sql(_REVENUE_SQL)} AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 10
+               AND l_quantity BETWEEN 1  AND 20)
+           OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 35)
+           OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .where(bracket)
+        .agg(
+            cents_sum(_revenue()).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    tags=("relational", "anti-join", "scalar-subquery"),
+    description="TPC-H Q22 shape: above-average-balance customers idle since 1999, by nation",
+    oracle="""
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+                SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01'
+              )
+        GROUP BY c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = customer.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(
+            orders.where(F.col("o_orderdate") >= ts("1999-01-01")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            cents_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
