@@ -87,6 +87,21 @@ def exact_deduplicate(
 _MERSENNE_PRIME_31 = (1 << 31) - 1
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure at least default-parallelism partitions before a CPU-heavy map.
+
+    A small parquet source arrives as a handful of scan partitions (often 1),
+    which would serialize the expensive shingle/hash expressions onto one
+    core. Repartitioning 1-to-many is a cheap round-robin shuffle of the raw
+    rows. Guarded so a genuinely large input (already more partitions than
+    cores, e.g. the 100 TB case) is never shrunk or reshuffled.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _minhash_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [
@@ -134,7 +149,7 @@ def minhash_signatures(
     # map-side, so the shuffle carries one num_perm-wide row per doc per
     # partition). ~5x faster than nested higher-order array expressions,
     # which execute interpreted per element.
-    exploded = docs.select(
+    exploded = _spread(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(word_shingles(text_col, shingle_n)).alias("_sh"),
     ).select(
@@ -162,14 +177,28 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 16,
     min_jaccard: float = 0.0,
+    materialize: bool = True,
 ) -> DataFrame:
     """LSH banding: docs agreeing on any band become a candidate pair.
 
     Output: (id_1, id_2, est_jaccard) with id_1 < id_2; est_jaccard is the
     fraction of matching signature components. The band equi-join is the
     scale move — buckets shuffle by (band, band_hash), never all-pairs.
+
+    ``materialize`` persists the signature table (MEMORY_AND_DISK): it is
+    referenced three times (banding + both sides of the estimate join), and
+    recomputing the shingle/hash pass per reference costs far more than
+    storing ~(8 + 8*num_perm) bytes/doc — at 100 TB this is the standard
+    "checkpoint the sketch, not the corpus" move.
     """
-    # rows per band derived from the actual signature length at plan time
+    if materialize:
+        signatures = signatures.persist()
+    # Narrow-shuffle design for the 100 TB case: the banded self-join carries
+    # only (id, band, band_hash) — 24 bytes/row — never the signatures
+    # themselves; signatures are joined back exactly once per surviving
+    # candidate id to compute the estimate. Spark reuses the signature
+    # aggregation's exchange across the three references (ReusedExchange),
+    # so the expensive shingle/hash pass still runs once.
     sig_len = F.size(F.col("signature"))
     rows_per_band = (sig_len / F.lit(bands)).cast("int")
     banded = signatures.select(
@@ -178,30 +207,25 @@ def minhash_candidate_pairs(
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
     ).select(
         F.col(id_col),
-        F.col("signature"),
         F.col("band"),
         F.xxhash64(
             F.col("band"),
             F.slice(F.col("signature"), F.col("band") * rows_per_band + 1, rows_per_band),
         ).alias("band_hash"),
     )
-    left = banded.select(
-        F.col(id_col).alias("id_1"),
-        F.col("signature").alias("sig_1"),
-        "band",
-        "band_hash",
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_2"),
-        F.col("signature").alias("sig_2"),
-        "band",
-        "band_hash",
-    )
+    left = banded.select(F.col(id_col).alias("id_1"), "band", "band_hash")
+    right = banded.select(F.col(id_col).alias("id_2"), "band", "band_hash")
     pairs = (
         left.join(right, on=["band", "band_hash"], how="inner")
         .where(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2", "sig_1", "sig_2")
+        .select("id_1", "id_2")
         .dropDuplicates(["id_1", "id_2"])
+    )
+    s1 = signatures.select(
+        F.col(id_col).alias("id_1"), F.col("signature").alias("sig_1")
+    )
+    s2 = signatures.select(
+        F.col(id_col).alias("id_2"), F.col("signature").alias("sig_2")
     )
     est = (
         F.size(
@@ -213,7 +237,9 @@ def minhash_candidate_pairs(
         / F.size(F.col("sig_1"))
     )
     return (
-        pairs.select("id_1", "id_2", F.round(est, 4).alias("est_jaccard"))
+        pairs.join(s1, on="id_1")
+        .join(s2, on="id_2")
+        .select("id_1", "id_2", F.round(est, 4).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= F.lit(min_jaccard))
     )
 
@@ -229,7 +255,7 @@ def simhash(
     Per bit b: sum over tokens of ±1 depending on bit b of xxhash64(token);
     bit set iff the sum is positive. Pure array expressions, one pass.
     """
-    with_hashes = docs.select(
+    with_hashes = _spread(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.transform(words(text_col), lambda t: F.xxhash64(t)).alias("_th"),
     )
@@ -305,7 +331,7 @@ def ngram_jaccard_pairs(
     pass ``minhash_candidate_pairs`` output as ``candidates`` so only LSH
     survivors are verified.
     """
-    sh = docs.select(
+    sh = _spread(docs.select(id_col, text_col)).select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
     )
     left = sh.select(F.col(id_col).alias("id_1"), F.col("shingles").alias("sh_1"))
