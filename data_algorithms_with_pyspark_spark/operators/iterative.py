@@ -1,0 +1,116 @@
+"""Iterative graph algorithms (driver-loop + checkpoint pattern).
+
+The reference explicitly defers iterative algorithms
+(`/root/reference/src/chapter_06/README.md:160-163` lists PageRank and
+connected components as "beyond these basics"); this module supplies them
+with the canonical Spark pattern: a driver-side loop over DataFrame
+transformations with ``localCheckpoint()`` every iteration to truncate the
+lineage (without it, plan depth grows linearly and both planning time and
+recovery cost blow up — the classic iterative-Spark failure mode).
+
+Scale notes: each iteration is one shuffle keyed on vertex id. Ranks and
+labels are (id, value) pairs — the 100 TB-scale state is O(V), never O(E);
+edges stream through joins and are never collected or re-materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "pagerank"]
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    return edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Min-label propagation; returns (id, component = min vertex id reachable).
+
+    Converges in O(diameter) rounds. Each round: neighbors' current labels
+    are min-merged into each vertex's label (one groupBy shuffle on id).
+    Convergence is detected from the strictly-decreasing global label sum —
+    one cheap scalar action per round, no full-table comparison join.
+    """
+    und = _undirected(edges).localCheckpoint()
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_labels = und.join(
+            labels, und.src == labels.id, "inner"
+        ).select(F.col("dst").alias("id"), "component")
+        labels = (
+            labels.union(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = 10, damping: float = 0.85
+) -> DataFrame:
+    """Standard PageRank over a directed edge list; returns (id, rank).
+
+    rank_{t+1}(v) = (1-d)/N + d * (sum of rank_t(u)/outdeg(u) over in-edges
+    + dangling mass / N). Deterministic up to float addition order; fixed
+    iteration count (no tolerance test) so results are reproducible.
+    """
+    edges = edges.select("src", "dst").localCheckpoint()
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = vertices.count()
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_deg")
+    )
+    # (id, out_deg) with 0 for dangling vertices; broadcast-sized state is
+    # avoided — everything stays keyed on id.
+    deg = vertices.join(out_deg, on="id", how="left").fillna(0, subset=["out_deg"])
+    ranks = vertices.select("id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        with_deg = ranks.join(deg, on="id")
+        dangling = (
+            with_deg.where(F.col("out_deg") == 0)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            edges.join(with_deg.where(F.col("out_deg") > 0), edges.src == F.col("id"))
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("out_deg")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("in_rank"))
+        )
+        ranks = (
+            vertices.join(contribs, on="id", how="left")
+            .fillna(0.0, subset=["in_rank"])
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.col("in_rank") + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

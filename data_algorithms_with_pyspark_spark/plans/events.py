@@ -118,3 +118,43 @@ def events_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "clicks_last_purchase_asof",
+    tags=("events", "asof-join"),
+    description="As-of join: each click paired with the user's most recent "
+    "prior-or-same-instant purchase (operators/asof.py; one keyed sort-merge "
+    "pass, no per-key cross-match)",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+                   value AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.user_id, c.ts, c.event_id AS click_id,
+               p.purchase_ts, p.purchase_id, p.purchase_value
+        FROM clicks c
+        ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND p.purchase_ts <= c.ts
+    """,
+)
+def clicks_last_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_algorithms_with_pyspark_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="purchase_ts"
+    )

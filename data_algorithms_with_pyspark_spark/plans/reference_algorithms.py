@@ -271,3 +271,112 @@ def graph_two_hop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles(derived_edges(spark, sf_dir))
+
+
+# --- iterative graph algorithms (operators/iterative.py) --------------------
+
+# Sparse blocked test graph for connected components: vertices 0..199, edges
+# only inside each block of 5 ids -> 40 components for min-label propagation
+# to find. Deterministic and SQL-expressible, like _EDGES_SQL.
+_CC_EDGES_SQL = """
+        SELECT DISTINCT (l_orderkey % 200) AS src,
+               ((l_orderkey % 200) - ((l_orderkey % 200) % 5)) + (l_partkey % 5) AS dst
+        FROM lineitem
+        WHERE l_linenumber = 1 AND l_orderkey % 7 = 0
+          AND (l_orderkey % 200)
+              <> ((l_orderkey % 200) - ((l_orderkey % 200) % 5)) + (l_partkey % 5)
+"""
+
+
+def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    src = F.col("l_orderkey") % 200
+    dst = (src - (src % 5)) + (F.col("l_partkey") % 5)
+    return (
+        lineitem.where((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 7 == 0))
+        .select(src.alias("src"), dst.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+@register(
+    "graph_connected_components",
+    tags=("graph", "iterative"),
+    description="Connected components by iterative min-label propagation "
+    "(driver loop + localCheckpoint; oracle = recursive-CTE closure)",
+    oracle=f"""
+        WITH RECURSIVE und AS (
+            SELECT src, dst FROM ({_CC_EDGES_SQL})
+            UNION
+            SELECT dst, src FROM ({_CC_EDGES_SQL})
+        ),
+        reach(id, r) AS (
+            SELECT id, id FROM (SELECT DISTINCT src AS id FROM und)
+            UNION
+            SELECT reach.id, und.dst FROM reach JOIN und ON und.src = reach.r
+        )
+        SELECT id, CAST(min(r) AS BIGINT) AS component
+        FROM reach GROUP BY id
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_algorithms_with_pyspark_spark.operators.iterative import (
+        connected_components,
+    )
+
+    return connected_components(_cc_edges(spark, sf_dir))
+
+
+def _pagerank_oracle_sql(iterations: int, damping: float) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (DuckDB oracle)."""
+    d = damping
+    # MATERIALIZED is load-bearing: each r{i} references r{i-1} twice, and
+    # DuckDB inlines plain CTEs -> exponential plan expansion by r10.
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGES_SQL})",
+        "verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "nv AS MATERIALIZED (SELECT count(*) AS n FROM verts)",
+        "deg AS MATERIALIZED (SELECT src AS id, count(*) AS out_deg FROM edges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nv) AS rank FROM verts)",
+    ]
+    for i in range(1, iterations + 1):
+        p = f"r{i - 1}"
+        ctes.append(f"""
+        r{i} AS MATERIALIZED (
+            SELECT v.id,
+                   (1 - {d}) / (SELECT n FROM nv)
+                   + {d} * (
+                       COALESCE(c.in_rank, 0)
+                       + (SELECT COALESCE(sum(r.rank), 0) FROM {p} r
+                          LEFT JOIN deg ON r.id = deg.id
+                          WHERE deg.id IS NULL) / (SELECT n FROM nv)
+                   ) AS rank
+            FROM verts v
+            LEFT JOIN (
+                SELECT e.dst AS id, sum(r.rank / deg.out_deg) AS in_rank
+                FROM edges e
+                JOIN {p} r ON e.src = r.id
+                JOIN deg ON deg.id = e.src
+                GROUP BY e.dst
+            ) c ON v.id = c.id
+        )""")
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f" SELECT id, round(rank, 6) AS rank FROM r{iterations}"
+    )
+
+
+@register(
+    "graph_pagerank",
+    tags=("graph", "iterative"),
+    description="PageRank, 10 fixed iterations with dangling-mass handling "
+    "(driver loop + localCheckpoint; oracle = unrolled per-iteration CTEs)",
+    oracle=_pagerank_oracle_sql(10, 0.85),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_algorithms_with_pyspark_spark.operators.iterative import pagerank
+
+    ranks = pagerank(derived_edges(spark, sf_dir), iterations=10, damping=0.85)
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
