@@ -129,3 +129,65 @@ def lsh_near_dup_pairs(
         .select("id_1", "id_2", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the third ANN tier.
+
+    Index: every vector is assigned to its nearest of ``n_lists`` coarse
+    centroids (deterministic: the vectors with the first n_lists ids — a
+    structural stand-in for trained k-means centroids; swap in trained ones
+    without touching the plan). Search: score the query against centroids
+    only, probe the best ``n_probe`` lists, and run exact cosine on those
+    candidates.
+
+    Scale shape: the assignment pass is a broadcast nested-loop against
+    n_lists rows (no shuffle of the corpus) followed by one hash aggregate
+    on id; at query time only ~n_probe/n_lists of the corpus is scored.
+    Ties broken by centroid/vector id everywhere -> fully deterministic.
+    """
+    vecs = embeddings.select(F.col(id_col), to_double_array(vec_col).alias("vec"))
+    cents = vecs.where(F.col(id_col) < n_lists).select(
+        F.col(id_col).alias("cid"), F.col("vec").alias("cvec")
+    )
+    cos_vc = cosine_similarity(F.col("vec"), F.col("cvec"))
+    assign = (
+        vecs.crossJoin(F.broadcast(cents))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                "cid", F.struct(cos_vc.alias("c"), (-F.col("cid")).alias("t"))
+            ).alias("cid")
+        )
+    )
+    query = vecs.where(F.col(id_col) == query_id).select(
+        F.col("vec").alias("query_vec")
+    )
+    probes = (
+        cents.crossJoin(F.broadcast(query))
+        .select(
+            "cid",
+            cosine_similarity(F.col("cvec"), F.col("query_vec")).alias("qc"),
+        )
+        .orderBy(F.col("qc").desc(), F.col("cid"))
+        .limit(n_probe)
+        .select("cid")
+    )
+    cos_q = cosine_similarity(F.col("vec"), F.col("query_vec"))
+    return (
+        vecs.join(assign, on=id_col)
+        .join(F.broadcast(probes), on="cid")
+        .where(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(query))
+        .select(F.col(id_col), F.round(cos_q, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

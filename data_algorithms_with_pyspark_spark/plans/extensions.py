@@ -343,3 +343,48 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return binary_metadata(with_binary_payload(docs))
+
+
+@register(
+    "ivf_ann_topk",
+    tags=("similarity", "ann"),
+    description=f"IVF approximate top-{_ANN_K}: nearest-centroid inverted lists, "
+    "4-of-16 probe, exact re-rank on candidates (operators/similarity.py:ivf_topk)",
+    oracle=f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        ),
+        cent AS MATERIALIZED (
+            SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < 16
+        ),
+        assign AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT v.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_cosine_similarity(v.vec, c.cvec) DESC, c.cid
+                       ) AS rn
+                FROM v CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec AS qvec FROM v WHERE vec_id = {_ANN_QUERY_ID}),
+        probes AS (
+            SELECT cid FROM cent, q
+            ORDER BY list_cosine_similarity(cvec, qvec) DESC, cid
+            LIMIT 4
+        )
+        SELECT v.vec_id,
+               round(list_cosine_similarity(v.vec, q.qvec), 6) AS cosine
+        FROM v
+        JOIN assign a ON v.vec_id = a.vec_id
+        JOIN probes p ON a.cid = p.cid, q
+        WHERE v.vec_id <> {_ANN_QUERY_ID}
+        ORDER BY cosine DESC, v.vec_id
+        LIMIT {_ANN_K}
+    """,
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_algorithms_with_pyspark_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_id=_ANN_QUERY_ID, k=_ANN_K, n_lists=16, n_probe=4)

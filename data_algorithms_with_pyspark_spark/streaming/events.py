@@ -94,3 +94,35 @@ def run_to_memory_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user event count and value total, updated batch-by-batch.
+
+    The state store holds one (count, total) pair per user — O(users)
+    state, no window buffering. Streaming twin of
+    plans/events.py:events_user_running_totals' final per-user totals.
+    Arrow-batched (pandas) on the Python side: the per-group update is a
+    vectorized sum, never row-at-a-time.
+    """
+    import pandas as pd  # local import: worker-side dependency
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -75,3 +75,37 @@ def test_streaming_incremental_triggers(spark, events_dir):
     total = spark.sql("SELECT count FROM inc_out").first()[0]
     assert total == 1000  # sf0.001 events rows
     assert n_files >= 1
+
+
+def test_streaming_stateful_running_totals(spark, events_dir):
+    from data_algorithms_with_pyspark_spark.streaming.events import (
+        streaming_user_running_totals,
+    )
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    run_to_memory_sink(
+        streaming_user_running_totals(stream), "stateful_totals", "update"
+    )
+    # final state per user (last update wins) must equal the batch totals
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            "SELECT user_id, n_events, total_value FROM stateful_totals"
+        ).collect()
+    }  # update-mode memory sink: one row per user per batch; last overwrite
+    from data_algorithms_with_pyspark_spark.sources.readers import load_table
+
+    batch = {
+        r.user_id: (r.n, r.t)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("t"),
+        )
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for uid, (n, t) in batch.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - t) < 0.05
