@@ -122,6 +122,7 @@ def events_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "clicks_last_purchase_asof",
+    bench=True,
     tags=("events", "asof-join"),
     description="As-of join: each click paired with the user's most recent "
     "prior-or-same-instant purchase (operators/asof.py; one keyed sort-merge "
@@ -157,4 +158,43 @@ def clicks_last_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return asof_join(
         clicks, purchases, on="user_id", left_ts="ts", right_ts="purchase_ts"
+    )
+
+
+@register(
+    "events_inter_arrival_stats",
+    tags=("events", "window", "lag"),
+    description="Per-type avg/max gap between a user's consecutive events (lag)",
+    oracle="""
+        WITH gaps AS (
+            SELECT event_type,
+                   date_diff('second',
+                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                             ts) AS gap_s
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(gap_s) AS BIGINT) AS n_gaps,
+               round(avg(gap_s), 2) AS avg_gap_s,
+               CAST(max(gap_s) AS BIGINT) AS max_gap_s
+        FROM gaps WHERE gap_s IS NOT NULL
+        GROUP BY event_type
+    """,
+)
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).alias("gap_s")
+    return (
+        events.select("event_type", gap)
+        .where(F.col("gap_s").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
     )

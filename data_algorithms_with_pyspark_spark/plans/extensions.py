@@ -347,6 +347,7 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ivf_ann_topk",
+    bench=True,
     tags=("similarity", "ann"),
     description=f"IVF approximate top-{_ANN_K}: nearest-centroid inverted lists, "
     "4-of-16 probe, exact re-rank on candidates (operators/similarity.py:ivf_topk)",

@@ -172,6 +172,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q9_nation_profit",
+    bench=True,
     tags=("relational", "join"),
     description="TPC-H Q9 shape: widget-part revenue by supplier nation and year",
     oracle=f"""
@@ -511,4 +512,55 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("numcust"),
             cents_sum(F.col("c_acctbal")).alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "lineitem_cube",
+    tags=("relational", "cube"),
+    description="CUBE over (returnflag, linestatus): all grouping-set rollups",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "nation_customer_supplier_setops",
+    tags=("relational", "set-ops"),
+    description="INTERSECT / EXCEPT over customer vs supplier nation keys",
+    oracle="""
+        SELECT 'both' AS tag, n_key FROM (
+            SELECT DISTINCT c_nationkey AS n_key FROM customer
+            INTERSECT
+            SELECT DISTINCT s_nationkey FROM supplier
+        )
+        UNION ALL
+        SELECT 'customers_only' AS tag, n_key FROM (
+            SELECT DISTINCT c_nationkey AS n_key FROM customer
+            EXCEPT
+            SELECT DISTINCT s_nationkey FROM supplier
+        )
+    """,
+)
+def nation_customer_supplier_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.select(F.col("c_nationkey").alias("n_key")).distinct()
+    s = supplier.select(F.col("s_nationkey").alias("n_key")).distinct()
+    return c.intersect(s).select(F.lit("both").alias("tag"), "n_key").unionByName(
+        c.exceptAll(s).select(F.lit("customers_only").alias("tag"), "n_key")
     )
