@@ -119,3 +119,45 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", F.md5(normalize_text(text_col)).alias("fingerprint")
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1)) + 1).
+
+    explode -> two hash aggregates (tf per (doc, term), df per term) -> a
+    broadcast of the tiny (term, df) side back onto tf -> per-doc top-k via
+    window row_number. All built-in expressions; the only wide exchanges are
+    keyed on (doc_id, term) and term — both naturally high-cardinality, so
+    no skew hot-spot at scale.
+    """
+    from pyspark.sql import Window
+
+    tokens = docs.select(
+        F.col(id_col), F.explode(words(text_col)).alias("term")
+    )
+    tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = tokens.groupBy("term").agg(
+        F.count_distinct(id_col).alias("df")
+    )
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = (
+        tf.join(F.broadcast(df_), on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(id_col, "term", "tf", "tfidf", F.col("rn").cast("long").alias("rn"))
+    )

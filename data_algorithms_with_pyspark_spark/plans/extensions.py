@@ -389,3 +389,37 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, query_id=_ANN_QUERY_ID, k=_ANN_K, n_lists=16, n_probe=4)
+
+
+@register(
+    "doc_tfidf_top_terms",
+    tags=("text",),
+    description="Top-5 TF-IDF terms per document (smoothed idf; "
+    "operators/text.py:tfidf_top_terms)",
+    oracle=f"""
+        WITH tokens AS MATERIALIZED (
+            SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM tokens GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   round(tf.tf * (ln((nd.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+                       AS tfidf
+            FROM tf JOIN df ON tf.term = df.term, nd
+        )
+        SELECT doc_id, term, tf, tfidf, rn FROM (
+            SELECT *, CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, term
+                   ) AS BIGINT) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_algorithms_with_pyspark_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=5)
