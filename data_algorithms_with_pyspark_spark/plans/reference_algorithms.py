@@ -380,3 +380,36 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranks = pagerank(derived_edges(spark, sf_dir), iterations=10, damping=0.85)
     return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "sql_nation_supplier_analytics",
+    tags=("relational", "sql-entrypoint"),
+    description="Entry-point C parity (SURVEY §3.3): SQL string over "
+    "registered temp views, the csv_json_operations.py:198-202 pattern",
+    oracle="""
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               round(CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                     / 100.0 / count(*), 2) AS avg_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+)
+def sql_nation_supplier_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deliberately exercises the engine's third entry-point shape: DataFrames
+    # registered as temp views, computation declared as a SQL string; the
+    # Catalyst pipeline (parse -> analyze -> optimize -> execute) is
+    # identical to the DataFrame form.
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    # 100.0D: Spark SQL parses a bare `100.0` literal as DECIMAL (unlike the
+    # DataFrame API's double lit), which would decimal-type the whole ratio.
+    return spark.sql("""
+        SELECT n_name,
+               count(*) AS n_suppliers,
+               round(CAST(sum(floor(s_acctbal * 100 + 0.5D)) AS DOUBLE) / 100.0D
+                     / count(*), 2) AS avg_acctbal
+        FROM supplier_v JOIN nation_v ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """)
