@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "data_algorithms_with_pyspark_spark.plans.reference_algorithms",
     "data_algorithms_with_pyspark_spark.plans.events",
     "data_algorithms_with_pyspark_spark.plans.extensions",
+    "data_algorithms_with_pyspark_spark.plans.stats",
 )
 
 _REGISTRY: dict[str, "CatalogQuery"] = {}

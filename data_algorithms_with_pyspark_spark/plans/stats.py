@@ -1,0 +1,235 @@
+"""Statistical / advanced-aggregation query set.
+
+Extends the engine's aggregate surface beyond the reference's
+count/avg/max (SURVEY.md §2.5, which notes distinct-count, grouping sets,
+and window aggregates are absent from the reference): two-level
+aggregation over a left join (TPC-H Q13 shape), GROUPING SETS with
+grouping flags, exact interpolated percentiles, correlation/variance,
+argmax-per-group via struct max, HyperLogLog distinct sketches, and a
+bucketed range join (operators/ranges.py) binning a fact column into
+intervals.
+
+Determinism: percentiles/corr are rounded on both sides; struct-max uses
+a total order (ts, event_id unique tiebreak); the HLL sketch has no SQL
+oracle (rows-only check) — tests/test_operators.py bounds its error
+against the exact distinct count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_algorithms_with_pyspark_spark.operators.ranges import bucketed_range_join
+from data_algorithms_with_pyspark_spark.plans.catalog import register
+from data_algorithms_with_pyspark_spark.sources.readers import load_table
+
+
+@register(
+    "q13_customer_distribution",
+    tags=("relational", "join", "aggregate"),
+    description="TPC-H Q13: order-count distribution over a filtered left join",
+    oracle="""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregation: per-customer order counts (left join keeps
+    zero-order customers), then the histogram of those counts. The first
+    groupBy shuffles on c_custkey — the join's own key, so AQE reuses the
+    exchange; the second groupBy is over at most ~hundreds of distinct
+    counts and collapses map-side."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_customer = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_customer.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "lineitem_grouping_sets",
+    tags=("relational", "aggregate"),
+    description="GROUPING SETS ((flag,status),(flag),()) with grouping flags",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT)  AS g_returnflag,
+               CAST(GROUPING(l_linestatus) AS BIGINT)  AS g_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_items
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping-set aggregation (subsumes rollup here); per-column
+    GROUPING() flags disambiguate 'NULL because aggregated' from data
+    NULLs, emitted identically by Spark and DuckDB."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_returnflag"),
+            F.grouping("l_linestatus").cast("long").alias("g_linestatus"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "event_value_percentiles",
+    tags=("events", "aggregate", "stats"),
+    description="Exact interpolated p25/p50/p75 of event value per type",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 4) AS p25,
+               round(quantile_cont(value, 0.50), 4) AS p50,
+               round(quantile_cont(value, 0.75), 4) AS p75
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation at p*(n-1) — the same
+    definition as DuckDB quantile_cont). Exact percentile is a full-sort
+    aggregate per group; at 100 TB prefer approx_percentile (t-digest) —
+    exposed by the sketch queries below."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@register(
+    "lineitem_price_quantity_stats",
+    tags=("relational", "aggregate", "stats"),
+    description="corr / stddev / variance of quantity & price per returnflag",
+    oracle="""
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 4)   AS qty_price_corr,
+               round(stddev_samp(l_quantity), 4)             AS qty_stddev,
+               round(var_samp(l_quantity), 4)                AS qty_var,
+               round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def lineitem_price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates — single-pass, map-side partial (Spark's
+    Welford-style merge), no extra shuffle beyond the groupBy."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+    )
+
+
+@register(
+    "latest_event_per_user",
+    tags=("events", "aggregate"),
+    description="Argmax per group: each user's latest event via struct max",
+    oracle="""
+        SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+               event_type AS last_event_type
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max(struct(ts, event_id, ...)) is the scale-preferred argmax: a
+    regular hash aggregate with map-side partials, vs the window-function
+    form which sorts every group. event_id makes the order total, so the
+    result is deterministic under any partitioning."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("last"))
+        .select(
+            "user_id",
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.event_id").alias("last_event_id"),
+            F.col("last.event_type").alias("last_event_type"),
+        )
+    )
+
+
+@register(
+    "approx_distinct_users_hll",
+    oracle=None,  # HyperLogLog estimate: engine-specific -> rows-only check;
+    # tests/test_operators.py asserts <5% error vs the exact count.
+    tags=("events", "sketch"),
+    description="HyperLogLog approx distinct users per event type",
+)
+def approx_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for COUNT(DISTINCT): a fixed-size HLL sketch per
+    group merges map-side, vs exact distinct which shuffles every
+    (group, user) pair."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@register(
+    "part_price_band_range_join",
+    tags=("relational", "join", "range-join"),
+    description="Bucketed range join binning part prices into [lo,hi) bands",
+    oracle="""
+        SELECT band, count(*) AS n_parts,
+               round(avg(p_retailprice), 4) AS avg_price
+        FROM part
+        JOIN (
+            SELECT i * 10.0 AS lo, (i + 1) * 10.0 AS hi,
+                   'band_' || CAST(i AS VARCHAR) AS band
+            FROM range(90, 100) t(i)
+        ) bands
+          ON p_retailprice >= lo AND p_retailprice < hi
+        GROUP BY band
+    """,
+)
+def part_price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via operators/ranges.bucketed_range_join — an equi-join
+    on quantized buckets instead of the O(n*m) cross-join+filter, so it
+    scales like any hash join. Bands here are tiny (broadcast), but the
+    operator works for large range tables too."""
+    part = load_table(spark, sf_dir, "part")
+    bands = (
+        spark.range(90, 100)
+        .select(
+            (F.col("id") * 10.0).alias("lo"),
+            ((F.col("id") + 1) * 10.0).alias("hi"),
+            F.concat(F.lit("band_"), F.col("id").cast("string")).alias("band"),
+        )
+    )
+    joined = bucketed_range_join(part, bands, "p_retailprice", "lo", "hi", 10.0)
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+    )

@@ -1,0 +1,85 @@
+"""Unit tests for the bucketed range join and the HLL sketch's error bound
+(hand-built known answers, the reference's test style)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_algorithms_with_pyspark_spark.operators.ranges import bucketed_range_join
+from data_algorithms_with_pyspark_spark.sources.readers import load_table
+from tests.conftest import SF_CORRECTNESS
+
+
+def _points(spark):
+    return spark.createDataFrame(
+        [(1, 0.5), (2, 10.0), (3, 15.0), (4, 25.0), (5, 99.0)], ["pid", "x"]
+    )
+
+
+def _ranges(spark):
+    return spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 20.0), ("c", 12.0, 30.0)],
+        ["name", "lo", "hi"],
+    )
+
+
+def test_range_join_inner_known_answer(spark):
+    out = bucketed_range_join(
+        _points(spark), _ranges(spark), "x", "lo", "hi", 5.0
+    )
+    got = sorted((r["pid"], r["name"]) for r in out.collect())
+    # x=0.5->a; x=10 is excluded from a (half-open) but in b; 15->b and c;
+    # 25->c only; 99 matches nothing.
+    assert got == [(1, "a"), (2, "b"), (3, "b"), (3, "c"), (4, "c")]
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    out = bucketed_range_join(
+        _points(spark), _ranges(spark), "x", "lo", "hi", 5.0, how="left"
+    )
+    rows = {(r["pid"], r["name"]) for r in out.collect()}
+    assert (5, None) in rows
+    assert out.count() == 6  # 5 matches + 1 unmatched
+
+
+def test_range_join_wide_buckets_still_exact(spark):
+    # bucket_width much larger than intervals: candidates inflate but the
+    # exact predicate keeps the result identical.
+    narrow = bucketed_range_join(
+        _points(spark), _ranges(spark), "x", "lo", "hi", 5.0
+    )
+    wide = bucketed_range_join(
+        _points(spark), _ranges(spark), "x", "lo", "hi", 1000.0
+    )
+    assert sorted(map(tuple, narrow.collect())) == sorted(map(tuple, wide.collect()))
+
+
+def test_range_join_validations(spark):
+    with pytest.raises(ValueError, match="bucket_width"):
+        bucketed_range_join(_points(spark), _ranges(spark), "x", "lo", "hi", 0)
+    with pytest.raises(ValueError, match="disjoint"):
+        bucketed_range_join(
+            _points(spark),
+            _ranges(spark).withColumnRenamed("name", "x"),
+            "x", "lo", "hi", 1.0,
+        )
+
+
+def test_hll_error_within_bound(spark):
+    events = load_table(spark, SF_CORRECTNESS, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
