@@ -20,7 +20,9 @@ __all__ = [
     "LANG_MARKERS",
     "token_counts",
     "quality_scores",
+    "quality_score_expr",
     "language_id",
+    "pred_lang_expr",
     "fingerprint",
 ]
 
@@ -49,6 +51,24 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(words(text_col)).cast("long").alias("n_tokens"),
         subword_count(text_col).alias("n_subword_tokens"),
     )
+
+
+def quality_score_expr(text_col: str = "text") -> Column:
+    """The combined quality score as a single column expression (rounded 4),
+    for single-pass pipelines that don't need the feature breakdown."""
+    tokens = words(text_col)
+    n_tokens = F.size(tokens).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_alpha = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]"), 0))
+    stop_hits = _marker_hits(tokens, LANG_MARKERS["en"])
+    safe_tokens = F.greatest(n_tokens, F.lit(1).cast("long"))
+    safe_chars = F.greatest(n_chars, F.lit(1).cast("long"))
+    score = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (stop_hits.cast("double") / safe_tokens) * 0.3
+        + (n_alpha.cast("double") / safe_chars) * 0.3
+    )
+    return F.round(score, 4)
 
 
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -83,6 +103,22 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(alpha_ratio, 4).alias("alpha_ratio"),
         F.round(score, 4).alias("quality_score"),
     )
+
+
+def pred_lang_expr(text_col: str = "text") -> Column:
+    """Predicted-language code as a single column expression (same vote +
+    tie-break as ``language_id``), for single-pass pipelines."""
+    tokens = words(text_col)
+    scores = {
+        lang: _marker_hits(tokens, markers) for lang, markers in LANG_MARKERS.items()
+    }
+    order = sorted(scores)
+    best = F.greatest(*[scores[lang] for lang in order])
+    expr = None
+    for lang in order:
+        cond = scores[lang] == best
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return F.when(best > 0, expr.otherwise(F.lit("und"))).otherwise(F.lit("und"))
 
 
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "data_algorithms_with_pyspark_spark.plans.events",
     "data_algorithms_with_pyspark_spark.plans.extensions",
     "data_algorithms_with_pyspark_spark.plans.stats",
+    "data_algorithms_with_pyspark_spark.plans.pipelines",
 )
 
 _REGISTRY: dict[str, "CatalogQuery"] = {}

@@ -1,0 +1,231 @@
+"""End-to-end training-data pipeline queries (north-star composites).
+
+Where plans/extensions.py exposes each LLM-data operator individually,
+these queries chain them the way a real corpus-preparation job would:
+
+``corpus_curation_pipeline``
+    language-ID -> quality filter -> exact dedup, in a single pass over
+    ``documents`` (one projection computes every feature; dedup adds one
+    hash-aggregate + semi join). Fully oracle-checked — the DuckDB SQL is
+    built from the same marker/threshold constants.
+
+``near_dup_clusters``
+    the three-stage near-dup story: MinHash+LSH candidate generation
+    (band equi-join, no all-pairs) -> exact n-gram-Jaccard verification
+    on candidates only -> connected components over verified pairs ->
+    per-document cluster id. Seeded-hash based, so rows-only at the
+    driver; tests/test_pipelines.py checks planted duplicates cluster.
+
+``corpus_token_stats``
+    per-source corpus statistics (doc counts, token sums, exact token
+    percentiles) — the reporting pass a curation job ends with.
+
+``documents_hash_sample``
+    deterministic md5-bucket sampling (operators/sampling.py): the same
+    1/8 of the corpus on every run, any partitioning — shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_algorithms_with_pyspark_spark.functions.text_functions import (
+    normalize_text,
+    words,
+)
+from data_algorithms_with_pyspark_spark.operators.dedup import (
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from data_algorithms_with_pyspark_spark.operators.iterative import (
+    connected_components,
+)
+from data_algorithms_with_pyspark_spark.operators.sampling import hash_sample
+from data_algorithms_with_pyspark_spark.operators.text import (
+    LANG_MARKERS,
+    pred_lang_expr,
+    quality_score_expr,
+)
+from data_algorithms_with_pyspark_spark.plans.catalog import register
+from data_algorithms_with_pyspark_spark.sources.readers import load_table
+
+# Shared fragments — identical to plans/extensions.py so Spark and oracle
+# cannot drift.
+_TOKENS = (
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> len(w) > 0)"
+)
+_NORMALIZED = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_QUALITY_THRESHOLD = 0.45
+_CURATION_LANG = "en"
+_NEAR_DUP_JACCARD = 0.2
+_SAMPLE_SIXTEENTHS = 2  # 2/16 = 1/8 of the corpus
+
+
+def _marker_sql(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_TOKENS}, t -> list_contains([{lst}], t)))"
+
+
+def _quality_score_sql() -> str:
+    stop = _marker_sql(LANG_MARKERS["en"])
+    return f"""least(CAST(len({_TOKENS}) AS DOUBLE) / 100.0, 1.0) * 0.4
+             + (CAST({stop} AS DOUBLE) / greatest(len({_TOKENS}), 1)) * 0.3
+             + (CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
+                / greatest(len(text), 1)) * 0.3"""
+
+
+def _pred_lang_case_sql() -> str:
+    """CASE expression over score_<lang> columns (requires a scored CTE)."""
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs)
+    return f"CASE WHEN {best} <= 0 THEN 'und' {case} ELSE 'und' END"
+
+
+def _lang_scores_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    return ", ".join(
+        f"{_marker_sql(LANG_MARKERS[lang])} AS score_{lang}" for lang in langs
+    )
+
+
+@register(
+    "corpus_curation_pipeline",
+    bench=True,
+    tags=("pipeline", "text", "dedup"),
+    description=f"Curation: lang='{_CURATION_LANG}' + quality>={_QUALITY_THRESHOLD} "
+    "+ exact dedup (keep min doc_id), one pass + one hash-agg",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, source, text, {_lang_scores_sql()}
+            FROM documents
+        ),
+        featured AS (
+            SELECT doc_id, source,
+                   {_pred_lang_case_sql()} AS pred_lang,
+                   round({_quality_score_sql()}, 4) AS quality_score,
+                   len({_TOKENS}) AS n_tokens,
+                   md5({_NORMALIZED}) AS content_hash
+            FROM scored
+        ),
+        kept AS (
+            SELECT * FROM featured
+            WHERE pred_lang = '{_CURATION_LANG}'
+              AND quality_score >= {_QUALITY_THRESHOLD}
+        ),
+        canon AS (
+            SELECT content_hash, min(doc_id) AS keep_id
+            FROM kept GROUP BY content_hash
+        )
+        SELECT k.doc_id, k.source, k.pred_lang, k.quality_score, k.n_tokens
+        FROM kept k JOIN canon c
+          ON k.content_hash = c.content_hash AND k.doc_id = c.keep_id
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-projection feature pass (language vote + quality score +
+    content hash are all Catalyst expressions over one scan), then one
+    hash-aggregate on content_hash and a self semi-join to keep the
+    canonical (min-id) row per duplicate group. Two shuffles total, both
+    on the dedup key — the layout a 100 TB curation job wants."""
+    docs = load_table(spark, sf_dir, "documents")
+    featured = docs.select(
+        "doc_id",
+        "source",
+        pred_lang_expr("text").alias("pred_lang"),
+        quality_score_expr("text").alias("quality_score"),
+        F.size(words("text")).cast("long").alias("n_tokens"),
+        F.md5(normalize_text("text")).alias("content_hash"),
+    )
+    kept = featured.where(
+        (F.col("pred_lang") == _CURATION_LANG)
+        & (F.col("quality_score") >= _QUALITY_THRESHOLD)
+    )
+    canon = kept.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    return kept.join(canon, ["content_hash", "doc_id"], "left_semi").select(
+        "doc_id", "source", "pred_lang", "quality_score", "n_tokens"
+    )
+
+
+@register(
+    "near_dup_clusters",
+    tags=("pipeline", "dedup", "lsh"),
+    description="LSH candidates -> exact-Jaccard verify -> connected "
+    "components -> cluster id per near-duplicate document (seeded hashes "
+    "-> rows-only check; planted-dup test in tests/test_pipelines.py)",
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-correct near-dup shape: the quadratic all-pairs step never
+    runs — LSH banding proposes candidates via equi-join, exact Jaccard
+    verifies only those, and min-label propagation (O(diameter) rounds)
+    turns verified pairs into clusters. Returns (doc_id, cluster_id,
+    cluster_size) for documents in clusters of size >= 2."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_perm=64, shingle_n=3)
+    candidates = minhash_candidate_pairs(sigs, bands=16, min_jaccard=0.1)
+    verified = ngram_jaccard_pairs(
+        docs, _NEAR_DUP_JACCARD, shingle_n=3, candidates=candidates
+    )
+    edges = verified.select(
+        F.col("id_1").alias("src"), F.col("id_2").alias("dst")
+    )
+    clusters = connected_components(edges).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return clusters.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
+@register(
+    "corpus_token_stats",
+    tags=("pipeline", "text", "stats"),
+    description="Per-source corpus report: docs, token sum, exact p50/p90 tokens",
+    oracle=f"""
+        WITH t AS (SELECT source, len({_TOKENS}) AS n_tokens FROM documents)
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(quantile_cont(n_tokens, 0.5), 2) AS p50_tokens,
+               round(quantile_cont(n_tokens, 0.9), 2) AS p90_tokens
+        FROM t GROUP BY source
+    """,
+)
+def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(words("text")).cast("long")
+    return (
+        docs.select("source", n_tokens.alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.percentile("n_tokens", F.lit(0.5)), 2).alias("p50_tokens"),
+            F.round(F.percentile("n_tokens", F.lit(0.9)), 2).alias("p90_tokens"),
+        )
+    )
+
+
+@register(
+    "documents_hash_sample",
+    tags=("pipeline", "sampling"),
+    description=f"Deterministic md5-bucket {_SAMPLE_SIXTEENTHS}/16 corpus sample "
+    "(same rows every run, no shuffle)",
+    oracle=f"""
+        SELECT doc_id, source, n_chars
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+              IN ({", ".join(f"'{c}'" for c in "0123456789abcdef"[:_SAMPLE_SIXTEENTHS])})
+    """,
+)
+def documents_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", _SAMPLE_SIXTEENTHS).select(
+        "doc_id", "source", "n_chars"
+    )

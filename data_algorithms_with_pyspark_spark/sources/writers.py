@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_parquet", "write_csv", "write_json"]
+__all__ = ["write_parquet", "write_csv", "write_json", "write_bucketed_table"]
 
 
 def _prepare(
@@ -78,3 +78,29 @@ def write_json(
 ) -> None:
     out = _prepare(df, None, False, single_file)
     out.write.mode(mode).json(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int,
+    sort_cols: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Persist as a bucketed (and optionally sort-ordered) catalog table.
+
+    Bucketing is the pay-once-shuffle-never-again layout for the 100 TB
+    design point: two tables bucketed on the same key with the same bucket
+    count join with NO exchange on either side (and no sort, if sorted) —
+    the shuffle happened at write time. The reference stops at hive-style
+    ``partitionBy`` (physical_partitioning.py:60-84); bucketing is the
+    co-location story it never reaches.
+    """
+    writer = df.write.mode(mode).format(format).bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

@@ -29,6 +29,8 @@ __all__ = [
     "read_events_stream",
     "streaming_hourly_windows",
     "streaming_session_windows",
+    "streaming_dedup_within_watermark",
+    "streaming_click_purchase_join",
     "run_to_memory_sink",
 ]
 
@@ -78,6 +80,57 @@ def streaming_session_windows(
             "user_id",
             "n_events",
         )
+    )
+
+
+def streaming_dedup_within_watermark(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """At-least-once -> exactly-once repair: drop event_id duplicates that
+    arrive within the watermark horizon. State holds one entry per id seen
+    inside the horizon and is evicted as the watermark advances — bounded
+    state, unlike a global ``dropDuplicates`` whose state grows forever."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def streaming_click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same user's
+    clicks in the preceding ``horizon``. Both sides are watermarked and the
+    join carries an event-time range condition, so each side's buffered
+    state is bounded to watermark + horizon (Spark evicts older rows).
+    Streaming twin of the as-of/window join in plans/events.py:
+    clicks_last_purchase_asof.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(p, cond, "inner").select(
+        F.col("p_user_id").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        "purchase_value",
     )
 
 

@@ -1,0 +1,66 @@
+"""Bucketed-table co-located operations: the write-time shuffle must buy a
+join (and a groupBy on the bucket key) with no runtime shuffle Exchange."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_algorithms_with_pyspark_spark.sources.readers import load_table
+from data_algorithms_with_pyspark_spark.sources.writers import write_bucketed_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force shuffle-based join strategies so the test observes whether the
+    bucketed layout eliminates the shuffle (tiny sf0.001 tables would
+    otherwise auto-broadcast)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _executed_plan(df) -> str:
+    df.collect()  # finalize AQE so the final physical plan is reported
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_shuffle(spark, no_broadcast):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    write_bucketed_table(
+        orders, "b_orders", ("o_orderkey",), 4, sort_cols=("o_orderkey",)
+    )
+    write_bucketed_table(
+        lineitem, "b_lineitem", ("l_orderkey",), 4, sort_cols=("l_orderkey",)
+    )
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _executed_plan(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+        # identical layout on both sides also elides the shuffle in the
+        # unbucketed comparison? No: plain parquet must shuffle.
+        plain = lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        plain_plan = _executed_plan(plain)
+        assert "Exchange hashpartitioning" in plain_plan, plain_plan
+        assert joined.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_groupby_on_bucket_key_has_no_shuffle(spark, no_broadcast):
+    customer = load_table(spark, SF_SMOKE, "customer")
+    write_bucketed_table(customer, "b_customer", ("c_custkey",), 8)
+    try:
+        agg = spark.table("b_customer").groupBy("c_custkey").count()
+        plan = _executed_plan(agg)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert agg.count() == customer.select("c_custkey").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_customer")

@@ -1,0 +1,77 @@
+"""End-to-end pipeline tests: planted near-duplicates must cluster, the
+curation pass must keep exactly the filtered+deduped set, sampling must be
+deterministic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_algorithms_with_pyspark_spark.operators.dedup import (
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from data_algorithms_with_pyspark_spark.operators.iterative import (
+    connected_components,
+)
+from data_algorithms_with_pyspark_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+)
+
+
+def _docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest to find food and water every day"
+    )
+    near = base.replace("lazy", "sleepy")  # one-word edit: near-dup of base
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, near),  # near dup of 1/2
+        (4, "completely different text about spark query engines and "
+            "distributed columnar execution at massive scale for analytics"),
+        (5, "yet another unrelated document mentioning neither foxes nor "
+            "dogs but only numbers one two three four five six seven"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_near_dup_pipeline_clusters_planted_dups(spark):
+    docs = _docs(spark)
+    sigs = minhash_signatures(docs, num_perm=64, shingle_n=3)
+    cands = minhash_candidate_pairs(sigs, bands=16, min_jaccard=0.1)
+    verified = ngram_jaccard_pairs(docs, 0.2, shingle_n=3, candidates=cands)
+    edges = verified.select(
+        F.col("id_1").alias("src"), F.col("id_2").alias("dst")
+    )
+    comp = {
+        r["id"]: r["component"] for r in connected_components(edges).collect()
+    }
+    # 1, 2, 3 must share one cluster; 4 and 5 must not appear in any pair.
+    assert comp.get(1) == comp.get(2) == comp.get(3)
+    assert 4 not in comp and 5 not in comp
+
+
+def test_hash_sample_deterministic_and_consistent(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    s1 = sorted(r["k"] for r in hash_sample(df, "k", 4).collect())
+    s2 = sorted(
+        r["k"] for r in hash_sample(df.repartition(7), "k", 4).collect()
+    )
+    assert s1 == s2  # partition-layout independent
+    assert 0.15 < len(s1) / 1000 < 0.35  # ~4/16 = 25%
+    # monotone: a wider rate strictly contains a narrower one
+    s8 = set(r["k"] for r in hash_sample(df, "k", 8).collect())
+    assert set(s1) <= s8
+
+
+def test_stratified_sample_respects_fractions(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(2000)], ["id", "s"]
+    )
+    out = stratified_sample(df, "s", {"a": 0.1, "b": 0.5}, seed=7)
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert 50 <= counts.get("a", 0) <= 160
+    assert 380 <= counts.get("b", 0) <= 620

@@ -77,6 +77,67 @@ def test_streaming_incremental_triggers(spark, events_dir):
     assert n_files >= 1
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from data_algorithms_with_pyspark_spark.session import get_spark
+    from data_algorithms_with_pyspark_spark.sources.readers import load_table
+    from data_algorithms_with_pyspark_spark.streaming.events import (
+        streaming_dedup_within_watermark,
+    )
+
+    # Plant duplicates: the same 1000 events written twice (two files).
+    src = str(tmp_path / "dup_events")
+    base = load_table(spark, SF_SMOKE, "events")
+    base.write.parquet(src)
+    base.write.mode("append").parquet(src)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    deduped = streaming_dedup_within_watermark(stream, watermark="10 days")
+    run_to_memory_sink(deduped, "dedup_out", output_mode="append")
+    assert spark.sql("SELECT count(*) AS n FROM dedup_out").first()["n"] == 1000
+    assert (
+        spark.sql("SELECT count(DISTINCT event_id) AS n FROM dedup_out").first()["n"]
+        == 1000
+    )
+
+
+def test_streaming_click_purchase_join_matches_batch(spark, events_dir):
+    from data_algorithms_with_pyspark_spark.sources.readers import load_table
+    from data_algorithms_with_pyspark_spark.streaming.events import (
+        streaming_click_purchase_join,
+    )
+
+    clicks = read_events_stream(spark, events_dir).where(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, events_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = streaming_click_purchase_join(
+        clicks, purchases, horizon="1 hour", watermark="10 days"
+    )
+    run_to_memory_sink(joined, "ss_join_out", output_mode="append")
+    streamed = spark.sql("SELECT purchase_id, click_id FROM ss_join_out")
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = c.join(
+        p,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 hour")),
+    ).select("purchase_id", "click_id")
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
 def test_streaming_stateful_running_totals(spark, events_dir):
     from data_algorithms_with_pyspark_spark.streaming.events import (
         streaming_user_running_totals,
