@@ -39,6 +39,7 @@ from data_algorithms_with_pyspark_spark.functions.vectors import (
 
 __all__ = [
     "exact_dedup_groups",
+    "spread_partitions",
     "exact_deduplicate",
     "word_shingles",
     "minhash_signatures",
@@ -87,7 +88,7 @@ def exact_deduplicate(
 _MERSENNE_PRIME_31 = (1 << 31) - 1
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def spread_partitions(df: DataFrame) -> DataFrame:
     """Ensure at least default-parallelism partitions before a CPU-heavy map.
 
     A small parquet source arrives as a handful of scan partitions (often 1),
@@ -149,7 +150,7 @@ def minhash_signatures(
     # map-side, so the shuffle carries one num_perm-wide row per doc per
     # partition). ~5x faster than nested higher-order array expressions,
     # which execute interpreted per element.
-    exploded = _spread(docs.select(id_col, text_col)).select(
+    exploded = spread_partitions(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(word_shingles(text_col, shingle_n)).alias("_sh"),
     ).select(
@@ -255,7 +256,7 @@ def simhash(
     Per bit b: sum over tokens of ±1 depending on bit b of xxhash64(token);
     bit set iff the sum is positive. Pure array expressions, one pass.
     """
-    with_hashes = _spread(docs.select(id_col, text_col)).select(
+    with_hashes = spread_partitions(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.transform(words(text_col), lambda t: F.xxhash64(t)).alias("_th"),
     )
@@ -331,7 +332,7 @@ def ngram_jaccard_pairs(
     pass ``minhash_candidate_pairs`` output as ``candidates`` so only LSH
     survivors are verified.
     """
-    sh = _spread(docs.select(id_col, text_col)).select(
+    sh = spread_partitions(docs.select(id_col, text_col)).select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
     )
     left = sh.select(F.col(id_col).alias("id_1"), F.col("shingles").alias("sh_1"))

@@ -1,0 +1,111 @@
+"""Batch merge (upsert / change-data-capture) operators.
+
+The reference's sink surface stops at whole-table overwrite/append
+(csv_json_operations.py:96 in /root/reference); real pipelines reconcile a
+target table with a batch of changes. Spark has no MERGE INTO on plain
+parquet, but the relational decomposition is two operators:
+
+``upsert``            — SCD type 1: changed rows replace, new rows append.
+``apply_cdc``         — upsert + delete handling from a change-log batch
+                        (op column: I/U/D), latest change per key wins.
+``scd2_apply``        — SCD type 2: close the current version row
+                        (valid_to = change ts) and append the new version,
+                        preserving history.
+
+Scale shape: every operator is one left-anti (or outer) equi-join on the
+merge key plus a union — exactly the plan MERGE INTO lowers to. The join
+shuffles both sides by key once; AQE handles skewed keys. Nothing is
+collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["upsert", "apply_cdc", "scd2_apply", "latest_change_per_key"]
+
+
+def latest_change_per_key(
+    changes: DataFrame, keys: list[str], order_col: str
+) -> DataFrame:
+    """One row per key: the change with the greatest ``order_col`` (ties
+    broken by the remaining columns' values via struct ordering —
+    deterministic as long as (key, order_col) is unique, the CDC norm)."""
+    value_cols = [c for c in changes.columns if c not in keys]
+    ordered = [order_col] + [c for c in value_cols if c != order_col]
+    packed = changes.groupBy(*keys).agg(
+        F.max(F.struct(*ordered)).alias("_latest")
+    )
+    return packed.select(
+        *keys, *[F.col(f"_latest.{c}").alias(c) for c in value_cols]
+    ).select(*changes.columns)
+
+
+def upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """SCD-1 merge: rows of ``source`` replace same-key rows of ``target``;
+    unmatched source rows append. Schemas must match."""
+    if set(target.columns) != set(source.columns):
+        raise ValueError(
+            f"schema mismatch: target={sorted(target.columns)} "
+            f"source={sorted(source.columns)}"
+        )
+    untouched = target.join(source.select(*keys), on=keys, how="left_anti")
+    return untouched.unionByName(source)
+
+
+def apply_cdc(
+    target: DataFrame,
+    changelog: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Apply an I/U/D change-log batch: per key, the latest change wins
+    (``order_col``, e.g. a change timestamp); D drops the key, I/U upsert
+    the row. The changelog carries the full row image plus ``op_col``."""
+    if order_col is not None:
+        changelog = latest_change_per_key(changelog, keys, order_col)
+    upserts = changelog.where(F.col(op_col) != "D").select(*target.columns)
+    kept = target.join(
+        changelog.select(*keys), on=keys, how="left_anti"
+    )
+    return kept.unionByName(upserts)
+
+
+def scd2_apply(
+    current: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    change_ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """SCD-2 history merge.
+
+    ``current`` holds versioned rows: business columns + ``valid_from`` +
+    ``valid_to`` (null = open version). ``changes`` holds new attribute
+    values keyed by ``keys`` with their change timestamp ``change_ts_col``
+    (at most one change per key per batch — pre-reduce with
+    ``latest_change_per_key``). Open rows with a matching change are
+    closed (``valid_to`` = change ts); the change appends as the new open
+    version; history rows pass through untouched.
+    """
+    ch = changes.withColumnRenamed(change_ts_col, "_change_ts")
+    key_ts = ch.select(*keys, "_change_ts")
+    is_open = F.col(valid_to).isNull()
+
+    closed_now = (
+        current.where(is_open)
+        .join(key_ts, on=keys, how="inner")
+        .withColumn(valid_to, F.col("_change_ts"))
+        .drop("_change_ts")
+    )
+    still_open = current.where(is_open).join(key_ts, on=keys, how="left_anti")
+    history = current.where(~is_open)
+    new_versions = ch.withColumn(valid_from, F.col("_change_ts")).withColumn(
+        valid_to, F.lit(None).cast(current.schema[valid_to].dataType)
+    ).drop("_change_ts").select(*current.columns)
+    return history.unionByName(still_open).unionByName(closed_now).unionByName(
+        new_versions
+    )

@@ -38,6 +38,7 @@ from data_algorithms_with_pyspark_spark.operators.dedup import (
     minhash_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    spread_partitions,
 )
 from data_algorithms_with_pyspark_spark.operators.iterative import (
     connected_components,
@@ -111,18 +112,15 @@ def _lang_scores_sql() -> str:
                    md5({_NORMALIZED}) AS content_hash
             FROM scored
         ),
-        kept AS (
-            SELECT * FROM featured
-            WHERE pred_lang = '{_CURATION_LANG}'
-              AND quality_score >= {_QUALITY_THRESHOLD}
-        ),
         canon AS (
-            SELECT content_hash, min(doc_id) AS keep_id
-            FROM kept GROUP BY content_hash
+            -- dedup FIRST (min doc_id per content hash), filter after:
+            -- same order as the Spark plan
+            SELECT min(doc_id) AS doc_id FROM featured GROUP BY content_hash
         )
-        SELECT k.doc_id, k.source, k.pred_lang, k.quality_score, k.n_tokens
-        FROM kept k JOIN canon c
-          ON k.content_hash = c.content_hash AND k.doc_id = c.keep_id
+        SELECT f.doc_id, f.source, f.pred_lang, f.quality_score, f.n_tokens
+        FROM featured f JOIN canon USING (doc_id)
+        WHERE f.pred_lang = '{_CURATION_LANG}'
+          AND f.quality_score >= {_QUALITY_THRESHOLD}
     """,
 )
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,7 +130,10 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical (min-id) row per duplicate group. Two shuffles total, both
     on the dedup key — the layout a 100 TB curation job wants."""
     docs = load_table(spark, sf_dir, "documents")
-    featured = docs.select(
+    # The feature projection is the CPU hot spot; spread a few-partition
+    # scan across cores first (no-op when the input already has enough
+    # partitions, i.e. at real scale).
+    featured = spread_partitions(docs.select("doc_id", "source", "text")).select(
         "doc_id",
         "source",
         pred_lang_expr("text").alias("pred_lang"),
@@ -140,13 +141,33 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(words("text")).cast("long").alias("n_tokens"),
         F.md5(normalize_text("text")).alias("content_hash"),
     )
-    kept = featured.where(
-        (F.col("pred_lang") == _CURATION_LANG)
-        & (F.col("quality_score") >= _QUALITY_THRESHOLD)
-    )
-    canon = kept.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
-    return kept.join(canon, ["content_hash", "doc_id"], "left_semi").select(
-        "doc_id", "source", "pred_lang", "quality_score", "n_tokens"
+    # Dedup FIRST via min(struct(...)) — doc_id leads the struct, so the
+    # aggregate keeps exactly the min-doc_id row per content hash — then
+    # filter on the surviving rows' features. Ordering matters for the
+    # physical plan: filtering first would let Catalyst push the filter
+    # (with the expensive text expressions substituted in) below the
+    # spreading repartition, serializing the hot expressions onto the
+    # scan's few partitions AND evaluating them twice. Dedup-then-filter
+    # keeps the projection above the exchange (parallel, evaluated once);
+    # the post-aggregate filter touches only cheap struct fields.
+    return (
+        featured.groupBy("content_hash")
+        .agg(
+            F.min(
+                F.struct("doc_id", "source", "pred_lang", "quality_score", "n_tokens")
+            ).alias("_keep")
+        )
+        .where(
+            (F.col("_keep.pred_lang") == _CURATION_LANG)
+            & (F.col("_keep.quality_score") >= _QUALITY_THRESHOLD)
+        )
+        .select(
+            F.col("_keep.doc_id").alias("doc_id"),
+            F.col("_keep.source").alias("source"),
+            F.col("_keep.pred_lang").alias("pred_lang"),
+            F.col("_keep.quality_score").alias("quality_score"),
+            F.col("_keep.n_tokens").alias("n_tokens"),
+        )
     )
 
 
@@ -210,6 +231,47 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("n_tokens", F.lit(0.9)), 2).alias("p90_tokens"),
         )
     )
+
+
+@register(
+    "customer_segment_upsert",
+    tags=("pipeline", "merge"),
+    description="SCD-1 upsert: customers with >12 orders get segment=VIP "
+    "(operators/merge.py:upsert — anti join + union, the MERGE INTO plan)",
+    oracle="""
+        WITH vip_keys AS (
+            SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) > 12
+        ),
+        src AS (
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                   'VIP' AS c_mktsegment
+            FROM customer JOIN vip_keys ON c_custkey = o_custkey
+        )
+        SELECT * FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+        UNION ALL
+        SELECT * FROM src
+    """,
+)
+def customer_segment_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a change batch (VIP re-segmentation) from orders, then merge
+    it into customer via operators/merge.upsert: one aggregation on the
+    fact table + one anti equi-join on the merge key + union — the exact
+    lowering MERGE INTO produces, no driver-side rows."""
+    from data_algorithms_with_pyspark_spark.operators.merge import upsert
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    vip_keys = (
+        orders.groupBy("o_custkey").agg(F.count("*").alias("n")).where(F.col("n") > 12)
+    )
+    src = (
+        customer.join(
+            vip_keys, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+        )
+        .withColumn("c_mktsegment", F.lit("VIP"))
+    )
+    return upsert(customer, src, ["c_custkey"])
 
 
 @register(
