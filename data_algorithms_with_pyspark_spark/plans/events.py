@@ -198,3 +198,158 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap_s").alias("max_gap_s"),
         )
     )
+
+
+@register(
+    "events_rolling_hour_avg",
+    tags=("events", "window", "timeseries"),
+    description="Per-user trailing-1-hour rolling avg/count at each event "
+    "(event-time RANGE frame)",
+    oracle="""
+        SELECT event_id,
+               round(avg(value) OVER w, 4) AS rolling_avg,
+               CAST(count(*) OVER w AS BIGINT) AS rolling_n
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+        )
+    """,
+)
+def events_rolling_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame (not ROWS): every event sees exactly the
+    trailing hour regardless of event density. The frame is expressed on
+    epoch seconds; peers with equal ts are included on both engines. One
+    shuffle on user_id; the in-partition sort is the window's price —
+    at 100 TB pre-bucket by user_id to pay it at write time."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return events.select(
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("rolling_avg"),
+        F.count("*").over(w).alias("rolling_n"),
+    )
+
+
+@register(
+    "events_hourly_gap_fill",
+    tags=("events", "window", "timeseries"),
+    description="Dense hourly grid per event type: zero-filled counts + "
+    "last-observation-carried-forward sums (sequence+explode, LOCF window)",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM events
+        ),
+        grid AS (
+            SELECT t.h AS hour_start, et.event_type
+            FROM bounds,
+                 unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(h)
+                 CROSS JOIN (SELECT DISTINCT event_type FROM events) et
+        ),
+        hourly AS (
+            SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT g.hour_start, g.event_type,
+               COALESCE(h.n, 0) AS n_events,
+               COALESCE(h.sum_value,
+                        last_value(h.sum_value IGNORE NULLS) OVER (
+                            PARTITION BY g.event_type ORDER BY g.hour_start
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0.0) AS filled_sum_value
+        FROM grid g LEFT JOIN hourly h
+          ON g.hour_start = h.hour_start AND g.event_type = h.event_type
+    """,
+)
+def events_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: build the complete hour x type grid with
+    sequence()+explode (no driver-side loop), left-join the real hourly
+    aggregates, zero-fill counts, and carry the last seen sum forward
+    (LOCF) with last(ignorenulls) over an unbounded-preceding frame."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        cents_sum(F.col("value")).alias("sum_value"),
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = events.select("event_type").distinct()
+    grid = (
+        bounds.select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_start")
+        )
+        .crossJoin(F.broadcast(types))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    joined = grid.join(hourly, ["hour_start", "event_type"], "left")
+    return joined.select(
+        "hour_start",
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_events"),
+        F.coalesce(
+            F.col("sum_value"),
+            F.last("sum_value", ignorenulls=True).over(w),
+            F.lit(0.0),
+        ).alias("filled_sum_value"),
+    )
+
+
+@register(
+    "linestatus_metrics_unpivot",
+    tags=("relational", "reshape"),
+    description="Wide->long reshape: per-linestatus aggregates unpivoted to "
+    "(linestatus, metric, value) rows",
+    oracle="""
+        WITH wide AS (
+            SELECT l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   CAST(count(*) AS DOUBLE)  AS n_items
+            FROM lineitem GROUP BY l_linestatus
+        )
+        SELECT l_linestatus, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        UNION ALL
+        SELECT l_linestatus, 'avg_disc', avg_disc FROM wide
+        UNION ALL
+        SELECT l_linestatus, 'n_items', n_items FROM wide
+    """,
+)
+def linestatus_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse of the pivot query: melt wide aggregate columns into
+    (metric, value) rows with DataFrame.unpivot — the reshape feeding
+    generic metric sinks. All value columns must share one type (DOUBLE)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    wide = lineitem.groupBy("l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").cast("double").alias("n_items"),
+    )
+    return wide.unpivot(
+        ["l_linestatus"],
+        ["sum_qty", "avg_disc", "n_items"],
+        "metric",
+        "value",
+    )
