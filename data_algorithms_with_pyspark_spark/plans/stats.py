@@ -233,3 +233,97 @@ def part_price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
     )
+
+
+@register(
+    "customer_feature_engineering",
+    tags=("features",),
+    description="Feature pipeline: z-score + min-max scaled acctbal, price "
+    "bucket, one-hot segment, deterministic train/test tag "
+    "(operators/features.py; ref ch.12 was never written)",
+    oracle="""
+        WITH stats AS (
+            SELECT avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sd,
+                   min(c_acctbal) AS lo, max(c_acctbal) AS hi
+            FROM customer
+        )
+        SELECT c_custkey,
+               round((c_acctbal - mu) / sd, 4) AS acctbal_z,
+               round((c_acctbal - lo) / (hi - lo), 4) AS acctbal_scaled,
+               CASE WHEN c_acctbal >= 0 AND c_acctbal < 2500 THEN 0
+                    WHEN c_acctbal >= 2500 AND c_acctbal < 5000 THEN 1
+                    WHEN c_acctbal >= 5000 AND c_acctbal < 7500 THEN 2
+                    WHEN c_acctbal >= 7500 AND c_acctbal < 10001 THEN 3
+                    END AS acctbal_bucket,
+               CAST(c_mktsegment = 'BUILDING' AS INT)  AS seg_BUILDING,
+               CAST(c_mktsegment = 'MACHINERY' AS INT) AS seg_MACHINERY,
+               CAST(substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1)
+                    IN ('0','1','2','3') AS INT) AS is_test
+        FROM customer, stats
+    """,
+)
+def customer_feature_engineering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass feature engineering: one scalar stats aggregate broadcast
+    back over the table, then a pure-codegen projection (scale, z-score,
+    bucketize, one-hot, split tag). Nothing is collected; the stats row is
+    the only data that moves."""
+    from data_algorithms_with_pyspark_spark.operators.features import (
+        bucketize,
+        minmax_scale,
+        one_hot,
+        standardize,
+    )
+    from data_algorithms_with_pyspark_spark.operators.sampling import (
+        hash_sample_predicate,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    df = standardize(customer, ["c_acctbal"])
+    df = minmax_scale(df, ["c_acctbal"])
+    df = bucketize(df, "c_acctbal", [0.0, 2500.0, 5000.0, 7500.0, 10001.0])
+    df = one_hot(df, "c_mktsegment", ["BUILDING", "MACHINERY"], prefix="seg")
+    return df.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal_z"), 4).alias("acctbal_z"),
+        F.round(F.col("c_acctbal_scaled"), 4).alias("acctbal_scaled"),
+        F.col("c_acctbal_bucket").alias("acctbal_bucket"),
+        F.col("seg_BUILDING"),
+        F.col("seg_MACHINERY"),
+        hash_sample_predicate("c_custkey", 4).cast("int").alias("is_test"),
+    )
+
+
+@register(
+    "customer_balance_ranks",
+    tags=("relational", "window", "ranking"),
+    description="Ranking surface: dense_rank / ntile(4) / percent_rank of "
+    "customers by balance within nation (ref ch.8 'Ranking' was never written)",
+    oracle="""
+        SELECT c_custkey, c_nationkey,
+               CAST(dense_rank() OVER w AS BIGINT)   AS balance_dense_rank,
+               CAST(ntile(4) OVER w AS INT)          AS balance_quartile,
+               round(percent_rank() OVER w, 6)       AS balance_pct_rank
+        FROM customer
+        WINDOW w AS (
+            PARTITION BY c_nationkey
+            ORDER BY round(c_acctbal, 2) DESC, c_custkey
+        )
+    """,
+)
+def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One window shuffle on c_nationkey serves all three ranking
+    functions; the order key carries c_custkey as a unique tie-break so
+    every rank is deterministic across engines and partitionings."""
+    from pyspark.sql import Window
+
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.round(F.col("c_acctbal"), 2).desc(), F.col("c_custkey")
+    )
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.dense_rank().over(w).cast("long").alias("balance_dense_rank"),
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("balance_pct_rank"),
+    )

@@ -1,0 +1,68 @@
+"""Known-answer tests for the feature-engineering operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from data_algorithms_with_pyspark_spark.operators.features import (
+    bucketize,
+    minmax_scale,
+    one_hot,
+    standardize,
+    train_test_split,
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, 0.0, "a"), (2, 5.0, "b"), (3, 10.0, "c")], ["id", "x", "cat"]
+    )
+
+
+def test_minmax_scale_known_answer(spark):
+    got = {r["id"]: r["x_scaled"] for r in minmax_scale(_df(spark), ["x"]).collect()}
+    assert got == {1: 0.0, 2: 0.5, 3: 1.0}
+
+
+def test_minmax_scale_constant_column(spark):
+    const = _df(spark).selectExpr("id", "CAST(7.0 AS DOUBLE) AS x", "cat")
+    got = {r["id"]: r["x_scaled"] for r in minmax_scale(const, ["x"]).collect()}
+    assert set(got.values()) == {0.0}
+
+
+def test_standardize_known_answer(spark):
+    out = {r["id"]: r["x_z"] for r in standardize(_df(spark), ["x"]).collect()}
+    assert abs(out[2]) < 1e-12
+    assert math.isclose(out[3], 1.0, rel_tol=1e-9)  # (10-5)/5
+    assert math.isclose(out[1], -1.0, rel_tol=1e-9)
+
+
+def test_bucketize_bounds_and_validation(spark):
+    out = {
+        r["id"]: r["x_bucket"]
+        for r in bucketize(_df(spark), "x", [0.0, 5.0, 10.0]).collect()
+    }
+    # [0,5) -> 0; [5,10) -> 1; 10 is outside [0,10) -> NULL
+    assert out == {1: 0, 2: 1, 3: None}
+    with pytest.raises(ValueError, match="ascending"):
+        bucketize(_df(spark), "x", [5.0, 0.0])
+
+
+def test_one_hot_explicit_vocabulary(spark):
+    rows = one_hot(_df(spark), "cat", ["a", "b"]).collect()
+    got = {r["id"]: (r["cat_a"], r["cat_b"]) for r in rows}
+    assert got == {1: (1, 0), 2: (0, 1), 3: (0, 0)}  # 'c' unseen -> zeros
+
+
+def test_train_test_split_partitions_all_rows(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    train, test = train_test_split(df, "k", test_sixteenths=4)
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == 1000
+    assert 150 < n_test < 350  # ~25%
+    # deterministic: same split on recompute
+    assert test.count() == n_test
+    overlap = train.join(test, "k").count()
+    assert overlap == 0
