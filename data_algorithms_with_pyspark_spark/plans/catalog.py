@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "data_algorithms_with_pyspark_spark.plans.extensions",
     "data_algorithms_with_pyspark_spark.plans.stats",
     "data_algorithms_with_pyspark_spark.plans.pipelines",
+    "data_algorithms_with_pyspark_spark.plans.functions_surface",
 )
 
 _REGISTRY: dict[str, "CatalogQuery"] = {}

@@ -1,0 +1,194 @@
+"""Scalar / higher-order / map function surface queries.
+
+SURVEY.md §2.9 records the reference's entire scalar-function vocabulary
+(col, arithmetic, contains, split, cast, round, explode — e.g.
+/root/reference/src/chapter_05/.../physical_partitioning.py:54-57 does
+date math by string `split`). This module widens that surface to the
+function families a production engine needs — date/time, string,
+higher-order array (Catalyst ``HigherOrderFunction`` — JVM-side, no
+Python), and MapType round-trips — each cross-checked against a DuckDB
+oracle. All expressions are pure codegen projections: one scan, one
+hash aggregate, no UDFs.
+
+Semantics notes (verified against DuckDB 1.x):
+  * Spark ``dayofweek`` is 1=Sunday..7=Saturday; DuckDB ``dayofweek`` is
+    0=Sunday..6=Saturday — oracles add 1.
+  * Spark ``add_months`` and DuckDB ``+ INTERVAL n MONTH`` both clamp to
+    month end (Jan 31 + 3 months → Apr 30).
+  * Fold order of ``F.aggregate`` matches DuckDB ``list_sum`` on the same
+    list; cross-row float aggregates are rounded before compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_algorithms_with_pyspark_spark.plans.catalog import (
+    cents_sum,
+    cents_sum_sql,
+    register,
+)
+from data_algorithms_with_pyspark_spark.sources.readers import load_table
+
+
+@register(
+    "orders_date_functions",
+    tags=("functions", "dates"),
+    description="Date/time function surface: date_trunc quarter, dayofweek, "
+    "last_day, add_months (clamped), datediff — grouped per quarter x "
+    "weekday (engine standardizes real date functions over the reference's "
+    "string-split idiom, SURVEY §1.3/§2.9)",
+    oracle="""
+        SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+               CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+               count(*) AS n_orders,
+               round(avg(date_diff('day', o_orderdate, DATE '1998-12-31')), 4)
+                   AS avg_age_days,
+               {sum_price} AS sum_price,
+               max(last_day(o_orderdate)) AS max_month_end,
+               min(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)) AS min_due_date
+        FROM orders
+        GROUP BY quarter_start, dow
+    """.format(sum_price=cents_sum_sql("o_totalprice")),
+)
+def orders_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan + one hash aggregate; every date function is evaluated in
+    the map-side projection, so the shuffle carries only (quarter, dow)
+    groups — ~200 rows regardless of input scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.date_trunc("quarter", "o_orderdate").cast("date").alias("quarter_start"),
+            F.dayofweek("o_orderdate").alias("dow"),
+            F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate")).alias(
+                "age_days"
+            ),
+            F.last_day("o_orderdate").alias("month_end"),
+            F.add_months("o_orderdate", 3).alias("due_date"),
+            "o_totalprice",
+        )
+        .groupBy("quarter_start", "dow")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("age_days"), 4).alias("avg_age_days"),
+            cents_sum(F.col("o_totalprice")).alias("sum_price"),
+            F.max("month_end").alias("max_month_end"),
+            F.min("due_date").alias("min_due_date"),
+        )
+    )
+
+
+@register(
+    "part_string_functions",
+    tags=("functions", "strings"),
+    description="String function surface: regexp_extract, split+size, lpad, "
+    "levenshtein, instr, upper, concat_ws — per-row projection over part",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_type) AS type_upper,
+               regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+               CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+               lpad(p_brand, 12, '#') AS brand_padded,
+               CAST(levenshtein(p_brand, p_type) AS INT) AS brand_type_dist,
+               CAST(instr(p_type, ' ') AS INT) AS first_space,
+               concat_ws('|', p_brand, CAST(p_size AS VARCHAR)) AS brand_size
+        FROM part
+    """,
+)
+def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure narrow projection — no shuffle at all; at cluster scale this is
+    a map-only stage whose cost is the parquet scan."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_type").alias("type_upper"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.lpad("p_brand", 12, "#").alias("brand_padded"),
+        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+        F.instr(F.col("p_type"), " ").alias("first_space"),
+        F.concat_ws("|", "p_brand", F.col("p_size").cast("string")).alias("brand_size"),
+    )
+
+
+@register(
+    "embedding_vector_stats",
+    tags=("functions", "similarity", "higher-order"),
+    description="Higher-order array functions (aggregate / filter / "
+    "element_at) over array<float> embeddings — per-label L2-norm and "
+    "sign statistics, all JVM-side (functions/vectors.py)",
+    oracle="""
+        WITH v AS (
+            SELECT label,
+                   sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+                       AS l2,
+                   len(list_filter(embedding, x -> x > 0)) AS n_pos,
+                   embedding[1]::DOUBLE AS dim0
+            FROM embeddings
+        )
+        SELECT label,
+               count(*) AS n_vectors,
+               round(avg(l2), 6) AS avg_l2_norm,
+               round(min(l2), 6) AS min_l2_norm,
+               CAST(sum(n_pos) AS BIGINT) AS total_pos_dims,
+               round(avg(dim0), 6) AS avg_dim0
+        FROM v
+        GROUP BY label
+    """,
+)
+def embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-vector math (fold, filter, element_at) runs in the map-side
+    projection via Catalyst HigherOrderFunctions; the shuffle carries one
+    partial-aggregate row per label per partition."""
+    from data_algorithms_with_pyspark_spark.functions.vectors import (
+        l2_norm,
+        to_double_array,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = to_double_array("embedding")
+    per_vec = emb.select(
+        "label",
+        l2_norm(vec).alias("l2"),
+        F.size(F.filter(vec, lambda x: x > 0)).alias("n_pos"),
+        F.element_at(vec, 1).alias("dim0"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg("l2"), 6).alias("avg_l2_norm"),
+        F.round(F.min("l2"), 6).alias("min_l2_norm"),
+        F.sum("n_pos").cast("long").alias("total_pos_dims"),
+        F.round(F.avg("dim0"), 6).alias("avg_dim0"),
+    )
+
+
+@register(
+    "brand_type_map_roundtrip",
+    tags=("functions", "map-type"),
+    description="MapType round-trip: per-brand type->count map built "
+    "with map_from_entries, inspected with size(map_keys), flattened back "
+    "with explode — the oracle checks the flattened relation",
+    oracle="""
+        SELECT p_brand, p_type, count(*) AS n,
+               CAST(count(*) OVER (PARTITION BY p_brand) AS INT) AS n_types
+        FROM part
+        GROUP BY p_brand, p_type
+    """,
+)
+def brand_type_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two hash aggregates on progressively coarser keys (brand,container
+    -> brand); the map is built from already-aggregated rows, so MapType
+    construction cost is proportional to group count, not input rows."""
+    part = load_table(spark, sf_dir, "part")
+    counts = part.groupBy("p_brand", "p_type").agg(F.count("*").alias("n"))
+    maps = counts.groupBy("p_brand").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("p_type", "n")))
+        ).alias("m")
+    )
+    return maps.select(
+        "p_brand",
+        F.size(F.map_keys(F.col("m"))).alias("n_types"),
+        F.explode("m").alias("p_type", "n"),
+    ).select("p_brand", "p_type", "n", "n_types")
