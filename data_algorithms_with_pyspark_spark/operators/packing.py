@@ -1,0 +1,104 @@
+"""Training-data assembly operators (north-star extension; no reference
+counterpart — /root/reference is a teaching repo with no LLM-pipeline
+surface, so these follow the standard large-corpus recipes).
+
+``pack_by_token_budget`` — greedy sequence packing: assign documents to
+fixed-token-budget shards. The cumulative sum runs per partition-key
+group (``partition_cols``), never globally: a global ordered prefix-sum
+would serialize onto one task, while per-group packing is one shuffle on
+the group key and scales with the number of groups. Callers control
+parallelism by adding a deterministic bucket column (e.g. ``doc_id % 8``)
+to ``partition_cols`` — at 100 TB you pick enough buckets that each
+group's token stream fits a single task comfortably.
+
+``contamination_matches`` — benchmark-contamination check: documents
+sharing any word n-gram shingle with a benchmark corpus. Both sides
+explode to (shingle, id) pairs and meet in an equi-join on the shingle —
+at scale the benchmark side is tiny, so Catalyst broadcasts it and the
+corpus side never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_algorithms_with_pyspark_spark.operators.dedup import word_shingles
+
+__all__ = ["pack_by_token_budget", "contamination_matches", "shard_summary"]
+
+
+def pack_by_token_budget(
+    docs: DataFrame,
+    token_col: str,
+    budget: int,
+    partition_cols: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Append ``shard_id``: greedy packing of ``token_col`` into shards of
+    at most ``budget`` tokens per (``partition_cols``) group, filling in
+    ``order_col`` order.
+
+    ``shard_id = floor(exclusive_prefix_sum / budget)``: a document joins
+    the shard its first token falls in, so a shard may overflow by (at
+    most) its final document, and a document larger than ``budget``
+    advances the cursor past the next shard indices (gaps are fine — ids
+    only need to be distinct and ordered). One window shuffle;
+    deterministic for a unique ``order_col``.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    return docs.withColumn(
+        "shard_id", F.floor((cum - F.col(token_col)) / F.lit(budget))
+    )
+
+
+def contamination_matches(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(id, n_hits) for corpus docs sharing >= 1 distinct word
+    ``shingle_n``-gram with any benchmark doc.
+
+    Benchmark shingles are deduplicated then broadcast (the benchmark set
+    is small by construction); the corpus side explodes its distinct
+    shingles and hash-joins without shuffling the documents themselves.
+    """
+    bench_shingles = (
+        benchmark.select(
+            F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+        )
+        .distinct()
+    )
+    corpus_shingles = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    return (
+        corpus_shingles.join(F.broadcast(bench_shingles), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
+def shard_summary(
+    packed: DataFrame, token_col: str, partition_cols: list[str], id_col: str
+) -> DataFrame:
+    """Per-shard roll-up of a ``pack_by_token_budget`` result: doc count,
+    token total, id range — the manifest a training job reads."""
+    return packed.groupBy(*partition_cols, "shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_col).cast("long").alias("total_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )

@@ -291,3 +291,118 @@ def documents_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(docs, "doc_id", _SAMPLE_SIXTEENTHS).select(
         "doc_id", "source", "n_chars"
     )
+
+
+_PACK_BUDGET = 4096
+_PACK_BUCKETS = 8
+_BENCH_MOD = 97  # doc_id % 97 == 0 -> pseudo-benchmark set (~1%)
+_CONTAM_N = 3
+
+_SHINGLES_SQL = f"""
+        SELECT doc_id,
+               CASE WHEN len({_TOKENS}) >= {_CONTAM_N}
+                    THEN list_distinct(list_transform(
+                             range(1, len({_TOKENS}) - {_CONTAM_N} + 2),
+                             i -> array_to_string(
+                                 list_slice({_TOKENS}, i, i + {_CONTAM_N} - 1), ' ')))
+                    ELSE [array_to_string({_TOKENS}, ' ')]
+               END AS shingles
+        FROM documents
+"""
+
+
+@register(
+    "training_shard_packing",
+    tags=("llm-pipeline", "packing", "window"),
+    description=f"Greedy sequence packing: documents -> {_PACK_BUDGET}-token "
+    f"shards per (source, doc_id % {_PACK_BUCKETS}) group via exclusive "
+    "prefix sum (operators/packing.py) — the shard manifest a training "
+    "job consumes",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, doc_id % {_PACK_BUCKETS} AS pack_bucket,
+                   CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), packed AS (
+            SELECT *,
+                   CAST(floor((sum(n_tokens) OVER (
+                            PARTITION BY source, pack_bucket ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS shard_id
+            FROM toks
+        )
+        SELECT source, pack_bucket, shard_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM packed
+        GROUP BY source, pack_bucket, shard_id
+    """,
+)
+def training_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting is a map-side projection; packing is ONE window
+    shuffle on (source, bucket) — parallelism = sources x buckets, chosen
+    deterministic (doc_id % k) so the oracle reproduces it. The roll-up
+    reuses the window's partitioning, so no second shuffle."""
+    from data_algorithms_with_pyspark_spark.operators.packing import (
+        pack_by_token_budget,
+        shard_summary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % _PACK_BUCKETS).alias("pack_bucket"),
+        F.size(words("text")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_by_token_budget(
+        toks,
+        token_col="n_tokens",
+        budget=_PACK_BUDGET,
+        partition_cols=["source", "pack_bucket"],
+        order_col="doc_id",
+    )
+    return shard_summary(
+        packed,
+        token_col="n_tokens",
+        partition_cols=["source", "pack_bucket"],
+        id_col="doc_id",
+    )
+
+
+@register(
+    "benchmark_contamination",
+    tags=("llm-pipeline", "dedup"),
+    description=f"Benchmark-contamination check: corpus docs sharing any "
+    f"word {_CONTAM_N}-gram with the pseudo-benchmark set "
+    f"(doc_id % {_BENCH_MOD} == 0); benchmark shingles broadcast, corpus "
+    "never shuffles (operators/packing.py:contamination_matches)",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        bench AS (
+            SELECT DISTINCT unnest(shingles) AS shingle
+            FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+        ),
+        corpus AS (
+            SELECT doc_id, unnest(shingles) AS shingle
+            FROM sh WHERE doc_id % {_BENCH_MOD} <> 0
+        )
+        SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM corpus c JOIN bench b USING (shingle)
+        GROUP BY c.doc_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_algorithms_with_pyspark_spark.operators.packing import (
+        contamination_matches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    return contamination_matches(
+        docs.where(~is_bench),
+        docs.where(is_bench),
+        shingle_n=_CONTAM_N,
+    )
