@@ -33,6 +33,7 @@ __all__ = [
     "read_csv",
     "read_json",
     "read_parquet",
+    "read_orc",
     "read_text",
     "load_table",
     "load_tables",
@@ -79,6 +80,12 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan: embedded schema, column pruning, predicate pushdown,
     hive-style partition discovery (``year=.../month=...`` dirs -> columns)."""
     return spark.read.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — like parquet, self-describing columnar with predicate
+    pushdown / column pruning via the vectorized ORC reader."""
+    return spark.read.orc(path)
 
 
 def read_text(spark: SparkSession, path: str) -> DataFrame:

@@ -20,7 +20,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_parquet", "write_csv", "write_json", "write_bucketed_table"]
+__all__ = [
+    "write_parquet",
+    "write_csv",
+    "write_json",
+    "write_orc",
+    "write_bucketed_table",
+]
 
 
 def _prepare(
@@ -51,6 +57,23 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] | None = None,
+    compact: bool = True,
+    single_file: bool = False,
+) -> None:
+    """ORC sink with the same mode/partitioning/compaction surface as
+    ``write_parquet`` (zlib default codec)."""
+    out = _prepare(df, partition_by, compact, single_file)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
 
 
 def write_csv(

@@ -32,6 +32,7 @@ __all__ = [
     "streaming_dedup_within_watermark",
     "streaming_click_purchase_join",
     "run_to_memory_sink",
+    "stream_upsert_sink",
 ]
 
 
@@ -179,3 +180,47 @@ def streaming_user_running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_upsert_sink(
+    streaming_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+) -> None:
+    """``foreachBatch`` merge sink: each micro-batch is SCD-1-upserted
+    (operators/merge.py) into a parquet target — the standard pattern for
+    maintaining a keyed serving table from a stream when the sink has no
+    native MERGE.
+
+    The checkpoint gives exactly-once batch replay; the upsert makes
+    re-applied batches idempotent, so the pair survives restarts. The
+    merged result is ``localCheckpoint``-materialized before the
+    overwrite so the write never reads the files it is replacing (on a
+    real deployment the target would be a transactional table format and
+    this function body becomes its MERGE INTO).
+
+    Runs with ``trigger(availableNow=True)``: drains available input and
+    returns; calling it again after new files arrive processes only the
+    delta (the test's two-run scenario).
+    """
+    from data_algorithms_with_pyspark_spark.operators.merge import upsert
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        session = batch_df.sparkSession
+        try:
+            target = session.read.parquet(target_path)
+            merged = upsert(target, batch_df, keys)
+        except Exception:  # first batch: no target yet
+            merged = batch_df
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            target_path
+        )
+
+    q = (
+        streaming_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

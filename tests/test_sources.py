@@ -102,3 +102,24 @@ def test_csv_json_writers_roundtrip(spark, tmp_path):
     write_json(df, json_out, single_file=True)
     back_json = read_json(spark, json_out).select("r_regionkey", "r_name")
     assert back_json.count() == df.count()
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    """ORC sink/scan with the same surface as parquet: partitioned write,
+    partition discovery on read."""
+    from data_algorithms_with_pyspark_spark.sources.readers import read_orc
+    from data_algorithms_with_pyspark_spark.sources.writers import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "x", 2024), (2, "y", 2024), (3, "x", 2025)], ["id", "tag", "year"]
+    )
+    path = str(tmp_path / "orc_out")
+    write_orc(df, path, partition_by=("year",))
+    back = read_orc(spark, path)
+    assert {tuple(r) for r in back.select("id", "tag", "year").collect()} == {
+        (1, "x", 2024),
+        (2, "y", 2024),
+        (3, "x", 2025),
+    }
+    pruned = back.where(F.col("year") == 2025)
+    assert pruned.count() == 1

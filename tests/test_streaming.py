@@ -170,3 +170,38 @@ def test_streaming_stateful_running_totals(spark, events_dir):
     for uid, (n, t) in batch.items():
         assert got[uid][0] == n
         assert abs(got[uid][1] - t) < 0.05
+
+
+def test_stream_upsert_sink_two_run_incremental(spark, tmp_path):
+    """Run 1 seeds the target from batch A; run 2 (after new files arrive)
+    processes only the delta and upserts it — updated keys replaced,
+    new keys appended, untouched keys preserved."""
+    from data_algorithms_with_pyspark_spark.streaming.events import (
+        stream_upsert_sink,
+    )
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k LONG, v STRING"
+
+    spark.createDataFrame([(1, "a1"), (2, "b1")], ["k", "v"]).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_upsert_sink(stream, target, ["k"], ckpt)
+    assert {(r.k, r.v) for r in spark.read.parquet(target).collect()} == {
+        (1, "a1"),
+        (2, "b1"),
+    }
+
+    spark.createDataFrame([(2, "b2"), (3, "c1")], ["k", "v"]).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_upsert_sink(stream, target, ["k"], ckpt)
+    assert {(r.k, r.v) for r in spark.read.parquet(target).collect()} == {
+        (1, "a1"),
+        (2, "b2"),
+        (3, "c1"),
+    }
