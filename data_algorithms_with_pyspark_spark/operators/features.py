@@ -25,10 +25,51 @@ from data_algorithms_with_pyspark_spark.operators.sampling import (
 __all__ = [
     "minmax_scale",
     "standardize",
+    "scale_features",
     "bucketize",
     "one_hot",
     "train_test_split",
 ]
+
+
+def scale_features(
+    df: DataFrame,
+    cols: list[str],
+    z_suffix: str = "_z",
+    minmax_suffix: str = "_scaled",
+) -> DataFrame:
+    """Append both ``col_z`` and ``col_scaled`` for every listed column
+    from ONE stats aggregate and ONE projection.
+
+    Composing ``standardize(minmax_scale(df))`` works but costs a full
+    input scan per stats pass; this fused form computes min/max/mean/
+    stddev together, so any number of scalings is two scans total (stats +
+    apply) — the shape that matters when the input is 100 TB.
+    """
+    stats = df.agg(
+        *[F.min(c).alias(f"_min_{c}") for c in cols],
+        *[F.max(c).alias(f"_max_{c}") for c in cols],
+        *[F.avg(c).alias(f"_mu_{c}") for c in cols],
+        *[F.stddev_samp(c).alias(f"_sd_{c}") for c in cols],
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        rng = F.col(f"_max_{c}") - F.col(f"_min_{c}")
+        sd = F.col(f"_sd_{c}")
+        out = out.withColumn(
+            f"{c}{z_suffix}",
+            F.when(sd > 0, (F.col(c) - F.col(f"_mu_{c}")) / sd).otherwise(
+                F.lit(0.0)
+            ),
+        ).withColumn(
+            f"{c}{minmax_suffix}",
+            F.when(rng > 0, (F.col(c) - F.col(f"_min_{c}")) / rng).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    return out.drop(
+        *[f"_{p}_{c}" for c in cols for p in ("min", "max", "mu", "sd")]
+    )
 
 
 def minmax_scale(

@@ -353,3 +353,50 @@ def linestatus_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+@register(
+    "events_sliding_windows",
+    tags=("events", "window"),
+    description="Sliding event-time windows (1h width, 30min slide) per "
+    "event type via the built-in window() operator — each event lands in "
+    "exactly 2 epoch-aligned windows",
+    oracle="""
+        WITH w AS (
+            SELECT make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800
+                                        - 1800 * i) AS BIGINT) * 1000000)
+                       AS window_start,
+                   event_type, value
+            FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) offsets
+        )
+        SELECT window_start, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor((value) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   / 100.0 AS sum_value
+        FROM w
+        GROUP BY window_start, event_type
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window(ts, 1h, 30m) expands each row to its 2 containing windows in
+    the map-side Expand/Generate, then one hash aggregate on
+    (window, event_type) — same shuffle shape as the tumbling query, 2x
+    the pre-aggregation rows. The oracle reproduces Spark's epoch-aligned
+    window starts: floor-to-slide and the preceding slide."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), "1 hour", "30 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            cents_sum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -269,17 +269,15 @@ def customer_feature_engineering(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only data that moves."""
     from data_algorithms_with_pyspark_spark.operators.features import (
         bucketize,
-        minmax_scale,
         one_hot,
-        standardize,
+        scale_features,
     )
     from data_algorithms_with_pyspark_spark.operators.sampling import (
         hash_sample_predicate,
     )
 
     customer = load_table(spark, sf_dir, "customer")
-    df = standardize(customer, ["c_acctbal"])
-    df = minmax_scale(df, ["c_acctbal"])
+    df = scale_features(customer, ["c_acctbal"])
     df = bucketize(df, "c_acctbal", [0.0, 2500.0, 5000.0, 7500.0, 10001.0])
     df = one_hot(df, "c_mktsegment", ["BUILDING", "MACHINERY"], prefix="seg")
     return df.select(

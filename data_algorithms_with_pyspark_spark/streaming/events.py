@@ -28,6 +28,7 @@ from data_algorithms_with_pyspark_spark.schemas import TABLE_SCHEMAS
 __all__ = [
     "read_events_stream",
     "streaming_hourly_windows",
+    "streaming_sliding_windows",
     "streaming_session_windows",
     "streaming_dedup_within_watermark",
     "streaming_click_purchase_join",
@@ -57,6 +58,28 @@ def streaming_hourly_windows(
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_sliding_windows(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Sliding 1-hour/30-minute event-time windows per event type.
+    Streaming twin of plans/events.py:events_sliding_windows; state holds
+    2 open windows per (window, type) group, closed by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",

@@ -66,3 +66,21 @@ def test_train_test_split_partitions_all_rows(spark):
     assert test.count() == n_test
     overlap = train.join(test, "k").count()
     assert overlap == 0
+
+
+def test_scale_features_fused_matches_composed(spark):
+    from data_algorithms_with_pyspark_spark.operators.features import scale_features
+
+    fused = scale_features(_df(spark), ["x"])
+    composed = minmax_scale(standardize(_df(spark), ["x"]), ["x"])
+    f = {r["id"]: (r["x_z"], r["x_scaled"]) for r in fused.collect()}
+    c = {r["id"]: (r["x_z"], r["x_scaled"]) for r in composed.collect()}
+    assert f == c
+    # fused = ONE stats broadcast join; composed pays one per stats pass
+    # (plan string may repeat under AQE: count the final-plan section only)
+    def _joins(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.split("== Initial Plan ==")[0].count("BroadcastNestedLoopJoin")
+
+    assert _joins(fused) == 1
+    assert _joins(composed) > 1

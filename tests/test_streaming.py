@@ -205,3 +205,20 @@ def test_stream_upsert_sink_two_run_incremental(spark, tmp_path):
         (2, "b2"),
         (3, "c1"),
     }
+
+
+def test_streaming_sliding_windows_matches_batch(spark, events_dir):
+    from data_algorithms_with_pyspark_spark.streaming.events import (
+        streaming_sliding_windows,
+    )
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    agg = streaming_sliding_windows(stream)
+    run_to_memory_sink(agg, "sliding_out", output_mode="complete")
+    streamed = spark.sql(
+        "SELECT window_start, event_type, n_events, sum_value FROM sliding_out"
+    )
+    batch = all_queries()["events_sliding_windows"].fn(spark, SF_SMOKE)
+    s = sorted([tuple(r) for r in streamed.collect()])
+    b = sorted([tuple(r) for r in batch.collect()])
+    assert s == b
