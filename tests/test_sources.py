@@ -123,3 +123,34 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
     }
     pruned = back.where(F.col("year") == 2025)
     assert pruned.count() == 1
+
+
+def test_write_range_clustered_files_are_disjoint(spark, tmp_path):
+    """Each output file covers a disjoint key range (repartitionByRange)
+    and is sorted inside (sortWithinPartitions) — the precondition for
+    parquet min/max row-group skipping."""
+    import glob
+
+    from data_algorithms_with_pyspark_spark.sources.writers import (
+        write_range_clustered,
+    )
+
+    df = spark.range(0, 10_000).selectExpr(
+        "CAST(id * 37 % 10000 AS LONG) AS k", "id AS payload"
+    )
+    path = str(tmp_path / "clustered")
+    write_range_clustered(df, path, ("k",), n_files=4)
+
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        rows = [r.k for r in spark.read.parquet(f).collect()]
+        assert rows == sorted(rows)  # clustered within the file
+        ranges.append((min(rows), max(rows)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint across files
+
+    pruned = spark.read.parquet(path).where(F.col("k") < 100)
+    assert pruned.count() == 100
