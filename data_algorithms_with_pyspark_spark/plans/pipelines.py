@@ -406,3 +406,85 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(is_bench),
         shingle_n=_CONTAM_N,
     )
+
+
+@register(
+    "orders_quality_report",
+    tags=("quality", "pipeline"),
+    description="Data-quality gate over orders/lineitem/customer: null, "
+    "range, business-rule, duplicate-key, and referential-integrity checks "
+    "unioned into one (check_name, n_violations) report "
+    "(operators/quality.py; predicate checks fuse into one scan per table)",
+    oracle="""
+        SELECT 'null_custkey' AS check_name,
+               count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'nonpositive_totalprice',
+               count(CASE WHEN o_totalprice <= 0 THEN 1 END)
+        FROM orders
+        UNION ALL
+        SELECT 'discount_above_5pct',
+               count(CASE WHEN l_discount > 0.05 THEN 1 END)
+        FROM lineitem
+        UNION ALL
+        SELECT 'quantity_out_of_range',
+               count(CASE WHEN l_quantity <= 0 OR l_quantity > 60 THEN 1 END)
+        FROM lineitem
+        UNION ALL
+        SELECT 'dup_orderkey',
+               CAST(COALESCE(sum(n - 1), 0) AS BIGINT)
+        FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey) t
+        UNION ALL
+        SELECT 'orphan_orders_custkey', count(*)
+        FROM orders o
+        WHERE o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'orphan_lineitem_orderkey', count(*)
+        FROM lineitem l
+        WHERE l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two predicate groups fuse into one scan per table
+    (check_counts); uniqueness is one hash aggregate; the FK checks are
+    anti-joins Catalyst broadcasts when the parent is small. The report
+    is the union of 4 tiny relations — a pipeline gate reads it and
+    fails on any n_violations > 0 (here the business-rule row fires by
+    design; the integrity rows are 0 on clean data)."""
+    from data_algorithms_with_pyspark_spark.operators.quality import (
+        check_counts,
+        duplicate_keys,
+        fk_orphans,
+        quality_report,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    return quality_report(
+        check_counts(
+            orders,
+            {
+                "null_custkey": F.col("o_custkey").isNull(),
+                "nonpositive_totalprice": F.col("o_totalprice") <= 0,
+            },
+        ),
+        check_counts(
+            lineitem,
+            {
+                "discount_above_5pct": F.col("l_discount") > 0.05,
+                "quantity_out_of_range": (F.col("l_quantity") <= 0)
+                | (F.col("l_quantity") > 60),
+            },
+        ),
+        duplicate_keys(orders, ["o_orderkey"], "dup_orderkey"),
+        fk_orphans(orders, customer, "o_custkey", "c_custkey", "orphan_orders_custkey"),
+        fk_orphans(
+            lineitem, orders, "l_orderkey", "o_orderkey", "orphan_lineitem_orderkey"
+        ),
+    )

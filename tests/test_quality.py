@@ -1,0 +1,52 @@
+"""Planted-violation tests for the data-quality operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_algorithms_with_pyspark_spark.operators.quality import (
+    check_counts,
+    duplicate_keys,
+    fk_orphans,
+    quality_report,
+)
+
+
+def test_check_counts_single_scan(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (None, 3.0), (4, -1.0)], ["k", "v"]
+    )
+    out = check_counts(
+        df, {"null_k": F.col("k").isNull(), "negative_v": F.col("v") < 0}
+    )
+    got = {r["check_name"]: r["n_violations"] for r in out.collect()}
+    assert got == {"null_k": 1, "negative_v": 2}
+    # both predicates evaluate in one aggregate over one scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.split("== Initial Plan ==")[0].count("Scan ExistingRDD") == 1
+
+
+def test_duplicate_keys_counts_extras(spark):
+    df = spark.createDataFrame([(1,), (1,), (1,), (2,)], ["k"])
+    got = duplicate_keys(df, ["k"], "dup_k").collect()[0]
+    assert (got["check_name"], got["n_violations"]) == ("dup_k", 2)
+    clean = spark.createDataFrame([(1,), (2,)], ["k"])
+    assert duplicate_keys(clean, ["k"], "dup_k").collect()[0]["n_violations"] == 0
+
+
+def test_fk_orphans_ignores_null_fk(spark):
+    child = spark.createDataFrame([(1, 10), (2, 99), (3, None)], ["id", "fk"])
+    parent = spark.createDataFrame([(10,), (20,)], ["pk"])
+    got = fk_orphans(child, parent, "fk", "pk", "orphans").collect()[0]
+    assert (got["check_name"], got["n_violations"]) == ("orphans", 1)
+
+
+def test_quality_report_unions_and_validates(spark):
+    df = spark.createDataFrame([(1,), (1,)], ["k"])
+    report = quality_report(
+        duplicate_keys(df, ["k"], "a"), duplicate_keys(df, ["k"], "b")
+    )
+    assert {r["check_name"] for r in report.collect()} == {"a", "b"}
+    with pytest.raises(ValueError, match="at least one"):
+        quality_report()
