@@ -400,3 +400,43 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "events_value_outliers",
+    tags=("events", "stats", "quality"),
+    description="Anomaly detection: events whose value is > 3 sample-stddevs "
+    "from their event_type mean — per-group stats broadcast back over the "
+    "stream, outliers reported with their z-score",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type,
+               round(e.value, 2) AS value,
+               round(abs(e.value - s.mu) / s.sd, 4) AS abs_z
+        FROM events e JOIN stats s USING (event_type)
+        WHERE round(abs(e.value - s.mu) / s.sd, 4) >= 3.0
+    """,
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two passes, no per-row shuffle: the per-type stats aggregate is a
+    handful of rows broadcast back onto the scan; the outlier filter and
+    z-score are pure codegen. The z is rounded BEFORE the threshold
+    compare on both engines so borderline floats cannot disagree."""
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    abs_z = F.round(F.abs(F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            abs_z.alias("abs_z"),
+        )
+        .where(F.col("abs_z") >= 3.0)
+    )

@@ -313,6 +313,7 @@ _SHINGLES_SQL = f"""
 
 @register(
     "training_shard_packing",
+    bench=True,
     tags=("llm-pipeline", "packing", "window"),
     description=f"Greedy sequence packing: documents -> {_PACK_BUDGET}-token "
     f"shards per (source, doc_id % {_PACK_BUCKETS}) group via exclusive "
@@ -410,6 +411,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_quality_report",
+    bench=True,
     tags=("quality", "pipeline"),
     description="Data-quality gate over orders/lineitem/customer: null, "
     "range, business-rule, duplicate-key, and referential-integrity checks "
