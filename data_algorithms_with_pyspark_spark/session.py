@@ -64,6 +64,10 @@ def get_spark(
         # vectorized reader unless surfaced as long; readers.load_table
         # converts ns-longs back to microsecond timestamps.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Runtime bloom-filter join pruning: build a bloom filter from the
+        # selective side of a shuffle join and push it into the other
+        # side's scan — large-join win that costs nothing when inapplicable.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -67,19 +67,39 @@ def read_csv(
 
 
 def read_json(
-    spark: SparkSession, path: str, schema: T.StructType | None = None
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    mode: str = "PERMISSIVE",
+    corrupt_record_col: str | None = None,
 ) -> DataFrame:
-    """Line-delimited JSON; nested arrays/structs infer unless schema given."""
-    reader = spark.read
+    """Line-delimited JSON; nested arrays/structs infer unless schema given.
+
+    Malformed-row policy (production ETL concern the teaching reference
+    skips): PERMISSIVE (default) nulls bad rows — pass
+    ``corrupt_record_col`` (and include it in ``schema``) to quarantine
+    the raw text of each bad line instead of dropping it silently;
+    DROPMALFORMED discards them; FAILFAST raises on the first bad line.
+    """
+    reader = spark.read.option("mode", mode)
+    if corrupt_record_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_record_col)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
     """Parquet scan: embedded schema, column pruning, predicate pushdown,
-    hive-style partition discovery (``year=.../month=...`` dirs -> columns)."""
-    return spark.read.parquet(path)
+    hive-style partition discovery (``year=.../month=...`` dirs -> columns).
+
+    ``merge_schema=True`` reconciles files written with evolving schemas
+    (added nullable columns) into their union — an extra footer-reading
+    pass at planning time, so off by default and only for tables that
+    actually evolved."""
+    return spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(path)
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:

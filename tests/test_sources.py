@@ -154,3 +154,51 @@ def test_write_range_clustered_files_are_disjoint(spark, tmp_path):
 
     pruned = spark.read.parquet(path).where(F.col("k") < 100)
     assert pruned.count() == 100
+
+
+def test_json_corrupt_record_quarantine(spark, tmp_path):
+    """PERMISSIVE + corrupt-record column keeps bad lines for quarantine;
+    DROPMALFORMED removes them; FAILFAST raises."""
+    from pyspark.sql import types as T
+
+    from data_algorithms_with_pyspark_spark.sources.readers import read_json
+
+    p = tmp_path / "rows.json"
+    p.write_text('{"id": 1, "v": "a"}\n{"id": oops}\n{"id": 3, "v": "c"}\n')
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("_bad", T.StringType()),
+        ]
+    )
+    kept = read_json(
+        spark, str(p), schema=schema, corrupt_record_col="_bad"
+    ).collect()
+    assert len(kept) == 3
+    bad = [r for r in kept if r["_bad"] is not None]
+    assert len(bad) == 1 and "oops" in bad[0]["_bad"]
+
+    dropped = read_json(spark, str(p), schema=schema, mode="DROPMALFORMED")
+    assert dropped.count() == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_json(spark, str(p), schema=schema, mode="FAILFAST").collect()
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Files written before/after adding a column read back as the union
+    schema with nulls for the missing column."""
+    from data_algorithms_with_pyspark_spark.sources.readers import read_parquet
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "v"]).write.parquet(path)
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "v", "score"]).write.mode(
+        "append"
+    ).parquet(path)
+    merged = read_parquet(spark, path, merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "score"}
+    got = {r["id"]: r["score"] for r in merged.collect()}
+    assert got[1] is None and got[2] == 9.5
