@@ -440,3 +440,37 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("abs_z") >= 3.0)
     )
+
+
+@register(
+    "events_value_trend",
+    tags=("events", "stats", "functions"),
+    description="Per-type linear trend of value over time: regr_slope / "
+    "regr_intercept / regr_r2 built-in aggregates (JVM-side; one hash "
+    "aggregate, no MLlib)",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               round(regr_slope(value, epoch(ts) - 1700000000) * 86400, 4) AS slope_per_day,
+               round(regr_intercept(value, epoch(ts) - 1700000000), 4) AS intercept,
+               round(regr_r2(value, epoch(ts) - 1700000000), 4) AS r2
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS per group as ONE partial+final hash aggregate — the moment
+    sums (n, Σx, Σy, Σxy, Σx²) combine associatively, so this scales like
+    any groupBy-sum: no window, no iteration, no Python."""
+    events = load_table(spark, sf_dir, "events")
+    # Center x on a fixed epoch: with raw epoch-seconds (~1e9) the
+    # intercept is mean_y - slope*mean_x, a catastrophic cancellation
+    # that makes the 4th decimal engine-dependent. Centered, the
+    # intercept is "value at the reference time" and bit-stable.
+    x = F.unix_timestamp("ts").cast("double") - F.lit(1700000000.0)
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.regr_slope(F.col("value"), x) * 86400, 4).alias("slope_per_day"),
+        F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x), 4).alias("r2"),
+    )

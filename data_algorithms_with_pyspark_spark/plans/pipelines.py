@@ -490,3 +490,94 @@ def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             lineitem, orders, "l_orderkey", "o_orderkey", "orphan_lineitem_orderkey"
         ),
     )
+
+
+_V2_COSINE_THRESHOLD = 0.35  # same tail threshold as embedding_cosine_near_dups
+
+
+@register(
+    "corpus_curation_v2",
+    tags=("pipeline", "text", "dedup", "similarity"),
+    description=f"Multimodal curation: per-doc keep/drop verdict fusing "
+    f"quality>={_QUALITY_THRESHOLD}, exact content-hash dedup, and "
+    f"embedding cosine>={_V2_COSINE_THRESHOLD} near-dup (documents "
+    "joined 1:1 to embeddings on doc_id=vec_id) — every drop reason is "
+    "an explicit flag column",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   round({_quality_score_sql()}, 4) AS q,
+                   md5({_NORMALIZED}) AS content_hash
+            FROM documents
+        ),
+        flagged AS (
+            SELECT doc_id, q,
+                   CAST(doc_id > min(doc_id) OVER (PARTITION BY content_hash)
+                        AS INT) AS exact_dup_loser
+            FROM feats
+        ),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        near_losers AS (
+            SELECT DISTINCT b.vec_id AS doc_id
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.vec, b.vec), 6)
+                  >= {_V2_COSINE_THRESHOLD}
+        )
+        SELECT f.doc_id,
+               CAST(f.q >= {_QUALITY_THRESHOLD} AS INT) AS quality_ok,
+               f.exact_dup_loser,
+               CAST(n.doc_id IS NOT NULL AS INT) AS near_dup_loser,
+               CAST(f.q >= {_QUALITY_THRESHOLD}
+                    AND f.exact_dup_loser = 0
+                    AND n.doc_id IS NULL AS INT) AS kept
+        FROM flagged f LEFT JOIN near_losers n USING (doc_id)
+    """,
+)
+def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three signals, three bounded shuffles: quality is a map-side
+    projection; exact dedup is one window min on the content hash; the
+    near-dup loser set is the embedding pair scan reduced to a small
+    distinct-id relation before joining back (brute-force here; at 100 TB
+    swap in operators/similarity.py's SRP-LSH bucketing — the loser-set
+    join shape is unchanged). The verdict keeps every doc with explicit
+    drop-reason flags, the auditable form a curation run wants."""
+    from pyspark.sql.window import Window
+
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    feats = docs.select(
+        "doc_id",
+        quality_score_expr("text").alias("q"),
+        F.md5(normalize_text("text")).alias("content_hash"),
+    )
+    w = Window.partitionBy("content_hash")
+    flagged = feats.select(
+        "doc_id",
+        "q",
+        (F.col("doc_id") > F.min("doc_id").over(w)).cast("int").alias(
+            "exact_dup_loser"
+        ),
+    )
+    near_losers = (
+        embedding_near_dup_pairs(emb, _V2_COSINE_THRESHOLD)
+        .select(F.col("id_2").alias("doc_id"))
+        .distinct()
+        .withColumn("_near", F.lit(1))
+    )
+    joined = flagged.join(near_losers, "doc_id", "left")
+    quality_ok = F.col("q") >= _QUALITY_THRESHOLD
+    near_loser = F.col("_near").isNotNull()
+    return joined.select(
+        "doc_id",
+        quality_ok.cast("int").alias("quality_ok"),
+        "exact_dup_loser",
+        near_loser.cast("int").alias("near_dup_loser"),
+        (quality_ok & (F.col("exact_dup_loser") == 0) & ~near_loser)
+        .cast("int")
+        .alias("kept"),
+    )
