@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) for the custom operators.
+
+The reference tests only hand-picked literals (SURVEY.md §5); these check
+the operators' defining invariants on randomized inputs — small lists,
+bounded example counts (each example pays Spark job latency).
+"""
+
+from __future__ import annotations
+
+import bisect
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_algorithms_with_pyspark_spark.operators.asof import asof_join
+from data_algorithms_with_pyspark_spark.operators.packing import (
+    pack_by_token_budget,
+)
+from data_algorithms_with_pyspark_spark.operators.sampling import (
+    hash_sample,
+    hash_sample_predicate,
+)
+from data_algorithms_with_pyspark_spark.operators.skew import salted_join
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_keys = st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=12)
+
+
+@given(left_keys=_keys, right_keys=_keys)
+@_SETTINGS
+def test_salted_join_equals_plain_join(spark, left_keys, right_keys):
+    left = spark.createDataFrame([(k, f"l{i}") for i, k in enumerate(left_keys)], ["k", "lv"])
+    right = spark.createDataFrame([(k, f"r{i}") for i, k in enumerate(right_keys)], ["k", "rv"])
+    plain = sorted(map(tuple, left.join(right, "k").collect()))
+    salted = sorted(map(tuple, salted_join(left, right, "k", n_salts=3).collect()))
+    assert salted == plain
+
+
+@given(
+    left_ts=st.lists(st.integers(0, 50), min_size=1, max_size=10),
+    right_ts=st.lists(st.integers(0, 50), min_size=1, max_size=10, unique=True),
+)
+@_SETTINGS
+def test_asof_join_matches_bisect_model(spark, left_ts, right_ts):
+    left = spark.createDataFrame([(1, t) for t in left_ts], ["k", "lt"])
+    right = spark.createDataFrame([(1, t, f"p{t}") for t in right_ts], ["k", "rt", "payload"])
+    got = {
+        (r["lt"], r["payload"])
+        for r in asof_join(left, right, "k", "lt", "rt").collect()
+    }
+    rs = sorted(right_ts)
+    expected = set()
+    for t in left_ts:
+        i = bisect.bisect_right(rs, t)  # latest right_ts <= t
+        expected.add((t, f"p{rs[i - 1]}" if i else None))
+    assert got == expected
+
+
+@given(tokens=st.lists(st.integers(1, 30), min_size=1, max_size=15))
+@_SETTINGS
+def test_pack_by_token_budget_invariants(spark, tokens):
+    budget = 40
+    df = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(tokens)], ["doc_id", "source", "n_tokens"]
+    )
+    rows = sorted(
+        pack_by_token_budget(df, "n_tokens", budget, ["source"], "doc_id").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert len(rows) == len(tokens)  # every doc assigned
+    shard_ids = [r["shard_id"] for r in rows]
+    assert shard_ids == sorted(shard_ids)  # monotone in pack order
+    # each doc's shard is exactly floor(exclusive_prefix / budget)
+    prefix = 0
+    for r in rows:
+        assert r["shard_id"] == prefix // budget
+        prefix += r["n_tokens"]
+
+
+@given(rate=st.integers(1, 15))
+@_SETTINGS
+def test_hash_sample_is_deterministic_partition_of_rows(spark, rate):
+    df = spark.range(0, 200).withColumnRenamed("id", "k")
+    kept = hash_sample(df, "k", rate)
+    inverse = df.where(~hash_sample_predicate("k", rate))
+    a = {r["k"] for r in kept.collect()}
+    b = {r["k"] for r in inverse.collect()}
+    assert a | b == set(range(200)) and not (a & b)
+    assert {r["k"] for r in kept.collect()} == a  # stable on recompute
