@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "pagerank"]
+__all__ = ["connected_components", "pagerank", "shortest_paths"]
 
 
 def _undirected(edges: DataFrame) -> DataFrame:
@@ -114,3 +114,44 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def shortest_paths(
+    edges: DataFrame, source: int, max_hops: int = 10
+) -> DataFrame:
+    """Hop-bounded single-source shortest paths (BFS relaxation) over a
+    directed edge list; returns (id, distance) for vertices reachable from
+    ``source`` in <= max_hops hops.
+
+    Each round relaxes the current distance table through the edges (one
+    join + one min-aggregate shuffle, both keyed on vertex id) and stops
+    early when no distance improves — detected from the (count, sum)
+    pair, two cheap scalar actions, no full-table comparison join. The
+    hop bound makes the result deterministic and oracle-reproducible
+    even on cyclic graphs.
+    """
+    e = edges.select("src", "dst").localCheckpoint()
+    dist = (
+        e.sparkSession.createDataFrame([(source, 0)], ["id", "distance"])
+        .select(F.col("id").cast("long"), F.col("distance").cast("long"))
+        .localCheckpoint()
+    )
+    signature = (1, 0)
+    for _ in range(max_hops):
+        relaxed = dist.join(e, dist["id"] == e["src"]).select(
+            F.col("dst").alias("id"), (F.col("distance") + 1).alias("distance")
+        )
+        dist = (
+            dist.union(relaxed)
+            .groupBy("id")
+            .agg(F.min("distance").alias("distance"))
+            .localCheckpoint()
+        )
+        row = dist.agg(
+            F.count("*").alias("n"), F.sum("distance").alias("s")
+        ).collect()[0]
+        new_signature = (row["n"], row["s"])
+        if new_signature == signature:
+            break
+        signature = new_signature
+    return dist

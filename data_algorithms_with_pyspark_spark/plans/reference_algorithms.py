@@ -413,3 +413,36 @@ def sql_nation_supplier_analytics(spark: SparkSession, sf_dir: str) -> DataFrame
         FROM supplier_v JOIN nation_v ON s_nationkey = n_nationkey
         GROUP BY n_name
     """)
+
+
+_SSSP_SOURCE = 0
+_SSSP_MAX_HOPS = 6
+
+
+@register(
+    "graph_shortest_paths",
+    tags=("graph", "iterative"),
+    description=f"Hop-bounded BFS shortest paths from vertex {_SSSP_SOURCE} "
+    "(driver-loop relaxation with early exit; oracle = depth-bounded "
+    "recursive CTE)",
+    oracle=f"""
+        WITH RECURSIVE e AS ({_EDGES_SQL}),
+        walk(id, d) AS (
+            SELECT CAST({_SSSP_SOURCE} AS BIGINT), 0
+            UNION
+            SELECT e.dst, walk.d + 1
+            FROM walk JOIN e ON e.src = walk.id
+            WHERE walk.d < {_SSSP_MAX_HOPS}
+        )
+        SELECT id, CAST(min(d) AS BIGINT) AS distance
+        FROM walk GROUP BY id
+    """,
+)
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_algorithms_with_pyspark_spark.operators.iterative import (
+        shortest_paths,
+    )
+
+    return shortest_paths(
+        derived_edges(spark, sf_dir), _SSSP_SOURCE, _SSSP_MAX_HOPS
+    )

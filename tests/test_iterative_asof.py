@@ -136,3 +136,24 @@ class TestPagerank:
         ranks = {r.id: r.rank for r in pagerank(edges, iterations=15).collect()}
         assert abs(sum(ranks.values()) - 1.0) < 1e-6
         assert ranks[2] > ranks[1]
+
+
+def test_shortest_paths_line_graph_and_hop_bound(spark):
+    from data_algorithms_with_pyspark_spark.operators.iterative import (
+        shortest_paths,
+    )
+
+    # 0->1->2->3->4 chain plus a 0->2 shortcut; 9 is unreachable from 0.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 2), (9, 0)], ["src", "dst"]
+    )
+    got = {
+        r["id"]: r["distance"] for r in shortest_paths(edges, 0).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}  # shortcut wins; 9 absent
+
+    bounded = {
+        r["id"]: r["distance"]
+        for r in shortest_paths(edges, 0, max_hops=1).collect()
+    }
+    assert bounded == {0: 0, 1: 1, 2: 1}
