@@ -325,3 +325,50 @@ def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("balance_quartile"),
         F.round(F.percent_rank().over(w), 6).alias("balance_pct_rank"),
     )
+
+
+@register(
+    "customer_balance_window_bounds",
+    tags=("relational", "window"),
+    description="Frame-bound window functions: first_value / last_value "
+    "(full-partition frame) and cume_dist per nation over customer "
+    "balances — completes the ranking-function family of "
+    "customer_balance_ranks",
+    oracle="""
+        SELECT c_custkey, c_nationkey,
+               round(first_value(round(c_acctbal, 2)) OVER w_full, 2)
+                   AS richest_balance,
+               round(last_value(round(c_acctbal, 2)) OVER w_full, 2)
+                   AS poorest_balance,
+               round(cume_dist() OVER w_order, 6) AS balance_cume_dist
+        FROM customer
+        WINDOW
+            w_order AS (PARTITION BY c_nationkey
+                        ORDER BY round(c_acctbal, 2) DESC, c_custkey),
+            w_full AS (PARTITION BY c_nationkey
+                       ORDER BY round(c_acctbal, 2) DESC, c_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING)
+    """,
+)
+def customer_balance_window_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """last_value needs the explicit UNBOUNDED FOLLOWING frame (the default
+    frame ends at CURRENT ROW, where last_value degenerates to the row
+    itself) — stated identically in both engines. One window shuffle on
+    c_nationkey serves all three functions; ties broken by c_custkey so
+    cume_dist is deterministic."""
+    from pyspark.sql import Window
+
+    customer = load_table(spark, sf_dir, "customer")
+    balance = F.round(F.col("c_acctbal"), 2)
+    order = Window.partitionBy("c_nationkey").orderBy(
+        balance.desc(), F.col("c_custkey")
+    )
+    full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.first(balance).over(full), 2).alias("richest_balance"),
+        F.round(F.last(balance).over(full), 2).alias("poorest_balance"),
+        F.round(F.cume_dist().over(order), 6).alias("balance_cume_dist"),
+    )
