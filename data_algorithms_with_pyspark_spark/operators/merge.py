@@ -63,9 +63,28 @@ def apply_cdc(
 ) -> DataFrame:
     """Apply an I/U/D change-log batch: per key, the latest change wins
     (``order_col``, e.g. a change timestamp); D drops the key, I/U upsert
-    the row. The changelog carries the full row image plus ``op_col``."""
+    the row. The changelog carries the full row image plus ``op_col``.
+
+    Without ``order_col`` there is no way to pick a winner, so the batch
+    must be one-row-per-key already; that is VERIFIED (small eager count on
+    the changelog — the small side by construction) rather than assumed,
+    because a key with both an I and a U image would otherwise emit
+    duplicate rows into the merged table."""
     if order_col is not None:
         changelog = latest_change_per_key(changelog, keys, order_col)
+    else:
+        has_dup = (
+            changelog.groupBy(*keys)
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > 1)
+            .limit(1)
+            .count()
+        )
+        if has_dup:
+            raise ValueError(
+                "apply_cdc: changelog contains multiple rows for the same "
+                "key; pass order_col so the latest change per key wins"
+            )
     upserts = changelog.where(F.col(op_col) != "D").select(*target.columns)
     kept = target.join(
         changelog.select(*keys), on=keys, how="left_anti"

@@ -36,15 +36,17 @@ __all__ = [
 def check_counts(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     """(check_name, n_violations) for named boolean violation predicates,
     all evaluated in ONE scan (conditional-count aggregate per check)."""
+    if not checks:
+        raise ValueError("at least one check required")
     aggs = [
         F.count(F.when(pred, F.lit(1))).alias(name)
         for name, pred in checks.items()
     ]
     wide = df.agg(*aggs)
-    stack = ", ".join(f"'{name}', `{name}`" for name in checks)
-    return wide.selectExpr(
-        f"stack({len(checks)}, {stack}) AS (check_name, n_violations)"
-    )
+    # unpivot, not a selectExpr stack() string: caller-supplied check names
+    # never enter SQL text, so quotes/backticks in a name cannot break (or
+    # inject into) the expression.
+    return wide.unpivot([], list(checks), "check_name", "n_violations")
 
 
 def duplicate_keys(df: DataFrame, keys: list[str], check_name: str) -> DataFrame:

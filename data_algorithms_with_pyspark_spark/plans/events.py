@@ -211,24 +211,27 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) OVER w AS BIGINT) AS rolling_n
         FROM events
         WINDOW w AS (
-            PARTITION BY user_id ORDER BY ts
-            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
         )
     """,
 )
 def events_rolling_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time RANGE frame (not ROWS): every event sees exactly the
-    trailing hour regardless of event density. The frame is expressed on
-    epoch seconds; peers with equal ts are included on both engines. One
-    shuffle on user_id; the in-partition sort is the window's price —
-    at 100 TB pre-bucket by user_id to pay it at write time."""
+    trailing hour regardless of event density. The frame is ordered on
+    FULL-precision epoch microseconds on BOTH engines — ordering on whole
+    seconds would make same-second events frame peers (each would see the
+    others' values, the oracle would not) and would mis-include pairs
+    straddling the 3600s boundary by <1s. One shuffle on user_id; the
+    in-partition sort is the window's price — at 100 TB pre-bucket by
+    user_id to pay it at write time."""
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return events.select(
         "event_id",

@@ -30,6 +30,7 @@ from pyspark.sql import types as T
 from data_algorithms_with_pyspark_spark.schemas import TABLE_NAMES, TABLE_SCHEMAS
 
 __all__ = [
+    "ensure_session_confs",
     "read_csv",
     "read_json",
     "read_parquet",
@@ -39,6 +40,38 @@ __all__ = [
     "load_tables",
     "register_views",
 ]
+
+# Runtime-settable confs the catalog's CORRECTNESS depends on. The engine's
+# own factory (session.py:get_spark) sets these at build time, but callers may
+# hand the catalog ANY SparkSession — an external harness builds its own — so
+# every load_table re-asserts them on the live session:
+#
+# * nanosAsLong: events.parquet stores ts as parquet TIMESTAMP(NANOS), which
+#   Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL) unless surfaced
+#   as a ns-long (load_table then converts to a microsecond timestamp).
+# * timeZone=UTC: date_trunc/dayofweek/window results are compared against
+#   naive-UTC oracle timestamps; a session in any other zone shifts them.
+_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Pin runtime-settable confs that query correctness depends on.
+
+    Idempotent and cheap (conf.get is a local lookup); called from
+    ``load_table`` so the engine behaves identically under any caller's
+    SparkSession, not just ``session.get_spark``'s.
+    """
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:
+            # Conf not settable in this Spark build: leave it; the events
+            # reader will surface a clear error if the capability is needed.
+            pass
 
 
 def read_csv(
@@ -121,6 +154,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts is parquet TIMESTAMP(NANOS): surfaced as a ns-long via

@@ -231,10 +231,18 @@ def stream_upsert_sink(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         session = batch_df.sparkSession
-        try:
+        # Probe target existence explicitly rather than catching broadly:
+        # a transient read error or an upsert schema-mismatch must FAIL the
+        # batch (checkpoint replays it), not silently overwrite the target
+        # with only the current micro-batch.
+        jvm_path = session._jvm.org.apache.hadoop.fs.Path(target_path)
+        fs = jvm_path.getFileSystem(
+            session._jsc.hadoopConfiguration()
+        )
+        if fs.exists(jvm_path):
             target = session.read.parquet(target_path)
             merged = upsert(target, batch_df, keys)
-        except Exception:  # first batch: no target yet
+        else:  # first batch: no target yet
             merged = batch_df
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
             target_path

@@ -10,12 +10,32 @@ import sys
 from datetime import datetime
 
 import duckdb
+from pyspark.sql import SparkSession
 
 sys.path.insert(0, ".")
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from data_algorithms_with_pyspark_spark.schemas import TABLE_NAMES  # noqa: E402
-from data_algorithms_with_pyspark_spark.session import get_spark  # noqa: E402
+
+
+def hostile_spark() -> SparkSession:
+    """A session the engine did NOT build — like the external harness's.
+
+    Deliberately omits every engine conf (no nanosAsLong, no AQE) and pins a
+    NON-UTC timezone, which is more hostile than the real driver: queries must
+    re-assert the confs they depend on (readers.ensure_session_confs) to pass.
+    """
+    import os
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
+    return (
+        SparkSession.builder.appName("driver-sim-hostile")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
 
 
 def _norm(v):
@@ -30,7 +50,7 @@ def _norm(v):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_spark(app_name="driver-sim")
+    spark = hostile_spark()
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
