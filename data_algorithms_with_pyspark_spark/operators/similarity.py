@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from data_algorithms_with_pyspark_spark.functions.vectors import (
     cosine_similarity,
     dot_product,
+    l2_norm,
     to_double_array,
 )
 
@@ -32,6 +33,7 @@ __all__ = [
     "random_hyperplanes",
     "srp_codes",
     "lsh_near_dup_pairs",
+    "srp_banded_near_dup_pairs",
 ]
 
 
@@ -131,6 +133,84 @@ def lsh_near_dup_pairs(
     )
 
 
+def srp_banded_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float,
+    n_planes: int = 32,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded SRP-LSH cosine near-dup pairs — the multi-probe recall fix
+    over single-bucket ``lsh_near_dup_pairs``.
+
+    The ``n_planes``-bit SRP code is split into ``bands`` contiguous bands;
+    vectors agreeing on ANY band become candidates (equi-join on
+    ``(band, band_code)``), then exact cosine verifies candidates only.
+    Recall for a pair at angle θ is 1-(1-p^w)^bands with p = 1-θ/π and
+    w = n_planes/bands — true near-duplicates (cosine ≥ 0.9) are caught
+    with ~75% probability at 32/4, and ~99% by raising bands to 8 at the
+    same width. Band WIDTH (bits) controls candidate volume: each band
+    partitions the corpus into ~2^w buckets, so expected candidates are
+    O(bands · n² / 2^w) — at 8-bit bands that is 256× below all-pairs,
+    and the width is what you raise as the corpus grows.
+
+    Scale shape mirrors minhash_candidate_pairs: the banded self-join
+    carries only (id, band, band_code) — the vectors join back once per
+    surviving candidate id, carrying a pre-computed norm so verification
+    does one fold (the dot) per pair instead of three.
+    """
+    if n_planes % bands:
+        raise ValueError("n_planes must divide evenly into bands")
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    coded = srp_codes(embeddings, dim, n_planes, seed, id_col, vec_col)
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("srp_code"), b * width).bitwiseAND(
+                F.lit(mask).cast("long")
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = coded.select(
+        F.col(id_col), F.posexplode(band_vals).alias("band", "band_code")
+    )
+    left = banded.select(F.col(id_col).alias("id_1"), "band", "band_code")
+    right = banded.select(F.col(id_col).alias("id_2"), "band", "band_code")
+    pairs = (
+        left.join(right, on=["band", "band_code"], how="inner")
+        .where(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .dropDuplicates(["id_1", "id_2"])
+    )
+    normed = coded.select(
+        F.col(id_col), F.col("vec"), l2_norm(F.col("vec")).alias("norm")
+    )
+    v1 = normed.select(
+        F.col(id_col).alias("id_1"),
+        F.col("vec").alias("v_1"),
+        F.col("norm").alias("n_1"),
+    )
+    v2 = normed.select(
+        F.col(id_col).alias("id_2"),
+        F.col("vec").alias("v_2"),
+        F.col("norm").alias("n_2"),
+    )
+    den = F.col("n_1") * F.col("n_2")
+    cos = F.when(den == 0.0, F.lit(0.0)).otherwise(
+        dot_product(F.col("v_1"), F.col("v_2")) / den
+    )
+    return (
+        pairs.join(v1, on="id_1")
+        .join(v2, on="id_2")
+        .select("id_1", "id_2", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= F.lit(threshold))
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_id: int,
@@ -153,19 +233,35 @@ def ivf_topk(
     n_lists rows (no shuffle of the corpus) followed by one hash aggregate
     on id; at query time only ~n_probe/n_lists of the corpus is scored.
     Ties broken by centroid/vector id everywhere -> fully deterministic.
+
+    The argmax packs (cos, cid) into ONE bigint — ``round((cos+1)*1e15) *
+    n_lists + (n_lists-1-cid)`` — and takes ``max``: a primitive-buffer
+    aggregate, so the assignment plans as partial+final **HashAggregate**
+    with map-side combine over the broadcast product. The obvious
+    alternatives (``max_by`` with a struct key, ``max(struct(...))``)
+    carry struct buffers, which HashAggregateExec can't hold, forcing a
+    SortAggregate — at 100 TB that sorts n_vectors*n_lists rows and is
+    the cost center this encoding avoids. Quantizing cos at 1e-15 is
+    below double's own rounding noise at |cos|<=1; exact ties still break
+    to the lower centroid id via the packed low bits.
     """
     vecs = embeddings.select(F.col(id_col), to_double_array(vec_col).alias("vec"))
     cents = vecs.where(F.col(id_col) < n_lists).select(
         F.col(id_col).alias("cid"), F.col("vec").alias("cvec")
     )
     cos_vc = cosine_similarity(F.col("vec"), F.col("cvec"))
+    packed = (
+        F.round((cos_vc + F.lit(1.0)) * F.lit(1e15)).cast("long")
+        * F.lit(n_lists)
+        + (F.lit(n_lists - 1) - F.col("cid"))
+    )
     assign = (
         vecs.crossJoin(F.broadcast(cents))
         .groupBy(id_col)
-        .agg(
-            F.max_by(
-                "cid", F.struct(cos_vc.alias("c"), (-F.col("cid")).alias("t"))
-            ).alias("cid")
+        .agg(F.max(packed).alias("best"))
+        .select(
+            F.col(id_col),
+            (F.lit(n_lists - 1) - F.col("best") % n_lists).alias("cid"),
         )
     )
     query = vecs.where(F.col(id_col) == query_id).select(

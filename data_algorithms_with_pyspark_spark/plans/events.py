@@ -44,6 +44,7 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_sessionization",
+    bench=True,
     tags=("events", "window"),
     description="Gap-based sessionization (30 min) via lag + cumulative sum",
     oracle="""
@@ -73,6 +74,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_user_running_totals",
+    bench=True,
     tags=("events", "window"),
     description="Per-user running event count + value sum (analytic frame)",
     oracle="""
@@ -100,6 +102,7 @@ def events_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_props_extraction",
+    bench=True,
     tags=("events", "json"),
     description="JSON prop extraction from the props string column",
     oracle="""
@@ -163,6 +166,7 @@ def clicks_last_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_inter_arrival_stats",
+    bench=True,
     tags=("events", "window", "lag"),
     description="Per-type avg/max gap between a user's consecutive events (lag)",
     oracle="""
@@ -202,6 +206,7 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_rolling_hour_avg",
+    bench=True,
     tags=("events", "window", "timeseries"),
     description="Per-user trailing-1-hour rolling avg/count at each event "
     "(event-time RANGE frame)",
@@ -242,6 +247,7 @@ def events_rolling_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_hourly_gap_fill",
+    bench=True,
     tags=("events", "window", "timeseries"),
     description="Dense hourly grid per event type: zero-filled counts + "
     "last-observation-carried-forward sums (sequence+explode, LOCF window)",
@@ -360,6 +366,7 @@ def linestatus_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_sliding_windows",
+    bench=True,
     tags=("events", "window"),
     description="Sliding event-time windows (1h width, 30min slide) per "
     "event type via the built-in window() operator — each event lands in "
@@ -407,6 +414,7 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_value_outliers",
+    bench=True,
     tags=("events", "stats", "quality"),
     description="Anomaly detection: events whose value is > 3 sample-stddevs "
     "from their event_type mean — per-group stats broadcast back over the "
@@ -447,6 +455,7 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_value_trend",
+    bench=True,
     tags=("events", "stats", "functions"),
     description="Per-type linear trend of value over time: regr_slope / "
     "regr_intercept / regr_r2 built-in aggregates (JVM-side; one hash "

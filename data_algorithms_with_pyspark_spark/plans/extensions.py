@@ -29,7 +29,8 @@ from data_algorithms_with_pyspark_spark.operators.multimodal import (
 )
 from data_algorithms_with_pyspark_spark.operators.similarity import (
     cosine_topk,
-    lsh_near_dup_pairs,
+    random_hyperplanes,
+    srp_banded_near_dup_pairs,
 )
 from data_algorithms_with_pyspark_spark.operators.text import (
     LANG_MARKERS,
@@ -60,6 +61,74 @@ _ANN_K = 10
 def _marker_sql(markers: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{m}'" for m in markers)
     return f"len(list_filter({_TOKENS}, t -> list_contains([{lst}], t)))"
+
+
+# --- cross-engine SRP-LSH oracle fragments ----------------------------------
+#
+# The SRP hyperplanes are seeded Python floats embedded as LITERALS on both
+# sides: operators/similarity.srp_codes builds Spark `lit` columns from
+# random_hyperplanes(...), and the builders below emit the SAME floats
+# (repr round-trips exactly) into DuckDB list literals. Both engines fold
+# the dot product sequentially over f64, so the sign bits — and therefore
+# the LSH buckets — are bit-identical, which is what lets an LSH *scale
+# path* carry a full value-hash oracle instead of a rows-only check.
+
+# 32 planes / 4 bands = 8-bit bands: each band partitions the corpus into
+# ~256 buckets, keeping candidate volume ~256x below all-pairs while the
+# 4 independent bands recover recall for true near-duplicates.
+_SRP_N_PLANES = 32
+_SRP_BANDS = 4
+_SRP_DIM = 64
+
+
+def _srp_code_sql(dim: int = _SRP_DIM, n_planes: int = _SRP_N_PLANES, seed: int = 42) -> str:
+    """DuckDB expression for the n_planes-bit SRP code of column ``vec``."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(vec, [{', '.join(repr(x) for x in p)}]) > 0"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b, p in enumerate(planes)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def srp_pairs_sql(
+    threshold: float,
+    dim: int = _SRP_DIM,
+    n_planes: int = _SRP_N_PLANES,
+    bands: int = _SRP_BANDS,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of operators/similarity.srp_banded_near_dup_pairs:
+    (id_1, id_2, cosine) for banded-SRP candidates with exact cosine >=
+    threshold. Shared by srp_lsh_cosine_near_dups and corpus_curation_v2."""
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    return f"""
+        WITH srp_v AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        ),
+        srp_coded AS MATERIALIZED (
+            SELECT vec_id, vec, {_srp_code_sql(dim, n_planes, seed)} AS code
+            FROM srp_v
+        ),
+        srp_banded AS (
+            SELECT vec_id, t.band, (code >> (t.band * {width})) & {mask} AS band_code
+            FROM srp_coded, (SELECT unnest(range({bands})) AS band) t
+        ),
+        srp_cand AS (
+            SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
+            FROM srp_banded a
+            JOIN srp_banded b ON a.band = b.band AND a.band_code = b.band_code
+            WHERE a.vec_id < b.vec_id
+        )
+        SELECT c.id_1, c.id_2,
+               round(list_cosine_similarity(va.vec, vb.vec), 6) AS cosine
+        FROM srp_cand c
+        JOIN srp_coded va ON c.id_1 = va.vec_id
+        JOIN srp_coded vb ON c.id_2 = vb.vec_id
+        WHERE round(list_cosine_similarity(va.vec, vb.vec), 6) >= {threshold}
+    """
 
 
 # --- exact dedup / fingerprint ---------------------------------------------
@@ -100,9 +169,10 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ngram_jaccard_near_dups",
-    tags=("dedup",),
+    tags=("dedup", "baseline", "small-data-only"),
     description=f"Exact word-{_NGRAM_N}-gram Jaccard pairs >= {_JACCARD_THRESHOLD} "
-    "(brute-force baseline for the MinHash path)",
+    "— O(n^2) BASELINE for validating the MinHash scale path; never point "
+    "at a real corpus (pass LSH candidates to ngram_jaccard_pairs instead)",
     oracle=f"""
         WITH sh AS (
             SELECT doc_id,
@@ -130,9 +200,10 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_cosine_near_dups",
-    tags=("dedup", "similarity"),
+    tags=("dedup", "similarity", "baseline", "small-data-only"),
     description=f"Exact cosine near-dup pairs >= {_COSINE_DUP_THRESHOLD} "
-    "(brute-force baseline for the SRP-LSH path)",
+    "— O(n^2) BASELINE for validating srp_lsh_cosine_near_dups; never "
+    "point at a real corpus",
     oracle=f"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
         SELECT a.vec_id AS id_1, b.vec_id AS id_2,
@@ -175,14 +246,22 @@ def simhash_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "srp_lsh_cosine_near_dups",
+    bench=True,
     tags=("dedup", "similarity", "lsh"),
-    description="Cosine near-dups via sign-random-projection buckets "
-    "(scale path; seeded hyperplanes -> no SQL oracle)",
+    description=f"Cosine near-dups via banded sign-random-projection LSH "
+    f"({_SRP_N_PLANES} planes, {_SRP_BANDS} bands): candidates from band "
+    "equi-join, exact cosine verify — the scale path, with a FULL oracle "
+    "(hyperplane literals shared with DuckDB, sign bits bit-identical)",
+    oracle=srp_pairs_sql(_COSINE_DUP_THRESHOLD),
 )
 def srp_lsh_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_near_dup_pairs(
-        emb, dim=64, threshold=_COSINE_DUP_THRESHOLD, n_planes=8
+    return srp_banded_near_dup_pairs(
+        emb,
+        dim=_SRP_DIM,
+        threshold=_COSINE_DUP_THRESHOLD,
+        n_planes=_SRP_N_PLANES,
+        bands=_SRP_BANDS,
     )
 
 

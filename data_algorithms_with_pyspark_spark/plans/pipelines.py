@@ -50,6 +50,9 @@ from data_algorithms_with_pyspark_spark.operators.text import (
     quality_score_expr,
 )
 from data_algorithms_with_pyspark_spark.plans.catalog import register
+from data_algorithms_with_pyspark_spark.plans.extensions import (
+    srp_pairs_sql as _srp_pairs,
+)
 from data_algorithms_with_pyspark_spark.sources.readers import load_table
 
 # Shared fragments — identical to plans/extensions.py so Spark and oracle
@@ -497,12 +500,13 @@ _V2_COSINE_THRESHOLD = 0.35  # same tail threshold as embedding_cosine_near_dups
 
 @register(
     "corpus_curation_v2",
-    tags=("pipeline", "text", "dedup", "similarity"),
+    bench=True,
+    tags=("pipeline", "text", "dedup", "similarity", "lsh"),
     description=f"Multimodal curation: per-doc keep/drop verdict fusing "
     f"quality>={_QUALITY_THRESHOLD}, exact content-hash dedup, and "
-    f"embedding cosine>={_V2_COSINE_THRESHOLD} near-dup (documents "
-    "joined 1:1 to embeddings on doc_id=vec_id) — every drop reason is "
-    "an explicit flag column",
+    f"banded-SRP-LSH cosine>={_V2_COSINE_THRESHOLD} near-dup (documents "
+    "joined 1:1 to embeddings on doc_id=vec_id; no all-pairs join) — "
+    "every drop reason is an explicit flag column",
     oracle=f"""
         WITH feats AS (
             SELECT doc_id,
@@ -516,12 +520,9 @@ _V2_COSINE_THRESHOLD = 0.35  # same tail threshold as embedding_cosine_near_dups
                         AS INT) AS exact_dup_loser
             FROM feats
         ),
-        v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
         near_losers AS (
-            SELECT DISTINCT b.vec_id AS doc_id
-            FROM v a JOIN v b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.vec, b.vec), 6)
-                  >= {_V2_COSINE_THRESHOLD}
+            SELECT DISTINCT id_2 AS doc_id
+            FROM ({_srp_pairs(_V2_COSINE_THRESHOLD)})
         )
         SELECT f.doc_id,
                CAST(f.q >= {_QUALITY_THRESHOLD} AS INT) AS quality_ok,
@@ -536,15 +537,17 @@ _V2_COSINE_THRESHOLD = 0.35  # same tail threshold as embedding_cosine_near_dups
 def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three signals, three bounded shuffles: quality is a map-side
     projection; exact dedup is one window min on the content hash; the
-    near-dup loser set is the embedding pair scan reduced to a small
-    distinct-id relation before joining back (brute-force here; at 100 TB
-    swap in operators/similarity.py's SRP-LSH bucketing — the loser-set
-    join shape is unchanged). The verdict keeps every doc with explicit
-    drop-reason flags, the auditable form a curation run wants."""
+    near-dup loser set comes from banded SRP-LSH (band equi-join +
+    exact-cosine verify on candidates only — NO all-pairs join anywhere
+    in this plan) reduced to a small distinct-id relation before joining
+    back. The oracle reproduces the same LSH buckets from shared
+    hyperplane literals, so even the approximate stage is value-checked.
+    The verdict keeps every doc with explicit drop-reason flags, the
+    auditable form a curation run wants."""
     from pyspark.sql.window import Window
 
-    from data_algorithms_with_pyspark_spark.operators.dedup import (
-        embedding_near_dup_pairs,
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        srp_banded_near_dup_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -564,7 +567,7 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     near_losers = (
-        embedding_near_dup_pairs(emb, _V2_COSINE_THRESHOLD)
+        srp_banded_near_dup_pairs(emb, dim=64, threshold=_V2_COSINE_THRESHOLD)
         .select(F.col("id_2").alias("doc_id"))
         .distinct()
         .withColumn("_near", F.lit(1))

@@ -446,3 +446,60 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shortest_paths(
         derived_edges(spark, sf_dir), _SSSP_SOURCE, _SSSP_MAX_HOPS
     )
+
+
+@register(
+    "fasta_base_count",
+    tags=("reference", "text", "file-source"),
+    description="DNA base count over a real FASTA text FILE — S2 end-to-end "
+    "(write deterministic FASTA derived from documents, read_text, filter "
+    "'>' headers, per-base counts; dna_base_count_ver_1.py:75-82 on file "
+    "input rather than a table)",
+    oracle="""
+        WITH seqs AS (
+            SELECT regexp_replace(lower(text), '[^acgt]', '', 'g') AS seq
+            FROM documents
+        ),
+        counts AS (
+            SELECT b.base,
+                   CAST(sum(len(seq) - len(replace(seq, b.base, ''))) AS BIGINT) AS n
+            FROM seqs, (SELECT unnest(['a', 'c', 'g', 't']) AS base) b
+            GROUP BY b.base
+        )
+        SELECT base, n FROM counts WHERE n > 0
+    """,
+)
+def fasta_base_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FASTA pipeline shape on an actual text FILE: a
+    deterministic FASTA ('>doc_N' headers + acgt-projected document text)
+    is (re)written under the system temp dir, then the counting pipeline
+    runs from ``read_text`` — line scan -> header filter -> char explode ->
+    hash aggregate. The oracle computes the same counts straight from the
+    documents table (the file content is a pure function of it), so this
+    is the one catalog query that value-checks the text-file SOURCE, not
+    just the transform."""
+    import os
+    import tempfile
+
+    from data_algorithms_with_pyspark_spark.sources.readers import read_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_fasta_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    headers = docs.select(
+        F.concat(F.lit(">doc_"), F.col("doc_id").cast("string")).alias("value")
+    )
+    seqs = docs.select(
+        F.regexp_replace(F.lower(F.col("text")), "[^acgt]", "").alias("value")
+    )
+    headers.unionByName(seqs).write.mode("overwrite").text(path)
+    lines = read_text(spark, path)
+    return (
+        lines.where(~F.col("value").startswith(">"))
+        .select(F.explode(F.split(F.col("value"), "")).alias("base"))
+        .where(F.col("base").isin("a", "c", "g", "t"))
+        .groupBy("base")
+        .agg(F.count("*").alias("n"))
+    )

@@ -88,3 +88,32 @@ def test_scan_defaults_to_multiple_partitions_at_scale(spark):
     n = df.rdd.getNumPartitions()
     assert 1 <= n <= 8
     assert df.where(F.col("l_orderkey") < 0).count() == 0
+
+
+def test_no_all_pairs_joins_in_registered_pipelines(spark):
+    """The curation/dedup pipelines and LSH scale paths must never plan a
+    cartesian or nested-loop join over two large sides: candidates come
+    from banded equi-joins. (The brute-force baselines tagged
+    'small-data-only' are the sanctioned exceptions and are excluded.)"""
+    scale_path_queries = (
+        "corpus_curation_v2",
+        "corpus_curation_pipeline",
+        "near_dup_clusters",
+        "srp_lsh_cosine_near_dups",
+        "minhash_near_dup_candidates",
+        "simhash_near_dup_candidates",
+    )
+    for name in scale_path_queries:
+        df = all_queries()[name].fn(spark, SF_SMOKE)
+        plan = _optimized_plan(df)
+        assert "Join Cross" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_baseline_queries_are_tagged_small_data_only(spark):
+    """Every registered query whose plan contains an all-pairs join must
+    carry the 'small-data-only' tag so no one mistakes it for a scale path."""
+    for name in ("ngram_jaccard_near_dups", "embedding_cosine_near_dups"):
+        q = all_queries()[name]
+        assert "baseline" in q.tags and "small-data-only" in q.tags, name
+        assert q.bench is False, name
