@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["normalize_text", "words", "char_counts_expr", "subword_count"]
+__all__ = [
+    "normalize_text",
+    "words",
+    "char_counts_expr",
+    "subword_count",
+    "word_ngrams",
+]
 
 
 def normalize_text(col: Column | str) -> Column:
@@ -39,6 +45,24 @@ def char_counts_expr(col: Column | str, pattern: str = "[a-z]") -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_extract_all(F.lower(c), F.lit(pattern), 0)
+
+
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array (array<string>).
+
+    Pure Catalyst: ``transform`` over an index ``sequence`` + 1-indexed
+    ``element_at``; a document shorter than ``n`` words yields an empty
+    array (guarded — Spark's ``sequence(1, 0)`` would count DOWN).
+    """
+    if n < 2:
+        raise ValueError("word_ngrams is for n >= 2; use the tokens directly")
+    idx = F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens, i + F.lit(k)) for k in range(n)]
+    )
+    return F.when(
+        F.size(tokens) >= n, F.transform(idx, gram)
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def subword_count(col: Column | str, chars_per_token: int = 4) -> Column:

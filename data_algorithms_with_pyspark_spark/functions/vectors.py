@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["to_double_array", "dot_product", "l2_norm", "cosine_similarity"]
+__all__ = [
+    "to_double_array",
+    "dot_product",
+    "l2_norm",
+    "cosine_similarity",
+    "int8_quant_sse_fp",
+]
 
 
 def to_double_array(col: Column | str) -> Column:
@@ -41,3 +47,36 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     num = dot_product(a, b)
     den = l2_norm(a) * l2_norm(b)
     return F.when(den == 0.0, F.lit(0.0)).otherwise(num / den)
+
+
+def int8_quant_sse_fp(a: Column) -> Column:
+    """Symmetric-int8 quantization reconstruction error of an array<double>
+    vector, as a fixed-point bigint: sum over elements of
+    ``round(err^2 * 1e12)`` where ``err = x - clamp(round(x/scale)) *
+    scale`` and ``scale = max|x| / 127`` (the standard absmax scheme
+    embedding stores use to cut vector bytes 4x).
+
+    Fixed-point on purpose: every step (max, divide, floor(x+0.5), clamp,
+    multiply, subtract) is a single IEEE-f64 op any engine reproduces
+    bit-for-bit, and the final per-vector value is an exact INTEGER — so
+    downstream per-group averages are integer sums, immune to f64
+    accumulation-order drift. An all-zero vector quantizes to itself
+    (error 0, zero-divide guarded).
+    """
+    amax = F.array_max(F.transform(a, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q = lambda x: F.greatest(  # noqa: E731
+        F.lit(-127.0), F.least(F.lit(127.0), F.floor(x / scale + F.lit(0.5)))
+    )
+    err = lambda x: x - q(x) * scale  # noqa: E731
+    sse = F.aggregate(
+        F.transform(
+            a,
+            lambda x: F.floor(err(x) * err(x) * F.lit(1e12) + F.lit(0.5)).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(amax == 0.0, F.lit(0).cast("long")).otherwise(sse)

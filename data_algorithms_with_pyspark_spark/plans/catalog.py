@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "data_algorithms_with_pyspark_spark.plans.tpch",
     "data_algorithms_with_pyspark_spark.plans.tpch_extended",
     "data_algorithms_with_pyspark_spark.plans.reference_algorithms",
+    "data_algorithms_with_pyspark_spark.plans.curation",
 )
 
 _REGISTRY: dict[str, "CatalogQuery"] = {}

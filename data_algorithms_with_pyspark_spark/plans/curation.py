@@ -1,0 +1,282 @@
+"""Corpus-quality rules and scale-pattern queries (round-2 additions).
+
+Two themes, both north-star extensions beyond the reference's surface:
+
+* **Training-corpus quality**: Gopher-style rule filtering (Rae et al.
+  2021 appendix A1.1), within-document n-gram repetition profiling
+  (C4/Gopher duplicate-n-gram signals), and int8 embedding-quantization
+  error audit — the checks a 100 TB text+embedding pipeline runs before
+  and after compression/dedup.
+* **Scale patterns as first-class queries**: the salting skew-mitigation
+  join proved equal to its plain-join oracle, and the hourly→daily
+  hierarchical rollup (the hypertable "continuous aggregate" shape —
+  daily reads the much smaller hourly aggregate, not raw events).
+
+Cross-engine determinism policy: every keep/drop decision and every
+aggregated measure here is computed in INTEGER space (cross-multiplied
+rule comparisons, basis-point ratios, fixed-point micro/1e12 sums) so
+the DuckDB oracle matches bit-for-bit regardless of accumulation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_algorithms_with_pyspark_spark.functions.vectors import (
+    int8_quant_sse_fp,
+    to_double_array,
+)
+from data_algorithms_with_pyspark_spark.operators.skew import salted_join
+from data_algorithms_with_pyspark_spark.operators.text import (
+    gopher_rules,
+    repetition_scores,
+)
+from data_algorithms_with_pyspark_spark.plans.catalog import (
+    cents_sum,
+    cents_sum_sql,
+    register,
+)
+from data_algorithms_with_pyspark_spark.plans.extensions import _TOKENS
+from data_algorithms_with_pyspark_spark.sources.readers import load_table
+
+_STOPS_SQL = "['the', 'and', 'of', 'to', 'a', 'in', 'is', 'that']"
+
+
+@register(
+    "doc_gopher_quality_rules",
+    bench=True,
+    tags=("text", "quality", "pipeline"),
+    description="Gopher-rule document filter: per-rule 0/1 flags (word "
+    "count, mean word length, stopword presence, distinct-word ratio) + "
+    "combined keep verdict, all integer-space comparisons",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS t FROM documents
+        ),
+        feats AS (
+            SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n,
+                   CAST(list_aggregate(
+                       list_transform(t, w -> CAST(len(w) AS BIGINT)), 'sum')
+                       AS BIGINT) AS sum_len,
+                   CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
+                   CAST(len(list_intersect(t, {_STOPS_SQL})) AS BIGINT)
+                       AS stop_hits
+            FROM toks
+        )
+        SELECT doc_id,
+               n AS n_words,
+               CAST(n BETWEEN 25 AND 10000 AS INT) AS words_ok,
+               CAST(10 * sum_len BETWEEN 40 * n AND 100 * n AS INT)
+                   AS mean_wlen_ok,
+               CAST(stop_hits >= 2 AS INT) AS stopword_ok,
+               CAST(100 * n_uniq >= 45 * n AS INT) AS uniq_words_ok,
+               CAST((n BETWEEN 25 AND 10000)
+                    AND (10 * sum_len BETWEEN 40 * n AND 100 * n)
+                    AND stop_hits >= 2
+                    AND 100 * n_uniq >= 45 * n AS INT) AS keep
+        FROM feats
+    """,
+)
+def doc_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_repetition_scores",
+    tags=("text", "quality", "dedup"),
+    description="Within-doc repetition profile: unique word/bigram/trigram "
+    "ratios in basis points (C4/Gopher duplicate-n-gram signals)",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS t FROM documents
+        ),
+        g AS (
+            SELECT doc_id, t,
+                   list_transform(range(1, len(t)),
+                       i -> t[i] || ' ' || t[i+1]) AS b2,
+                   list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS b3
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_words,
+               CASE WHEN len(t) = 0 THEN NULL ELSE CAST(floor(
+                   len(list_distinct(t)) * 10000.0 / len(t) + 0.5) AS BIGINT)
+               END AS uniq_word_bp,
+               CAST(len(b2) AS BIGINT) AS n_bigrams,
+               CASE WHEN len(b2) = 0 THEN NULL ELSE CAST(floor(
+                   len(list_distinct(b2)) * 10000.0 / len(b2) + 0.5) AS BIGINT)
+               END AS uniq_bigram_bp,
+               CAST(len(b3) AS BIGINT) AS n_trigrams,
+               CASE WHEN len(b3) = 0 THEN NULL ELSE CAST(floor(
+                   len(list_distinct(b3)) * 10000.0 / len(b3) + 0.5) AS BIGINT)
+               END AS uniq_trigram_bp
+        FROM g
+    """,
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_int8_quant_error",
+    tags=("similarity", "quality", "functions"),
+    description="Int8 absmax-quantization audit: per-label vector count, "
+    "exact fixed-point (1e-12) total reconstruction SSE, and mean SSE per "
+    "vector — the compression-loss check before shipping quantized "
+    "embeddings",
+    oracle="""
+        WITH v AS (
+            SELECT label, embedding::DOUBLE[] AS vec FROM embeddings
+        ),
+        s AS (
+            SELECT label, vec,
+                   list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+            FROM v
+        ),
+        e AS (
+            SELECT label, scale,
+                   list_transform(vec, x -> x
+                       - greatest(-127.0, least(127.0, floor(x / scale + 0.5)))
+                         * scale) AS err
+            FROM s
+        ),
+        per AS (
+            SELECT label,
+                   CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(list_aggregate(list_transform(err,
+                            x -> CAST(floor(x * x * 1e12 + 0.5) AS BIGINT)),
+                            'sum') AS BIGINT)
+                   END AS sse_fp
+            FROM e
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(sum(sse_fp) AS BIGINT) AS total_err_fp,
+               CAST(sum(sse_fp) AS BIGINT) / count(*) AS avg_sse_fp
+        FROM per
+        GROUP BY label
+        ORDER BY label
+    """,
+)
+def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One projection computes each vector's exact fixed-point SSE inside
+    codegen (functions/vectors.int8_quant_sse_fp), then a single hash
+    aggregate on the low-cardinality label key — integer sums end to end,
+    so the per-label totals are order-independent. At 100 TB: map-side
+    partial aggregation reduces each partition to n_labels rows before the
+    one tiny shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    per = emb.select(
+        "label",
+        int8_quant_sse_fp(to_double_array("embedding")).alias("sse_fp"),
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("sse_fp").alias("total_err_fp"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            "total_err_fp",
+            (F.col("total_err_fp") / F.col("n_vectors")).alias("avg_sse_fp"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "orders_salted_join_agg",
+    tags=("join", "skew", "scale"),
+    description="Market-segment order rollup through the salted join "
+    "(operators/skew.salted_join, 8 salts) — result proven identical to "
+    "the plain-join oracle; the explicit mitigation for hot keys AQE "
+    "can't split",
+    oracle=f"""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {cents_sum_sql("o_totalprice")} AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+)
+def orders_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting replicates the dimension once per salt and scatters fact
+    rows by a whole-row hash, so a hot customer key spreads over 8 shuffle
+    partitions instead of one straggler. Join-key equality still holds on
+    exactly one salt per matched pair, which is what the plain-join oracle
+    certifies. The aggregate beneath is unchanged: partial+final hash
+    aggregate on the 5-value segment key."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        salted_join(orders, cust, on="o_custkey", n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            cents_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "events_hourly_daily_rollup",
+    bench=True,
+    tags=("events", "timeseries", "rollup", "scale"),
+    description="Hierarchical continuous-aggregate shape: hourly event "
+    "rollup re-aggregated to daily (counts, fixed-point value sums, "
+    "active-hour counts) — daily reads the small hourly aggregate, never "
+    "the raw events",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                       AS BIGINT) AS value_fp
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT CAST(hour AS DATE) AS day, event_type,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               CAST(sum(value_fp) AS BIGINT) / 1e6 AS value_sum,
+               CAST(count(*) AS BIGINT) AS n_active_hours
+        FROM hourly
+        GROUP BY 1, 2
+        ORDER BY day, event_type
+    """,
+)
+def events_hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TimescaleDB/Druid rollup cascade in two hash aggregates: the
+    raw scan reduces to (hour, type) — at 100 TB that's the only pass over
+    events, with map-side partials — and the daily layer aggregates the
+    ~24x smaller hourly relation. Value sums are micro-quantized to exact
+    integers at the leaf so both rollup levels are order-independent and
+    re-aggregable (the continuous-aggregate contract: daily derived from
+    stored hourly equals daily from raw)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).alias("value_fp"),
+    )
+    return (
+        hourly.groupBy(F.to_date("hour").alias("day"), "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            (F.sum("value_fp") / F.lit(1e6)).alias("value_sum"),
+            F.count("*").alias("n_active_hours"),
+        )
+        .orderBy("day", "event_type")
+    )

@@ -1,0 +1,103 @@
+"""Known-answer tests for the round-2 corpus-quality operators: Gopher
+rule flags, n-gram repetition profiles, and int8 quantization error."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_algorithms_with_pyspark_spark.functions.text_functions import (
+    word_ngrams,
+    words,
+)
+from data_algorithms_with_pyspark_spark.functions.vectors import (
+    int8_quant_sse_fp,
+)
+from data_algorithms_with_pyspark_spark.operators.text import (
+    gopher_rules,
+    repetition_scores,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_word_ngrams_known_answers(spark):
+    df = _docs(spark, [(0, "a b c d"), (1, "a b"), (2, "a"), (3, "")])
+    out = {
+        r["doc_id"]: (r["b2"], r["b3"])
+        for r in df.select(
+            "doc_id",
+            word_ngrams(words("text"), 2).alias("b2"),
+            word_ngrams(words("text"), 3).alias("b3"),
+        ).collect()
+    }
+    assert out[0] == (["a b", "b c", "c d"], ["a b c", "b c d"])
+    assert out[1] == (["a b"], [])
+    assert out[2] == ([], [])
+    assert out[3] == ([], [])
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    long_good = "the and of to is that " + " ".join(
+        f"word{i} term{i} item{i} note{i}" for i in range(10)
+    )  # 46 words, mean len ~4.8, 6 stopwords, all distinct
+    too_short = "the and of something"
+    repeated = "the and of to " + " ".join(["spam"] * 40)  # dup-ratio fail
+    long_words = "the and of is " + " ".join(
+        f"extraordinarily{i} incomprehensible{i}" for i in range(15)
+    )  # mean word length > 10
+    df = _docs(
+        spark,
+        [(0, long_good), (1, too_short), (2, repeated), (3, long_words)],
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    assert out[0]["keep"] == 1, out[0]
+    assert out[1]["words_ok"] == 0 and out[1]["keep"] == 0
+    assert out[2]["uniq_words_ok"] == 0 and out[2]["keep"] == 0
+    assert out[3]["mean_wlen_ok"] == 0 and out[3]["keep"] == 0
+    # stopword rule: strip stopwords from the good doc -> stopword_ok flips
+    no_stops = _docs(spark, [(9, " ".join(f"w{i}" for i in range(30)))])
+    row = gopher_rules(no_stops).collect()[0]
+    assert row["stopword_ok"] == 0 and row["keep"] == 0
+
+
+def test_repetition_scores_known_answers(spark):
+    # "a b a b": 4 words 2 uniq -> 5000bp; bigrams [a b, b a, a b]:
+    # 3 total 2 uniq -> 6667bp; trigrams [a b a, b a b]: 2 uniq -> 10000bp
+    df = _docs(spark, [(0, "a b a b"), (1, "x")])
+    out = {r["doc_id"]: r.asDict() for r in repetition_scores(df).collect()}
+    assert out[0] == {
+        "doc_id": 0,
+        "n_words": 4,
+        "uniq_word_bp": 5000,
+        "n_bigrams": 3,
+        "uniq_bigram_bp": 6667,
+        "n_trigrams": 2,
+        "uniq_trigram_bp": 10000,
+    }
+    assert out[1]["n_bigrams"] == 0 and out[1]["uniq_bigram_bp"] is None
+
+
+def test_int8_quant_sse_known_answers(spark):
+    df = spark.createDataFrame(
+        [(0, [127.0, -127.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.5])],
+        ["vec_id", "vec"],
+    )
+    out = {
+        r["vec_id"]: r["sse"]
+        for r in df.select(
+            "vec_id",
+            int8_quant_sse_fp(F.col("vec").cast("array<double>")).alias("sse"),
+        ).collect()
+    }
+    # vec 0: scale=1, all values exact int8 -> zero error
+    assert out[0] == 0
+    # vec 1: all-zero vector -> guarded, zero error
+    assert out[1] == 0
+    # vec 2: scale=1/127; 1.0 -> q=127 exact; 0.5 -> q=round(63.5)=64,
+    # err = 0.5 - 64/127; sse_fp = round(err^2 * 1e12)
+    err = 0.5 - (64.0 * (1.0 / 127.0))
+    import math
+
+    assert out[2] == math.floor(err * err * 1e12 + 0.5)
