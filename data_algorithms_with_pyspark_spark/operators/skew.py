@@ -38,6 +38,12 @@ def salted_join(
 
     ``how`` is limited to inner/left joins: right-outer semantics would see
     the replicated right rows as distinct unmatched rows.
+
+    Scale note: the salt hashes EVERY left column (hashing only the key
+    would send the hot key to one salt again, defeating the point), which
+    blocks column pruning on the left scan — project the left side to the
+    columns the query needs BEFORE calling this, or the scan reads full
+    rows just to feed the hash.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner|left, got {how!r}")

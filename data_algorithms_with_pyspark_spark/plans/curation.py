@@ -212,8 +212,17 @@ def orders_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions instead of one straggler. Join-key equality still holds on
     exactly one salt per matched pair, which is what the plain-join oracle
     certifies. The aggregate beneath is unchanged: partial+final hash
-    aggregate on the 5-value segment key."""
-    orders = load_table(spark, sf_dir, "orders")
+    aggregate on the 5-value segment key.
+
+    The fact side is projected to the two referenced columns BEFORE the
+    salted join: the salt hashes every column of its input, so an
+    unprojected left side would force the scan to read the full row width
+    (ReadSchema showed all 6 order columns) just to feed the hash — the
+    one column-pruning barrier salting introduces, and the caller-side
+    projection is the fix."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
     )

@@ -32,6 +32,7 @@ __all__ = [
     "streaming_session_windows",
     "streaming_dedup_within_watermark",
     "streaming_click_purchase_join",
+    "streaming_enriched_events",
     "run_to_memory_sink",
     "stream_upsert_sink",
 ]
@@ -156,6 +157,26 @@ def streaming_click_purchase_join(
         "click_ts",
         "purchase_value",
     )
+
+
+def streaming_enriched_events(
+    events: DataFrame, user_dim: DataFrame, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of events joins the
+    (batch) user dimension — the lookup-table pattern of every streaming
+    ETL. No watermark needed and NO state store: a static side is simply
+    (re)joined per micro-batch, and Spark broadcasts it when small, so the
+    stream never shuffles. The static side is re-read per batch from its
+    source, which is what makes slowly-changing dimensions pick up updates
+    between triggers.
+
+    ``user_dim`` must carry ``user_id``; its remaining columns are appended
+    to every matching event (left join keeps dimension-missing events,
+    inner drops them).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"stream-static join supports inner|left, got {how!r}")
+    return events.join(F.broadcast(user_dim), on="user_id", how=how)
 
 
 def run_to_memory_sink(

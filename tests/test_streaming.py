@@ -222,3 +222,42 @@ def test_streaming_sliding_windows_matches_batch(spark, events_dir):
     s = sorted([tuple(r) for r in streamed.collect()])
     b = sorted([tuple(r) for r in batch.collect()])
     assert s == b
+
+
+def test_streaming_enriched_events_matches_batch_join(spark, events_dir):
+    from data_algorithms_with_pyspark_spark.sources.readers import load_table
+    from data_algorithms_with_pyspark_spark.streaming.events import (
+        streaming_enriched_events,
+    )
+
+    # static dimension: per-user segment derived from customer keys
+    dim = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 3).cast("int"))
+    )
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    enriched = streaming_enriched_events(stream, dim, how="left")
+    assert enriched.isStreaming
+    run_to_memory_sink(
+        enriched.groupBy("segment").agg(F.count("*").alias("n")),
+        "enriched_out",
+        output_mode="complete",
+    )
+    streamed = {
+        r["segment"]: r["n"]
+        for r in spark.sql("SELECT segment, n FROM enriched_out").collect()
+    }
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .join(dim, on="user_id", how="left")
+        .groupBy("segment")
+        .agg(F.count("*").alias("n"))
+    )
+    assert streamed == {r["segment"]: r["n"] for r in batch.collect()}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        streaming_enriched_events(stream, dim, how="full")
