@@ -22,9 +22,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_sample", "hash_sample_predicate", "stratified_sample"]
+__all__ = [
+    "hash_sample",
+    "hash_sample_predicate",
+    "rational_hash_sample_predicate",
+    "stratified_sample",
+]
 
 _HEX = "0123456789abcdef"
+
+# 16^6: the first 6 md5 hex digits read as an integer are uniform on
+# [0, 16^6) — the deterministic "random" draw for rational-rate sampling.
+_HASH_SPACE = 16**6
 
 
 def hash_sample_predicate(key: Column | str, sixteenths: int) -> Column:
@@ -38,6 +47,25 @@ def hash_sample_predicate(key: Column | str, sixteenths: int) -> Column:
 def hash_sample(df: DataFrame, key_col: str, sixteenths: int) -> DataFrame:
     """Deterministic ~(sixteenths/16) sample keyed on ``key_col``."""
     return df.where(hash_sample_predicate(key_col, sixteenths))
+
+
+def rational_hash_sample_predicate(
+    key: Column | str, numerator: Column, denominator: Column
+) -> Column:
+    """Boolean column: keep the row with probability numerator/denominator,
+    deterministically — the per-row draw is the first 6 md5 hex digits of
+    ``key`` read as an integer ``u`` uniform on [0, 16^6), accepted iff
+    ``u * denominator < numerator * 16^6``.
+
+    All-integer comparison (no float rate), so any engine agrees exactly on
+    every row — the primitive behind weighted corpus mixing, where each
+    stratum's rate is a data-derived rational like target_n/stratum_n. The
+    rate columns may come from a broadcast-joined per-stratum relation;
+    the predicate itself stays a scan-stage filter.
+    """
+    k = F.col(key).cast("string") if isinstance(key, str) else key.cast("string")
+    u = F.conv(F.substring(F.md5(k), 1, 6), 16, 10).cast("long")
+    return u * denominator < numerator * F.lit(_HASH_SPACE).cast("long")
 
 
 def stratified_sample(

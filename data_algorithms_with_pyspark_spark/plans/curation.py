@@ -27,6 +27,10 @@ from data_algorithms_with_pyspark_spark.functions.vectors import (
     int8_quant_sse_fp,
     to_double_array,
 )
+from data_algorithms_with_pyspark_spark.operators.sampling import (
+    rational_hash_sample_predicate,
+)
+from data_algorithms_with_pyspark_spark.operators.sketches import kmv_distinct
 from data_algorithms_with_pyspark_spark.operators.skew import salted_join
 from data_algorithms_with_pyspark_spark.operators.text import (
     gopher_rules,
@@ -289,3 +293,184 @@ def events_hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@register(
+    "corpus_weighted_mixture_sample",
+    tags=("sampling", "pipeline", "scale"),
+    description="Deterministic weighted corpus mixing: even-numbered "
+    "sources downsampled to 1/2 via the all-integer rational hash "
+    "predicate; per-source (n_docs, n_kept) audit report",
+    oracle="""
+        WITH rated AS (
+            SELECT doc_id, source,
+                   CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1)
+                             AS BIGINT) % 2 = 0
+                        THEN 1 ELSE 2 END AS num,
+                   2 AS den
+            FROM documents
+        ),
+        kept AS (
+            SELECT source
+            FROM rated
+            WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                      ::BIGINT * den
+                  < num * 16777216
+        )
+        SELECT r.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+        FROM rated r
+        LEFT JOIN (
+            SELECT source, count(*) AS n_kept FROM kept GROUP BY source
+        ) k USING (source)
+        GROUP BY r.source, k.n_kept
+        ORDER BY r.source
+    """,
+)
+def corpus_weighted_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing primitive for training-corpus assembly: each source
+    gets a RATIONAL sampling rate (here: even-numbered sources 1/2, odd
+    1/1) and rows are accepted by the integer hash predicate
+    (operators/sampling.rational_hash_sample_predicate) — the same rows on
+    every run, any cluster size, any partitioning, any engine. The audit
+    output is the per-source before/after row count a mixing run reports.
+    Plan: one scan computes the rate columns and the verdict inline (the
+    rate here derives from the source name; a target-proportion table
+    would broadcast-join instead), one hash aggregate for the report."""
+    docs = load_table(spark, sf_dir, "documents")
+    num = F.when(
+        F.regexp_extract("source", r"([0-9]+)$", 1).cast("long") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(2)).cast("long")
+    den = F.lit(2).cast("long")
+    rated = docs.select(
+        "doc_id",
+        "source",
+        rational_hash_sample_predicate("doc_id", num, den).alias("kept"),
+    )
+    return (
+        rated.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "corpus_vocabulary_coverage",
+    tags=("text", "pipeline", "functions"),
+    description="Tokenizer-prep vocabulary report: terms by corpus "
+    "frequency with rank and cumulative coverage (basis points of all "
+    "token occurrences)",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest({_TOKENS}) AS term FROM documents
+        ),
+        freq AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks
+            GROUP BY term
+        ),
+        ranked AS (
+            SELECT term, n,
+                   CAST(row_number() OVER
+                       (ORDER BY n DESC, term ASC) AS BIGINT) AS rank,
+                   CAST(sum(n) OVER (ORDER BY n DESC, term ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_n,
+                   CAST(sum(n) OVER () AS BIGINT) AS total_n
+            FROM freq
+        )
+        SELECT term, n, rank,
+               CAST(floor(cum_n * 10000.0 / total_n + 0.5) AS BIGINT)
+                   AS coverage_bp
+        FROM ranked
+        ORDER BY rank
+    """,
+)
+def corpus_vocabulary_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coverage curve a tokenizer-training run reads off first: terms
+    in frequency order with the cumulative share of all token occurrences
+    each prefix of the vocabulary covers. Two hash aggregates (explode ->
+    term counts) then ONE single-partition window over the VOCABULARY
+    relation — safe because vocabularies are sub-million rows even at
+    100 TB corpus scale (the corpus itself is never windowed); the total
+    rides along via sum() over the same tiny relation."""
+    from pyspark.sql.window import Window
+
+    from data_algorithms_with_pyspark_spark.functions.text_functions import (
+        words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(words("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    order = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    cum = Window.orderBy(F.col("n").desc(), F.col("term").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = Window.partitionBy()
+    return (
+        freq.select(
+            "term",
+            "n",
+            F.row_number().over(order).cast("long").alias("rank"),
+            F.sum("n").over(cum).alias("cum_n"),
+            F.sum("n").over(total).alias("total_n"),
+        )
+        .select(
+            "term",
+            "n",
+            "rank",
+            F.floor(F.col("cum_n") * 10000.0 / F.col("total_n") + F.lit(0.5))
+            .cast("long")
+            .alias("coverage_bp"),
+        )
+        .orderBy("rank")
+    )
+
+
+_KMV_K = 64
+
+
+@register(
+    "kmv_distinct_users",
+    tags=("sketch", "events", "scale"),
+    description=f"KMV (k={_KMV_K} minimum md5 values) distinct-user sketch "
+    "per event type, WITH exact count alongside — the deterministic-hash "
+    "sketch whose estimates a foreign engine reproduces bit-for-bit "
+    "(unlike HLL, which is rows-only-checkable)",
+    oracle=f"""
+        WITH hashes AS (
+            SELECT DISTINCT event_type,
+                   ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 6))
+                       ::BIGINT AS h
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h)
+                       AS rn
+            FROM hashes
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               coalesce(
+                   floor({_KMV_K - 1} * 16777216.0
+                         / max(CASE WHEN rn = {_KMV_K} THEN h END)
+                         * 100 + 0.5) / 100,
+                   CAST(count(*) AS DOUBLE)) AS kmv_estimate
+        FROM ranked
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmv_distinct(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id", k=_KMV_K
+    ).orderBy("event_type")

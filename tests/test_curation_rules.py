@@ -101,3 +101,42 @@ def test_int8_quant_sse_known_answers(spark):
     import math
 
     assert out[2] == math.floor(err * err * 1e12 + 0.5)
+
+
+def test_kmv_exact_below_capacity_and_estimate_above(spark):
+    from data_algorithms_with_pyspark_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    rows = [("small", i) for i in range(10)]
+    rows += [("big", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    out = {r["grp"]: r.asDict() for r in kmv_distinct(df, "grp", "key", k=64).collect()}
+    # below sketch capacity: exact (10 distinct hashes, h_64 undefined)
+    assert out["small"]["n_distinct"] == 10
+    assert out["small"]["kmv_estimate"] == 10.0
+    # above capacity: estimate within 30% of truth for k=64
+    est = out["big"]["kmv_estimate"]
+    assert 0.7 * 2000 <= est <= 1.3 * 2000, est
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kmv_distinct(df, "grp", "key", k=1)
+
+
+def test_rational_hash_sample_rate_and_determinism(spark):
+    from data_algorithms_with_pyspark_spark.operators.sampling import (
+        rational_hash_sample_predicate,
+    )
+
+    df = spark.range(4000).select(F.col("id"))
+    pred = rational_hash_sample_predicate("id", F.lit(1).cast("long"), F.lit(4).cast("long"))
+    kept1 = sorted(r["id"] for r in df.where(pred).collect())
+    kept2 = sorted(r["id"] for r in df.repartition(7).where(pred).collect())
+    assert kept1 == kept2  # partition-layout independent
+    assert 0.20 * 4000 <= len(kept1) <= 0.30 * 4000  # ~1/4
+    # num >= den keeps everything
+    all_pred = rational_hash_sample_predicate(
+        "id", F.lit(5).cast("long"), F.lit(5).cast("long")
+    )
+    assert df.where(all_pred).count() == 4000
