@@ -96,6 +96,13 @@ def spread_partitions(df: DataFrame) -> DataFrame:
     core. Repartitioning 1-to-many is a cheap round-robin shuffle of the raw
     rows. Guarded so a genuinely large input (already more partitions than
     cores, e.g. the 100 TB case) is never shrunk or reshuffled.
+
+    The guard reads ``df.rdd.getNumPartitions()`` — a driver-side plan
+    conversion, NOT a job; ~ms once per operator call. The conversion-free
+    alternative (``len(df.inputFiles())`` vs parallelism) mis-sizes the
+    single-large-file case, where the scan splits one file into many
+    partitions that the file count can't see — so the accurate probe is
+    kept and its cost documented.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

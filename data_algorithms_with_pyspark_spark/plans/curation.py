@@ -474,3 +474,50 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(
         load_table(spark, sf_dir, "events"), "event_type", "user_id", k=_KMV_K
     ).orderBy("event_type")
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_BETA = 1.0 - _EWMA_ALPHA  # NOT 0.7 in f64; repr-shared with the oracle
+
+
+@register(
+    "events_value_ewma",
+    tags=("events", "timeseries", "pandas-udf"),
+    description=f"Per-user EWMA (alpha={_EWMA_ALPHA}) of event values — the "
+    "one genuinely recursive operator, Arrow applyInPandas fold vs a "
+    "recursive-CTE oracle replaying the identical (mul, mul, add) step",
+    oracle=f"""
+        WITH RECURSIVE ev AS (
+            SELECT user_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        r AS (
+            SELECT user_id, ts, value, rn, value AS y FROM ev WHERE rn = 1
+            UNION ALL
+            SELECT e.user_id, e.ts, e.value, e.rn,
+                   {_EWMA_ALPHA!r} * e.value + {_EWMA_BETA!r} * r.y
+            FROM ev e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        )
+        SELECT user_id, ts, value,
+               floor(y * 1e6 + 0.5) / 1e6 AS ewma
+        FROM r
+    """,
+)
+def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's policy-sanctioned Pandas-UDF tier in the catalog: the
+    EWMA recurrence has no bounded-error window form, so it runs as one
+    shuffle on user_id + an Arrow-batched fold per user
+    (operators/timeseries.grouped_ewma). The oracle replays the exact
+    float op sequence via recursive CTE, so even this non-SQL-shaped
+    operator carries a full value check. event_id is selected only as the
+    within-user tie-breaker and dropped from the output."""
+    from data_algorithms_with_pyspark_spark.operators.timeseries import (
+        grouped_ewma,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_ewma(
+        ev, "user_id", ["ts", "event_id"], "value", alpha=_EWMA_ALPHA
+    ).drop("event_id")

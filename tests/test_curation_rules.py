@@ -140,3 +140,35 @@ def test_rational_hash_sample_rate_and_determinism(spark):
         "id", F.lit(5).cast("long"), F.lit(5).cast("long")
     )
     assert df.where(all_pred).count() == 4000
+
+
+def test_grouped_ewma_known_answers(spark):
+    import datetime as dt
+
+    from data_algorithms_with_pyspark_spark.operators.timeseries import (
+        grouped_ewma,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 0, 10.0),
+        (1, t0 + dt.timedelta(hours=1), 1, 20.0),
+        (1, t0 + dt.timedelta(hours=2), 2, 30.0),
+        (2, t0, 3, 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in grouped_ewma(
+            df, "user_id", ["ts", "event_id"], "value", alpha=0.5
+        ).collect()
+    }
+    # y0=10; y1=0.5*20+0.5*10=15; y2=0.5*30+0.5*15=22.5; lone row = itself
+    assert out == {(1, 0): 10.0, (1, 1): 15.0, (1, 2): 22.5, (2, 3): 5.0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        grouped_ewma(df, "user_id", ["ts"], "value", alpha=0.0)
+    with _pytest.raises(ValueError):
+        grouped_ewma(df, "user_id", [], "value")
