@@ -48,6 +48,7 @@ __all__ = [
     "simhash_candidate_pairs",
     "ngram_jaccard_pairs",
     "embedding_near_dup_pairs",
+    "semdedup_prune",
 ]
 
 # --- exact ------------------------------------------------------------------
@@ -386,4 +387,58 @@ def embedding_near_dup_pairs(
         .where(F.col("id_1") < F.col("id_2"))
         .select("id_1", "id_2", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    threshold: float,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster, then prune within clusters.
+
+    Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication", arXiv:2303.09540) prune near-identical
+    embeddings *within* k-means clusters so the pairwise pass never touches
+    the full corpus. This operator reproduces that shape on Spark:
+
+    1. assign every vector to its nearest coarse centroid
+       (``similarity.ivf_assign`` — broadcast product + one HashAggregate;
+       the corpus never shuffles for the assignment);
+    2. self-join **on cid only** — pair cost is sum of squared cluster
+       sizes, not corpus², and the join is a hash-partition on cid, which
+       at 100 TB is the difference between feasible and not;
+    3. within a pair above ``threshold`` the larger id drops; a vector
+       survives iff it is nobody's id_2 (min-id representative — the
+       deterministic stand-in for SemDeDup's keep-farthest-from-centroid
+       rule, which ties to centroid training noise).
+
+    Returns one row per input vector: ``(vec_id, cid, is_kept)`` — a
+    decision table the caller semi-joins against, so the corpus itself is
+    never materialized through the operator.
+    """
+    vecs = embeddings.select(F.col(id_col), to_double_array(vec_col).alias("vec"))
+    from data_algorithms_with_pyspark_spark.operators.similarity import ivf_assign
+
+    assign = ivf_assign(vecs, n_clusters, id_col=id_col)
+    clustered = vecs.join(assign, on=id_col)
+    left = clustered.select(
+        F.col("cid"), F.col(id_col).alias("id_1"), F.col("vec").alias("v_1")
+    )
+    right = clustered.select(
+        F.col("cid"), F.col(id_col).alias("id_2"), F.col("vec").alias("v_2")
+    )
+    cos = cosine_similarity(F.col("v_1"), F.col("v_2"))
+    drops = (
+        left.join(right, on="cid")
+        .where(F.col("id_1") < F.col("id_2"))
+        .where(F.round(cos, 6) >= F.lit(threshold))
+        .select(F.col("id_2").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return clustered.join(drops, on=id_col, how="left").select(
+        id_col, "cid", F.col("_dropped").isNull().alias("is_kept")
     )

@@ -34,6 +34,8 @@ __all__ = [
     "srp_codes",
     "lsh_near_dup_pairs",
     "srp_banded_near_dup_pairs",
+    "ivf_assign",
+    "ivf_topk",
 ]
 
 
@@ -221,6 +223,49 @@ def srp_banded_near_dup_pairs(
     )
 
 
+def ivf_assign(
+    vecs: DataFrame, n_lists: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Nearest-centroid assignment ``(id_col, cid)`` for IVF / SemDeDup.
+
+    ``vecs`` must carry ``(id_col, vec: array<double>)``; centroids are the
+    vectors with the first ``n_lists`` ids (deterministic stand-in for
+    trained k-means centroids — swap in trained ones without touching the
+    plan).
+
+    Scale shape: broadcast nested-loop against n_lists rows (the corpus
+    never shuffles) followed by one hash aggregate on id. The argmax packs
+    (cos, cid) into ONE bigint — ``round((cos+1)*1e15) * n_lists +
+    (n_lists-1-cid)`` — and takes ``max``: a primitive-buffer aggregate,
+    so it plans as partial+final **HashAggregate** with map-side combine
+    over the broadcast product. The obvious alternatives (``max_by`` with
+    a struct key, ``max(struct(...))``) carry struct buffers, which
+    HashAggregateExec can't hold, forcing a SortAggregate — at 100 TB that
+    sorts n_vectors*n_lists rows and is the cost center this encoding
+    avoids. Quantizing cos at 1e-15 is below double's own rounding noise
+    at |cos|<=1; exact ties still break to the lower centroid id via the
+    packed low bits.
+    """
+    cents = vecs.where(F.col(id_col) < n_lists).select(
+        F.col(id_col).alias("cid"), F.col("vec").alias("cvec")
+    )
+    cos_vc = cosine_similarity(F.col("vec"), F.col("cvec"))
+    packed = (
+        F.round((cos_vc + F.lit(1.0)) * F.lit(1e15)).cast("long")
+        * F.lit(n_lists)
+        + (F.lit(n_lists - 1) - F.col("cid"))
+    )
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .groupBy(id_col)
+        .agg(F.max(packed).alias("best"))
+        .select(
+            F.col(id_col),
+            (F.lit(n_lists - 1) - F.col("best") % n_lists).alias("cid"),
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_id: int,
@@ -233,47 +278,17 @@ def ivf_topk(
     """IVF (inverted-file) approximate top-k: the third ANN tier.
 
     Index: every vector is assigned to its nearest of ``n_lists`` coarse
-    centroids (deterministic: the vectors with the first n_lists ids — a
-    structural stand-in for trained k-means centroids; swap in trained ones
-    without touching the plan). Search: score the query against centroids
+    centroids (``ivf_assign``). Search: score the query against centroids
     only, probe the best ``n_probe`` lists, and run exact cosine on those
-    candidates.
-
-    Scale shape: the assignment pass is a broadcast nested-loop against
-    n_lists rows (no shuffle of the corpus) followed by one hash aggregate
-    on id; at query time only ~n_probe/n_lists of the corpus is scored.
-    Ties broken by centroid/vector id everywhere -> fully deterministic.
-
-    The argmax packs (cos, cid) into ONE bigint — ``round((cos+1)*1e15) *
-    n_lists + (n_lists-1-cid)`` — and takes ``max``: a primitive-buffer
-    aggregate, so the assignment plans as partial+final **HashAggregate**
-    with map-side combine over the broadcast product. The obvious
-    alternatives (``max_by`` with a struct key, ``max(struct(...))``)
-    carry struct buffers, which HashAggregateExec can't hold, forcing a
-    SortAggregate — at 100 TB that sorts n_vectors*n_lists rows and is
-    the cost center this encoding avoids. Quantizing cos at 1e-15 is
-    below double's own rounding noise at |cos|<=1; exact ties still break
-    to the lower centroid id via the packed low bits.
+    candidates — at query time only ~n_probe/n_lists of the corpus is
+    scored. Ties broken by centroid/vector id everywhere -> fully
+    deterministic.
     """
     vecs = embeddings.select(F.col(id_col), to_double_array(vec_col).alias("vec"))
     cents = vecs.where(F.col(id_col) < n_lists).select(
         F.col(id_col).alias("cid"), F.col("vec").alias("cvec")
     )
-    cos_vc = cosine_similarity(F.col("vec"), F.col("cvec"))
-    packed = (
-        F.round((cos_vc + F.lit(1.0)) * F.lit(1e15)).cast("long")
-        * F.lit(n_lists)
-        + (F.lit(n_lists - 1) - F.col("cid"))
-    )
-    assign = (
-        vecs.crossJoin(F.broadcast(cents))
-        .groupBy(id_col)
-        .agg(F.max(packed).alias("best"))
-        .select(
-            F.col(id_col),
-            (F.lit(n_lists - 1) - F.col("best") % n_lists).alias("cid"),
-        )
-    )
+    assign = ivf_assign(vecs, n_lists, id_col=id_col)
     query = vecs.where(F.col(id_col) == query_id).select(
         F.col("vec").alias("query_vec")
     )

@@ -27,6 +27,7 @@ __all__ = [
     "fingerprint",
     "gopher_rules",
     "repetition_scores",
+    "char_bigram_lm_scores",
 ]
 
 # Tiny high-frequency marker vocabularies per language; a deterministic
@@ -286,4 +287,53 @@ def tfidf_top_terms(
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select(id_col, "term", "tf", "tfidf", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def char_bigram_lm_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document cross-entropy under a character-bigram LM trained on
+    the corpus itself — the degenerate-but-useful stand-in for the
+    KenLM-perplexity quality filter of CCNet/Wenzek et al. 2020 (gibberish
+    and boilerplate score high-entropy against the corpus distribution,
+    prose scores low). Two Catalyst passes, no Python:
+
+    1. train: explode each doc into its character bigrams, count by
+       bigram. Charset^2 is tiny (<= a few thousand rows), so the model
+       broadcasts.
+    2. score: re-explode, broadcast-join the model, aggregate
+       ``-mean(ln p(bigram))`` per doc — one shuffle, keyed by doc id.
+
+    Cross-engine determinism: each ``ln p`` term is quantized to integer
+    micro-nats (``floor(x*1e6+0.5)``) BEFORE summing, so the per-doc sum
+    is an exact integer — associative, order-independent — and any engine
+    replaying the same quantization reproduces it bit-for-bit (same trick
+    as plans/catalog.py:cents_sum).
+
+    Output: ``(id_col, n_bigrams, xent)`` with xent in nats rounded to 6.
+    Documents shorter than 2 characters have no bigrams and are omitted.
+    """
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.length(text_col) - 1),
+        lambda i: F.col(text_col).substr(i, F.lit(2)),
+    )
+    grams = docs.where(F.length(text_col) >= 2).select(
+        F.col(id_col), F.explode(bigrams).alias("bg")
+    )
+    counts = grams.groupBy("bg").agg(F.count("*").alias("n_bg"))
+    total = counts.agg(F.sum("n_bg").alias("n_total"))
+    model = counts.crossJoin(F.broadcast(total))
+    micro_nats = F.floor(
+        F.log(F.col("n_bg").cast("double") / F.col("n_total")) * 1e6 + 0.5
+    ).cast("long")
+    return (
+        grams.join(F.broadcast(model), on="bg")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                -F.sum(micro_nats) / (F.count("*") * F.lit(1e6)), 6
+            ).alias("xent"),
+        )
     )

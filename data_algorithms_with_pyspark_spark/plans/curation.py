@@ -521,3 +521,148 @@ def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_ewma(
         ev, "user_id", ["ts", "event_id"], "value", alpha=_EWMA_ALPHA
     ).drop("event_id")
+
+
+_SEMDEDUP_THRESHOLD = 0.5
+_SEMDEDUP_CLUSTERS = 16
+
+
+@register(
+    "embedding_semdedup_prune",
+    tags=("dedup", "similarity", "embeddings"),
+    description=f"SemDeDup-style semantic dedup (arXiv:2303.09540): nearest-"
+    f"centroid clustering ({_SEMDEDUP_CLUSTERS} lists) then within-cluster "
+    f"cosine>={_SEMDEDUP_THRESHOLD} pruning — pairwise cost bounded by "
+    "cluster sizes, never corpus^2 (operators/dedup.py:semdedup_prune)",
+    oracle=f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        ),
+        cent AS MATERIALIZED (
+            SELECT vec_id AS cid, vec AS cvec FROM v
+            WHERE vec_id < {_SEMDEDUP_CLUSTERS}
+        ),
+        assign AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT v.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_cosine_similarity(v.vec, c.cvec) DESC,
+                                    c.cid
+                       ) AS rn
+                FROM v CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        cl AS MATERIALIZED (
+            SELECT v.vec_id, a.cid, v.vec FROM v JOIN assign a USING (vec_id)
+        ),
+        drops AS (
+            SELECT DISTINCT b.vec_id
+            FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.vec, b.vec), 6)
+                  >= {_SEMDEDUP_THRESHOLD}
+        )
+        SELECT cl.vec_id, cl.cid,
+               cl.vec_id NOT IN (SELECT vec_id FROM drops) AS is_kept
+        FROM cl
+        ORDER BY cl.vec_id
+    """,
+)
+def embedding_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding-space dedup: where embedding_cosine_near_dups
+    (the all-pairs baseline) is quadratic in the corpus, this is quadratic
+    only within coarse clusters — the SemDeDup trick that makes semantic
+    dedup feasible on web-scale corpora. Full per-vector value oracle
+    (assignment + verdict), since every step is deterministic."""
+    from data_algorithms_with_pyspark_spark.operators.dedup import semdedup_prune
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_prune(
+        emb, _SEMDEDUP_THRESHOLD, n_clusters=_SEMDEDUP_CLUSTERS
+    ).orderBy("vec_id")
+
+
+@register(
+    "doc_char_lm_scores",
+    tags=("text", "quality"),
+    description="Per-doc cross-entropy under a corpus-trained character-"
+    "bigram LM — the KenLM-perplexity quality-filter shape (CCNet, Wenzek "
+    "et al. 2020) with integer micro-nat quantization for cross-engine "
+    "bit-equality (operators/text.py:char_bigram_lm_scores)",
+    oracle="""
+        WITH g AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, length(text)),
+                                         i -> substr(text, i, 2))) AS bg
+            FROM documents WHERE length(text) >= 2
+        ),
+        c AS MATERIALIZED (
+            SELECT bg, CAST(count(*) AS BIGINT) AS n_bg FROM g GROUP BY bg
+        ),
+        t AS (SELECT CAST(sum(n_bg) AS BIGINT) AS n_total FROM c)
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(-CAST(sum(CAST(floor(
+                          ln(CAST(c.n_bg AS DOUBLE) / t.n_total) * 1e6 + 0.5
+                      ) AS BIGINT)) AS BIGINT)
+                     / (count(*) * 1e6), 6) AS xent
+        FROM g JOIN c USING (bg), t
+        GROUP BY g.doc_id
+    """,
+)
+def doc_char_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_algorithms_with_pyspark_spark.operators.text import (
+        char_bigram_lm_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_bigram_lm_scores(docs)
+
+
+@register(
+    "doc_length_quantile_filter",
+    tags=("quality", "curation"),
+    description="Quantile-band length filter: per-source kept/dropped counts "
+    "against the global exact p10/p90 of n_chars — the percentile-threshold "
+    "curation step (exact percentile here for oracle parity; "
+    "approx_percentile is the drop-in at 100 TB, documented)",
+    oracle="""
+        WITH q AS (
+            SELECT round(quantile_cont(n_chars, 0.1), 4) AS p10,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90
+            FROM documents
+        )
+        SELECT source, p10, p90,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_chars BETWEEN p10 AND p90
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM documents, q
+        GROUP BY source, p10, p90
+        ORDER BY source
+    """,
+)
+def doc_length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, both the linear-interpolation definition) computed
+    in one tiny global aggregate, broadcast back over the corpus, per-source
+    keep counts in one shuffle. At 100 TB swap ``F.percentile`` for
+    ``F.approx_percentile`` (t-digest, mergeable, no global sort) — the
+    plan shape is identical; exact is used here so the DuckDB oracle can
+    reproduce the thresholds to the bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.agg(
+        F.round(F.percentile("n_chars", F.lit(0.1)), 4).alias("p10"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90"),
+    )
+    kept = F.when(
+        F.col("n_chars").between(F.col("p10"), F.col("p90")), 1
+    ).otherwise(0)
+    return (
+        docs.crossJoin(F.broadcast(q))
+        .groupBy("source", "p10", "p90")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )

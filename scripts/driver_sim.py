@@ -49,7 +49,13 @@ def _norm(v):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # Usage: driver_sim.py [SF_DIR] [--only name1,name2]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only: set[str] | None = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = hostile_spark()
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -57,6 +63,11 @@ def main() -> int:
 
     print("entry rows:", entry_mod.entry(spark).count())
     queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    if only is not None:
+        unknown = only - queries.keys()
+        if unknown:
+            raise SystemExit(f"--only names not in catalog: {sorted(unknown)}")
+        queries = {n: f for n, f in queries.items() if n in only}
     print(f"{len(queries)} queries, {len(oracles)} with oracles, sf_dir={sf_dir}")
 
     failures = []

@@ -172,3 +172,50 @@ def test_grouped_ewma_known_answers(spark):
         grouped_ewma(df, "user_id", ["ts"], "value", alpha=0.0)
     with _pytest.raises(ValueError):
         grouped_ewma(df, "user_id", [], "value")
+
+
+def test_semdedup_prune_planted(spark):
+    from data_algorithms_with_pyspark_spark.operators.dedup import semdedup_prune
+
+    # Centroids are vec 0 ([1,0]) and vec 1 ([0,1]); 2 lands in cluster 0
+    # nearly parallel to its centroid, 3 in cluster 1 likewise. The
+    # orthogonal cross-cluster pairs never meet (join is on cid).
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.95, 0.05]),
+        (3, [0.05, 0.95]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: (r["cid"], r["is_kept"])
+        for r in semdedup_prune(emb, threshold=0.9, n_clusters=2).collect()
+    }
+    assert out == {0: (0, True), 1: (1, True), 2: (0, False), 3: (1, False)}
+
+    # Below-threshold pair survives: raise threshold above the planted cos.
+    out_hi = {
+        r["vec_id"]: r["is_kept"]
+        for r in semdedup_prune(emb, threshold=0.9999, n_clusters=2).collect()
+    }
+    assert out_hi == {0: True, 1: True, 2: True, 3: True}
+
+
+def test_char_bigram_lm_known_answers(spark):
+    import math
+
+    from data_algorithms_with_pyspark_spark.operators.text import (
+        char_bigram_lm_scores,
+    )
+
+    # Corpus bigrams: "aaa" -> {aa, aa}, "ab" -> {ab}; counts aa=2 ab=1,
+    # total 3. Each doc's xent replays the integer micro-nat quantization.
+    df = _docs(spark, [(0, "aaa"), (1, "ab"), (2, "x")])
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["xent"])
+        for r in char_bigram_lm_scores(df).collect()
+    }
+    q = lambda p: math.floor(math.log(p) * 1e6 + 0.5)  # noqa: E731
+    exp0 = round(-(2 * q(2 / 3)) / (2 * 1e6), 6)
+    exp1 = round(-(1 * q(1 / 3)) / (1 * 1e6), 6)
+    assert out == {0: (2, exp0), 1: (1, exp1)}  # doc 2: no bigrams, omitted
