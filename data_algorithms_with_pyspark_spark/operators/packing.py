@@ -26,7 +26,12 @@ from pyspark.sql.window import Window
 
 from data_algorithms_with_pyspark_spark.operators.dedup import word_shingles
 
-__all__ = ["pack_by_token_budget", "contamination_matches", "shard_summary"]
+__all__ = [
+    "pack_by_token_budget",
+    "contamination_matches",
+    "shard_summary",
+    "sequence_chunks",
+]
 
 
 def pack_by_token_budget(
@@ -101,4 +106,48 @@ def shard_summary(
         F.sum(token_col).cast("long").alias("total_tokens"),
         F.min(id_col).alias("first_doc"),
         F.max(id_col).alias("last_doc"),
+    )
+
+
+def sequence_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document's token stream into overlapping fixed-size
+    training windows — the tokenize-and-chunk step that turns documents
+    into model-ready sequences (stride < chunk_tokens keeps context across
+    boundaries, the standard pretraining windowing).
+
+    Pure Catalyst: tokenize once, ``sequence(1, n, stride)`` generates the
+    window starts, ``slice`` takes each window, one ``explode`` emits the
+    chunks — all inside whole-stage codegen, zero shuffles, embarrassingly
+    parallel over documents (the 100 TB shape: no coordination between
+    docs at all). The final window may be shorter than ``chunk_tokens``;
+    windows are emitted while ``start <= n_tokens`` so every token is
+    covered and no empty chunk appears.
+
+    Output: ``(id_col, chunk_idx, n_chunk_tokens, chunk_text)``.
+    """
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    from data_algorithms_with_pyspark_spark.functions.text_functions import words
+
+    toks = words(text_col)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(F.col("_toks")), F.lit(1)), F.lit(stride)
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start"), chunk_tokens)
+    return (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") > 0)
+        .select(F.col(id_col), F.col("_toks"), F.explode(starts).alias("_start"))
+        .select(
+            F.col(id_col),
+            ((F.col("_start") - 1) / stride).cast("long").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
     )

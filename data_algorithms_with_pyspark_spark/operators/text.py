@@ -28,6 +28,7 @@ __all__ = [
     "gopher_rules",
     "repetition_scores",
     "char_bigram_lm_scores",
+    "boilerplate_ngram_coverage",
 ]
 
 # Tiny high-frequency marker vocabularies per language; a deterministic
@@ -335,5 +336,60 @@ def char_bigram_lm_scores(
             F.round(
                 -F.sum(micro_nats) / (F.count("*") * F.lit(1e6)), 6
             ).alias("xent"),
+        )
+    )
+
+
+def boilerplate_ngram_coverage(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate detection: the fraction of each document's
+    distinct word ``n``-grams that recur in >= ``min_docs`` documents.
+
+    Templates, navigation chrome, and license headers repeat the same long
+    n-gram spans across many pages — the corpus-level signal that
+    within-document repetition (``repetition_scores``) cannot see. This is
+    the "duplicated n-gram" half of the C4/Gopher cleanup applied across
+    the corpus rather than within lines.
+
+    Plan: explode distinct n-grams once (linear), doc-frequency aggregate
+    on the n-gram (one shuffle; partial agg runs map-side), join the
+    frequent subset back. No broadcast hint: the frequent set is the
+    Zipf head and usually small, but at 100 TB that is AQE's runtime call
+    to make, not a planning-time assumption. Documents with fewer than
+    ``n`` words have no n-grams and are omitted.
+
+    Output: ``(id_col, n_ngrams, n_boiler, boiler_ratio)`` — counts are
+    exact integers; the ratio is one fp division rounded to 4 (identical
+    in any IEEE engine).
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(words(text_col), n))).alias("ng"),
+    )
+    freq = (
+        grams.groupBy("ng")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("ng", F.lit(1).alias("_boiler"))
+    )
+    return (
+        grams.join(freq, on="ng", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.count("_boiler").alias("n_boiler"),
+        )
+        .select(
+            F.col(id_col),
+            "n_ngrams",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_ngrams"), 4).alias(
+                "boiler_ratio"
+            ),
         )
     )

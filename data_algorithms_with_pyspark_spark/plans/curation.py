@@ -666,3 +666,85 @@ def doc_length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_BOILER_N = 5
+_BOILER_MIN_DOCS = 3
+
+
+@register(
+    "doc_boilerplate_ngrams",
+    tags=("text", "quality", "dedup"),
+    description=f"Cross-document boilerplate: fraction of each doc's distinct "
+    f"word {_BOILER_N}-grams recurring in >= {_BOILER_MIN_DOCS} docs — the "
+    "corpus-level template/chrome signal within-doc repetition can't see "
+    "(operators/text.py:boilerplate_ngram_coverage)",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        g AS MATERIALIZED (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, len(t) - {_BOILER_N} + 2),
+                       i -> array_to_string(
+                                list_slice(t, i, i + {_BOILER_N} - 1), ' ')
+                   ))) AS ng
+            FROM toks WHERE len(t) >= {_BOILER_N}
+        ),
+        f AS (SELECT ng FROM g GROUP BY ng
+              HAVING count(*) >= {_BOILER_MIN_DOCS})
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_ngrams,
+               CAST(count(f.ng) AS BIGINT) AS n_boiler,
+               round(CAST(count(f.ng) AS DOUBLE) / count(*), 4) AS boiler_ratio
+        FROM g LEFT JOIN f USING (ng)
+        GROUP BY g.doc_id
+    """,
+)
+def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_algorithms_with_pyspark_spark.operators.text import (
+        boilerplate_ngram_coverage,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_ngram_coverage(
+        docs, n=_BOILER_N, min_docs=_BOILER_MIN_DOCS
+    )
+
+
+_CHUNK_TOKENS = 16
+_CHUNK_STRIDE = 12
+
+
+@register(
+    "doc_sequence_chunks",
+    tags=("packing", "text"),
+    description=f"Tokenize-and-chunk into {_CHUNK_TOKENS}-token windows, "
+    f"stride {_CHUNK_STRIDE} — documents to model-ready overlapping training "
+    "sequences, zero shuffles (operators/packing.py:sequence_chunks)",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, {_TOKENS} AS t FROM documents
+            WHERE len({_TOKENS}) > 0
+        ),
+        s AS (
+            SELECT doc_id, t,
+                   unnest(range(1, len(t) + 1, {_CHUNK_STRIDE})) AS start
+            FROM d
+        )
+        SELECT doc_id,
+               CAST((start - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               CAST(len(list_slice(t, start, start + {_CHUNK_TOKENS} - 1))
+                    AS BIGINT) AS n_chunk_tokens,
+               array_to_string(list_slice(t, start, start + {_CHUNK_TOKENS} - 1),
+                               ' ') AS chunk_text
+        FROM s
+    """,
+)
+def doc_sequence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_algorithms_with_pyspark_spark.operators.packing import (
+        sequence_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sequence_chunks(
+        docs, chunk_tokens=_CHUNK_TOKENS, stride=_CHUNK_STRIDE
+    )

@@ -219,3 +219,58 @@ def test_char_bigram_lm_known_answers(spark):
     exp0 = round(-(2 * q(2 / 3)) / (2 * 1e6), 6)
     exp1 = round(-(1 * q(1 / 3)) / (1 * 1e6), 6)
     assert out == {0: (2, exp0), 1: (1, exp1)}  # doc 2: no bigrams, omitted
+
+
+def test_boilerplate_ngram_coverage_planted(spark):
+    from data_algorithms_with_pyspark_spark.operators.text import (
+        boilerplate_ngram_coverage,
+    )
+
+    # "t1 t2 t3" is the planted boilerplate trigram in docs 0-2; doc 3
+    # shares nothing; doc 4 is too short for any trigram (omitted).
+    df = _docs(
+        spark,
+        [
+            (0, "t1 t2 t3 a b"),
+            (1, "x t1 t2 t3"),
+            (2, "t1 t2 t3"),
+            (3, "p q r s"),
+            (4, "p q"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_ngrams"], r["n_boiler"], r["boiler_ratio"])
+        for r in boilerplate_ngram_coverage(df, n=3, min_docs=3).collect()
+    }
+    assert out == {
+        0: (3, 1, round(1 / 3, 4)),
+        1: (2, 1, 0.5),
+        2: (1, 1, 1.0),
+        3: (2, 0, 0.0),
+    }
+
+
+def test_sequence_chunks_planted(spark):
+    import pytest as _pytest
+
+    from data_algorithms_with_pyspark_spark.operators.packing import (
+        sequence_chunks,
+    )
+
+    df = _docs(spark, [(0, "a b c d e f g"), (1, "x"), (2, "")])
+    out = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in sequence_chunks(df, chunk_tokens=4, stride=3).collect()
+    )
+    # doc 0 (7 tokens): starts 1,4,7 -> abcd, defg, g; doc 1: x; doc 2 empty.
+    assert out == [
+        (0, 0, 4, "a b c d"),
+        (0, 1, 4, "d e f g"),
+        (0, 2, 1, "g"),
+        (1, 0, 1, "x"),
+    ]
+
+    with _pytest.raises(ValueError):
+        sequence_chunks(df, chunk_tokens=4, stride=0)
+    with _pytest.raises(ValueError):
+        sequence_chunks(df, chunk_tokens=4, stride=5)
