@@ -396,6 +396,7 @@ def semdedup_prune(
     n_clusters: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster, then prune within clusters.
 
@@ -418,12 +419,20 @@ def semdedup_prune(
     Returns one row per input vector: ``(vec_id, cid, is_kept)`` — a
     decision table the caller semi-joins against, so the corpus itself is
     never materialized through the operator.
+
+    ``materialize`` persists the clustered table (MEMORY_AND_DISK): it is
+    referenced three times (both sides of the pair join + the verdict
+    join), and each reference would otherwise replay the centroid
+    assignment from the scan — the same "checkpoint the sketch, not the
+    corpus" move as ``minhash_candidate_pairs``.
     """
     vecs = embeddings.select(F.col(id_col), to_double_array(vec_col).alias("vec"))
     from data_algorithms_with_pyspark_spark.operators.similarity import ivf_assign
 
     assign = ivf_assign(vecs, n_clusters, id_col=id_col)
     clustered = vecs.join(assign, on=id_col)
+    if materialize:
+        clustered = clustered.persist()
     left = clustered.select(
         F.col("cid"), F.col(id_col).alias("id_1"), F.col("vec").alias("v_1")
     )

@@ -117,3 +117,30 @@ def test_baseline_queries_are_tagged_small_data_only(spark):
         q = all_queries()[name]
         assert "baseline" in q.tags and "small-data-only" in q.tags, name
         assert q.bench is False, name
+
+
+def test_sequence_chunks_has_no_exchange(spark):
+    """Chunking is embarrassingly parallel — any shuffle in its plan is a
+    regression (the 100 TB contract: zero coordination between docs)."""
+    df = all_queries()["doc_sequence_chunks"].fn(spark, SF_SMOKE)
+    assert "Exchange" not in _executed_plan(df)
+
+
+def test_semdedup_pairs_join_on_cluster_not_cartesian(spark):
+    """The SemDeDup pair join must be an equi-join on cid (cost bounded by
+    cluster sizes); the only sanctioned nested-loop is the broadcast
+    product against the n_clusters centroid rows inside ivf_assign, and
+    the persisted clustered table must be reused, not recomputed."""
+    df = all_queries()["embedding_semdedup_prune"].fn(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # clustered table persisted + reused
+    spark.catalog.clearCache()
+
+
+def test_char_lm_model_broadcasts_not_corpus(spark):
+    """The bigram model (charset^2 rows) broadcasts; the corpus side must
+    never sit on the build side of a broadcast join."""
+    df = all_queries()["doc_char_lm_scores"].fn(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
