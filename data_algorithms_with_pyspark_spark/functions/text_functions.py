@@ -50,16 +50,22 @@ def char_counts_expr(col: Column | str, pattern: str = "[a-z]") -> Column:
 def word_ngrams(tokens: Column, n: int) -> Column:
     """Space-joined word n-grams of a token array (array<string>).
 
-    Pure Catalyst: ``transform`` over an index ``sequence`` + 1-indexed
-    ``element_at``; a document shorter than ``n`` words yields an empty
-    array (guarded — Spark's ``sequence(1, 0)`` would count DOWN).
+    Pure Catalyst: ``transform`` over an index ``sequence`` + one
+    ``slice`` per index; a document shorter than ``n`` words yields an
+    empty array (guarded — Spark's ``sequence(1, 0)`` would count DOWN).
+
+    PERFORMANCE CONTRACT: pass a MATERIALIZED column (a projected alias),
+    never an inline tokenization expression. Lambdas in higher-order
+    functions evaluate interpreted with NO common-subexpression
+    elimination, so ``word_ngrams(words("text"), 5)`` re-tokenizes the
+    document once per window — measured 27x slower than projecting
+    ``words("text")`` first. ``CollapseProject`` keeps a multiply-
+    referenced alias materialized, so the two-step ``select`` is safe.
     """
     if n < 2:
         raise ValueError("word_ngrams is for n >= 2; use the tokens directly")
     idx = F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(tokens, i + F.lit(k)) for k in range(n)]
-    )
+    gram = lambda i: F.concat_ws(" ", F.slice(tokens, i, n))  # noqa: E731
     return F.when(
         F.size(tokens) >= n, F.transform(idx, gram)
     ).otherwise(F.array().cast("array<string>"))

@@ -42,6 +42,7 @@ __all__ = [
     "spread_partitions",
     "exact_deduplicate",
     "word_shingles",
+    "token_shingles",
     "minhash_signatures",
     "minhash_candidate_pairs",
     "simhash",
@@ -119,22 +120,34 @@ def _minhash_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of normalized text -> array<string>.
+def token_shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token ARRAY -> array<string>.
 
     Expression-level sliding window (no explode): shingle i joins words
-    [i, i+n). Documents shorter than n words fall back to their full text
-    as a single shingle so they still participate in dedup.
+    [i, i+n). Documents shorter than n words fall back to their full
+    token list as a single shingle so they still participate in dedup.
+
+    ``tokens`` must be a MATERIALIZED column (projected alias), never an
+    inline ``words(...)`` expression: the lambda references it once per
+    window and higher-order lambdas get no subexpression elimination, so
+    an inline tokenizer re-runs per window (see
+    functions/text_functions.word_ngrams for the measured 27x).
     """
-    ws = words(col)
-    n_sh = F.size(ws) - F.lit(n - 1)
+    n_sh = F.size(tokens) - F.lit(n - 1)
     shingles = F.transform(
         F.sequence(F.lit(0), F.greatest(n_sh - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
     )
     return F.when(n_sh > 0, F.array_distinct(shingles)).otherwise(
-        F.array(F.concat_ws(" ", ws))
+        F.array(F.concat_ws(" ", tokens))
     )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """``token_shingles`` over inline-tokenized text — convenience form
+    for tests/one-off use. HOT PATHS must project ``words(col)`` first
+    and call ``token_shingles`` (see that docstring)."""
+    return token_shingles(words(col), n)
 
 
 def minhash_signatures(
@@ -159,8 +172,10 @@ def minhash_signatures(
     # partition). ~5x faster than nested higher-order array expressions,
     # which execute interpreted per element.
     exploded = spread_partitions(docs.select(id_col, text_col)).select(
+        F.col(id_col), words(text_col).alias("_w")
+    ).select(
         F.col(id_col),
-        F.explode(word_shingles(text_col, shingle_n)).alias("_sh"),
+        F.explode(token_shingles(F.col("_w"), shingle_n)).alias("_sh"),
     ).select(
         F.col(id_col),
         F.pmod(F.xxhash64("_sh"), F.lit(_MERSENNE_PRIME_31)).alias("_h"),
@@ -341,7 +356,9 @@ def ngram_jaccard_pairs(
     survivors are verified.
     """
     sh = spread_partitions(docs.select(id_col, text_col)).select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+        F.col(id_col), words(text_col).alias("_w")
+    ).select(
+        F.col(id_col), token_shingles(F.col("_w"), shingle_n).alias("shingles")
     )
     left = sh.select(F.col(id_col).alias("id_1"), F.col("shingles").alias("sh_1"))
     right = sh.select(F.col(id_col).alias("id_2"), F.col("shingles").alias("sh_2"))

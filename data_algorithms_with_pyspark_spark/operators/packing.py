@@ -24,7 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_algorithms_with_pyspark_spark.operators.dedup import word_shingles
+from data_algorithms_with_pyspark_spark.functions.text_functions import words
+from data_algorithms_with_pyspark_spark.operators.dedup import token_shingles
 
 __all__ = [
     "pack_by_token_budget",
@@ -80,14 +81,15 @@ def contamination_matches(
     shingles and hash-joins without shuffling the documents themselves.
     """
     bench_shingles = (
-        benchmark.select(
-            F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
-        )
+        benchmark.select(words(text_col).alias("_w"))
+        .select(F.explode(token_shingles(F.col("_w"), shingle_n)).alias("shingle"))
         .distinct()
     )
     corpus_shingles = corpus.select(
+        F.col(id_col), words(text_col).alias("_w")
+    ).select(
         F.col(id_col),
-        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+        F.explode(token_shingles(F.col("_w"), shingle_n)).alias("shingle"),
     )
     return (
         corpus_shingles.join(F.broadcast(bench_shingles), "shingle")

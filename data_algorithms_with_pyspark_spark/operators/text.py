@@ -227,8 +227,6 @@ def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     differential test. Pure per-row Catalyst expressions; at 100 TB this
     is a map-only projection that fuses into whatever scan feeds it.
     """
-    toks = words(text_col)
-
     def _bp(arr: Column) -> Column:
         total = F.size(arr).cast("long")
         uniq = F.size(F.array_distinct(arr)).cast("long")
@@ -236,9 +234,13 @@ def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.floor(uniq * F.lit(10_000.0) / total + F.lit(0.5)).cast("long")
         )
 
+    # Tokens materialize in a first projection: the n-gram lambdas
+    # reference them per window, and higher-order lambdas get no
+    # subexpression elimination (word_ngrams' performance contract).
+    toks = F.col("_toks")
     bigrams = word_ngrams(toks, 2)
     trigrams = word_ngrams(toks, 3)
-    return docs.select(
+    return docs.select("doc_id", words(text_col).alias("_toks")).select(
         "doc_id",
         F.size(toks).cast("long").alias("n_words"),
         _bp(toks).alias("uniq_word_bp"),
@@ -368,8 +370,10 @@ def boilerplate_ngram_coverage(
     in any IEEE engine).
     """
     grams = docs.select(
+        F.col(id_col), words(text_col).alias("_w")
+    ).select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(words(text_col), n))).alias("ng"),
+        F.explode(F.array_distinct(word_ngrams(F.col("_w"), n))).alias("ng"),
     )
     freq = (
         grams.groupBy("ng")

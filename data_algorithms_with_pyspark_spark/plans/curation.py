@@ -482,6 +482,7 @@ _EWMA_BETA = 1.0 - _EWMA_ALPHA  # NOT 0.7 in f64; repr-shared with the oracle
 
 @register(
     "events_value_ewma",
+    bench=True,
     tags=("events", "timeseries", "pandas-udf"),
     description=f"Per-user EWMA (alpha={_EWMA_ALPHA}) of event values — the "
     "one genuinely recursive operator, Arrow applyInPandas fold vs a "
@@ -529,6 +530,7 @@ _SEMDEDUP_CLUSTERS = 16
 
 @register(
     "embedding_semdedup_prune",
+    bench=True,
     tags=("dedup", "similarity", "embeddings"),
     description=f"SemDeDup-style semantic dedup (arXiv:2303.09540): nearest-"
     f"centroid clustering ({_SEMDEDUP_CLUSTERS} lists) then within-cluster "
@@ -584,6 +586,7 @@ def embedding_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_char_lm_scores",
+    bench=True,
     tags=("text", "quality"),
     description="Per-doc cross-entropy under a corpus-trained character-"
     "bigram LM — the KenLM-perplexity quality-filter shape (CCNet, Wenzek "
@@ -674,6 +677,7 @@ _BOILER_MIN_DOCS = 3
 
 @register(
     "doc_boilerplate_ngrams",
+    bench=True,
     tags=("text", "quality", "dedup"),
     description=f"Cross-document boilerplate: fraction of each doc's distinct "
     f"word {_BOILER_N}-grams recurring in >= {_BOILER_MIN_DOCS} docs — the "
@@ -716,6 +720,7 @@ _CHUNK_STRIDE = 12
 
 @register(
     "doc_sequence_chunks",
+    bench=True,
     tags=("packing", "text"),
     description=f"Tokenize-and-chunk into {_CHUNK_TOKENS}-token windows, "
     f"stride {_CHUNK_STRIDE} — documents to model-ready overlapping training "
@@ -747,4 +752,67 @@ def doc_sequence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return sequence_chunks(
         docs, chunk_tokens=_CHUNK_TOKENS, stride=_CHUNK_STRIDE
+    )
+
+
+_NORMALIZED_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "incremental_dedup_new_docs",
+    bench=True,
+    tags=("dedup", "curation", "incremental"),
+    description="Cross-snapshot incremental dedup: the daily-ingest shape — "
+    "new batch (docs hashed into the 1/8 'arriving' slice) anti-joined on "
+    "content fingerprint against the already-ingested history (the other "
+    "7/8), then per-source admit/reject counts",
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id, source, md5({_NORMALIZED_SQL}) AS fingerprint,
+                   doc_id % 8 = 0 AS is_new
+            FROM documents
+        ),
+        hist AS (SELECT DISTINCT fingerprint FROM fp WHERE NOT is_new)
+        SELECT f.source,
+               CAST(count(*) AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN h.fingerprint IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_admitted
+        FROM fp f LEFT JOIN hist h USING (fingerprint)
+        WHERE f.is_new
+        GROUP BY f.source
+        ORDER BY f.source
+    """,
+)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production ingestion dedups each incoming batch against the corpus
+    it already holds — never re-clustering history. The anti-join on the
+    md5 content fingerprint is one equi-join keyed by hash (at 100 TB the
+    history side is a bucketed fingerprint index; the batch, being a day's
+    crawl, is orders of magnitude smaller and streams past it). The
+    new/history split here is a deterministic stand-in — plain
+    ``doc_id % 8`` picks the 'arriving' slice, chosen over a hash because
+    it is engine-identical, so the oracle replays the exact same split."""
+    from data_algorithms_with_pyspark_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.join(fingerprint(docs), on="doc_id").select(
+        "doc_id", "source", "fingerprint", (F.col("doc_id") % 8 == 0).alias("is_new")
+    )
+    hist = fp.where(~F.col("is_new")).select("fingerprint").distinct()
+    new = fp.where(F.col("is_new"))
+    admitted = new.join(hist, on="fingerprint", how="left_anti")
+    return (
+        new.groupBy("source")
+        .agg(F.count("*").alias("n_new"))
+        .join(
+            admitted.groupBy("source").agg(F.count("*").alias("n_admitted")),
+            on="source",
+            how="left",
+        )
+        .select(
+            "source",
+            "n_new",
+            F.coalesce("n_admitted", F.lit(0)).cast("long").alias("n_admitted"),
+        )
+        .orderBy("source")
     )
