@@ -29,6 +29,8 @@ __all__ = [
     "repetition_scores",
     "char_bigram_lm_scores",
     "boilerplate_ngram_coverage",
+    "PII_PATTERNS",
+    "pii_scrub",
 ]
 
 # Tiny high-frequency marker vocabularies per language; a deterministic
@@ -397,3 +399,41 @@ def boilerplate_ngram_coverage(
             ),
         )
     )
+
+
+# Patterns chosen for Java-regex (Spark) / RE2 (DuckDB) semantic parity:
+# no lookarounds, no backrefs; \b and bounded quantifiers behave the same.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Detect-and-redact PII before a corpus ships to training — emails,
+    phone numbers, SSN-shaped ids, IPv4 addresses — each replaced by a
+    typed placeholder (``<EMAIL>`` etc.) with per-category hit counts for
+    the audit trail.
+
+    Chained ``regexp_replace`` / ``regexp_count`` Catalyst expressions:
+    one projection, zero shuffles, fuses into the scan like every other
+    row-local filter — at 100 TB this adds no coordination at all. The
+    category order is fixed (alphabetical) so overlapping matches redact
+    deterministically. Patterns avoid constructs where Java regex and RE2
+    diverge, keeping the operator oracle-checkable.
+
+    Output: ``(id_col, redacted, n_email, n_phone, n_ssn, n_ipv4)``.
+    """
+    redacted = F.col(text_col)
+    counts = []
+    for cat in sorted(PII_PATTERNS):
+        pat = PII_PATTERNS[cat]
+        counts.append(
+            F.regexp_count(text_col, F.lit(pat)).cast("long").alias(f"n_{cat}")
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{cat.upper()}>")
+    return docs.select(F.col(id_col), redacted.alias("redacted"), *counts)

@@ -816,3 +816,69 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "doc_pii_scrub_report",
+    tags=("text", "quality", "curation"),
+    description="PII detect-and-redact audit: per-source totals of email/"
+    "phone/SSN/IPv4 hits plus docs-changed count — patterns restricted to "
+    "the Java-regex/RE2 common subset so the redaction is oracle-checkable "
+    "(operators/text.py:pii_scrub)",
+    oracle=r"""
+        WITH scrub AS (
+            SELECT source,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_email,
+                   len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                   len(regexp_extract_all(text,
+                       '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone,
+                   len(regexp_extract_all(text,
+                       '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_email) AS BIGINT) AS total_email,
+               CAST(sum(n_ipv4) AS BIGINT) AS total_ipv4,
+               CAST(sum(n_phone) AS BIGINT) AS total_phone,
+               CAST(sum(n_ssn) AS BIGINT) AS total_ssn,
+               CAST(sum(CASE WHEN n_email + n_ipv4 + n_phone + n_ssn > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_redacted
+        FROM scrub
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def doc_pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus is PII-free by construction, so every total is
+    zero — which is exactly what the differential check verifies: both
+    regex engines agree on every document (the planted-PII semantics are
+    unit-tested in tests/test_curation_rules.py). One projection + one
+    tiny per-source aggregate; the redaction itself never shuffles."""
+    from data_algorithms_with_pyspark_spark.operators.text import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = docs.select("doc_id", "source").join(
+        pii_scrub(docs), on="doc_id"
+    )
+    changed = (
+        F.col("n_email") + F.col("n_ipv4") + F.col("n_phone") + F.col("n_ssn")
+        > 0
+    )
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_email").cast("long").alias("total_email"),
+            F.sum("n_ipv4").cast("long").alias("total_ipv4"),
+            F.sum("n_phone").cast("long").alias("total_phone"),
+            F.sum("n_ssn").cast("long").alias("total_ssn"),
+            F.sum(F.when(changed, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_redacted"),
+        )
+        .orderBy("source")
+    )

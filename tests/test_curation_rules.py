@@ -274,3 +274,34 @@ def test_sequence_chunks_planted(spark):
         sequence_chunks(df, chunk_tokens=4, stride=0)
     with _pytest.raises(ValueError):
         sequence_chunks(df, chunk_tokens=4, stride=5)
+
+
+def test_pii_scrub_planted(spark):
+    from data_algorithms_with_pyspark_spark.operators.text import pii_scrub
+
+    df = _docs(
+        spark,
+        [
+            (0, "mail bob.smith+x@corp.example.io now"),
+            (1, "call 555-123-4567 or 555 987 6543"),
+            (2, "ssn 123-45-6789 ip 10.0.42.7"),
+            (3, "clean text only"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (
+            r["redacted"],
+            r["n_email"],
+            r["n_phone"],
+            r["n_ssn"],
+            r["n_ipv4"],
+        )
+        for r in pii_scrub(df).collect()
+    }
+    assert out[0] == ("mail <EMAIL> now", 1, 0, 0, 0)
+    assert out[1] == ("call <PHONE> or <PHONE>", 0, 2, 0, 0)
+    # SSN pattern is redacted first (alphabetical order: email, ipv4,
+    # phone, ssn -> ssn last) but 123-45-6789 never matches phone (2-digit
+    # middle group), so categories stay disjoint here.
+    assert out[2] == ("ssn <SSN> ip <IPV4>", 0, 0, 1, 1)
+    assert out[3] == ("clean text only", 0, 0, 0, 0)
