@@ -50,6 +50,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_near_dup_pairs",
     "semdedup_prune",
+    "repeated_segment_dedup",
 ]
 
 # --- exact ------------------------------------------------------------------
@@ -467,4 +468,96 @@ def semdedup_prune(
     )
     return clustered.join(drops, on=id_col, how="left").select(
         id_col, "cid", F.col("_dropped").isNull().alias("is_kept")
+    )
+
+
+# --- repeated-segment (line-level) dedup ------------------------------------
+
+
+def repeated_segment_dedup(
+    docs: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-segment removal — the RefinedWeb/CCNet
+    "line-level dedup" pass, adapted to segment units of ``k`` whitespace
+    tokens because the synthetic corpus has no newlines (swap the
+    segmenter for ``split(text, '\\n')`` on corpora that do).
+
+    A segment (non-overlapping ``k``-token window) that occurs in at
+    least ``min_docs`` DISTINCT documents is boilerplate (navigation
+    chrome, license headers, templated paragraphs) and is removed from
+    every document; the trailing ``len % k`` tokens form a tail segment
+    that is never counted or removed (it would under-count boilerplate
+    and is kept verbatim so the rewrite stays faithful).
+
+    Scale shape (100 TB): one shuffle to count segment document-frequency,
+    one join of segments against the frequent set — which is tiny after
+    the ``min_docs`` filter, so AQE broadcasts it (same shape as
+    ``text.boilerplate_ngram_coverage``) — and one groupBy(id) to
+    reassemble. The token array is materialized before the slicing
+    lambdas per the ``word_ngrams`` performance contract.
+
+    Returns one row per input document:
+    ``(id_col, n_segments, n_removed, redacted)`` where ``redacted`` is
+    the document rebuilt from its kept segments (tail included) in
+    original order.
+    """
+    if k < 1:
+        raise ValueError("segment size k must be >= 1")
+    toks = docs.select(F.col(id_col), words(text_col).alias("_toks"))
+    n_full = F.floor(F.size("_toks") / F.lit(k)).cast("int")
+    seg_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(F.col("_toks"), i * k + 1, k)
+    )
+    full_segs = F.when(
+        F.col("_nf") >= 1,
+        F.transform(F.sequence(F.lit(0), F.col("_nf") - 1), seg_at),
+    ).otherwise(F.array().cast("array<string>"))
+    tail_seg = F.when(
+        F.size("_toks") % k > 0,
+        F.array(F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_nf") * k + 1, k))),
+    ).otherwise(F.array().cast("array<string>"))
+    segs = (
+        toks.withColumn("_nf", n_full)
+        .select(
+            F.col(id_col),
+            F.col("_nf"),
+            F.posexplode_outer(F.concat(full_segs, tail_seg)).alias(
+                "segno", "seg"
+            ),
+        )
+        .withColumn("is_tail", F.col("segno") >= F.col("_nf"))
+        .drop("_nf")
+    )
+    frequent = (
+        segs.where(F.col("seg").isNotNull() & ~F.col("is_tail"))
+        .groupBy("seg")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("seg", F.lit(True).alias("_freq"))
+    )
+    marked = segs.join(frequent, on="seg", how="left").withColumn(
+        "rm", F.coalesce(F.col("_freq"), F.lit(False)) & ~F.col("is_tail")
+    )
+    kept_struct = F.when(
+        F.col("seg").isNotNull() & ~F.col("rm"),
+        F.struct(F.col("segno"), F.col("seg")),
+    )
+    return marked.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("seg").isNotNull() & ~F.col("is_tail"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_segments"),
+        F.sum(F.when(F.col("rm"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s.getField("seg"),
+            ),
+            " ",
+        ).alias("redacted"),
     )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["top_k_per_group", "sessionize", "ranked"]
+__all__ = ["top_k_per_group", "sessionize", "ranked", "funnel_stage_times"]
 
 
 def top_k_per_group(
@@ -77,4 +77,74 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         - 1,
+    )
+
+
+def funnel_stage_times(
+    events: DataFrame,
+    stages: tuple[str, ...],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user ordered-funnel stage timestamps: the earliest ``stages[0]``
+    event, then the earliest ``stages[1]`` STRICTLY after it, and so on.
+
+    One shuffle total: each user's events are collected and sorted once
+    (``array_sort`` of ``collect_list``), then folded through an
+    N-slot state struct — versus the naive formulation of N sequential
+    aggregate+join rounds (which is how the DuckDB oracle states it).
+    Strict ``>`` on epoch micros decides stage succession, so two events
+    in the same microsecond can never satisfy consecutive stages — a
+    deterministic rule both engines implement identically.
+
+    At 100 TB: the state is N longs regardless of activity, but the
+    sorted array is per-user event history — heavy-hitter users cost
+    memory in their partition; pre-filter ``events`` to the funnel's
+    event types (done here) to bound it.
+
+    Returns ``(user_col, t_<stage>...)``, epoch-micros longs, null where
+    the user never reached the stage; users with no ``stages[0]`` event
+    appear with all-null slots.
+    """
+    if len(stages) < 2:
+        raise ValueError("a funnel needs at least 2 stages")
+    if len(set(stages)) != len(stages):
+        raise ValueError("funnel stages must be distinct")
+    per_user = (
+        events.where(F.col(type_col).isin(*stages))
+        .select(
+            user_col,
+            F.struct(
+                F.unix_micros(F.col(ts_col)).alias("us"),
+                F.col(type_col).alias("et"),
+            ).alias("_e"),
+        )
+        .groupBy(user_col)
+        .agg(F.array_sort(F.collect_list("_e")).alias("_evs"))
+    )
+    nil = F.lit(None).cast("bigint")
+    slots = [f"t_{s}" for s in stages]
+    init = F.struct(*[nil.alias(c) for c in slots])
+
+    def step(acc, e):
+        us, et = e.getField("us"), e.getField("et")
+        fields = []
+        first = acc.getField(slots[0])
+        fields.append(
+            F.when(first.isNull() & (et == stages[0]), us)
+            .otherwise(first)
+            .alias(slots[0])
+        )
+        for prev_c, cur_c, stage in zip(slots, slots[1:], stages[1:]):
+            cur, prev = acc.getField(cur_c), acc.getField(prev_c)
+            hit = cur.isNull() & prev.isNotNull() & (et == stage) & (us > prev)
+            fields.append(F.when(hit, us).otherwise(cur).alias(cur_c))
+        return F.struct(*fields)
+
+    folded = per_user.select(
+        user_col, F.aggregate("_evs", init, step).alias("_s")
+    )
+    return folded.select(
+        user_col, *[F.col(f"_s.{c}").alias(c) for c in slots]
     )

@@ -882,3 +882,102 @@ def doc_pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "doc_repeated_segment_dedup",
+    tags=("text", "dedup", "curation"),
+    description="RefinedWeb-style repeated-segment removal: 5-token "
+    "segments occurring in >=2 distinct docs are boilerplate and removed "
+    "from every doc; docs rebuilt from kept segments in order "
+    "(operators/dedup.py:repeated_segment_dedup). Full redacted-text "
+    "value oracle.",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        base AS (
+            SELECT doc_id, t, CAST(floor(len(t) / 5) AS BIGINT) AS nf
+            FROM toks
+        ),
+        segs AS (
+            SELECT doc_id, i - 1 AS segno,
+                   array_to_string(t[(i-1)*5+1:i*5], ' ') AS seg,
+                   false AS is_tail
+            FROM base, LATERAL unnest(generate_series(1, nf)) AS u(i)
+            UNION ALL
+            SELECT doc_id, nf, array_to_string(t[nf*5+1:len(t)], ' '), true
+            FROM base WHERE len(t) % 5 > 0
+        ),
+        freq AS (
+            SELECT seg FROM segs WHERE NOT is_tail
+            GROUP BY seg HAVING count(DISTINCT doc_id) >= 2
+        ),
+        marked AS (
+            SELECT s.doc_id, s.segno, s.seg, s.is_tail,
+                   (f.seg IS NOT NULL AND NOT s.is_tail) AS rm
+            FROM segs s LEFT JOIN freq f USING (seg)
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(sum(CASE WHEN NOT m.is_tail THEN 1 END), 0)
+                    AS BIGINT) AS n_segments,
+               CAST(coalesce(sum(CASE WHEN m.rm THEN 1 END), 0)
+                    AS BIGINT) AS n_removed,
+               coalesce(string_agg(CASE WHEN NOT m.rm THEN m.seg END,
+                                   ' ' ORDER BY m.segno), '') AS redacted
+        FROM documents d LEFT JOIN marked m ON d.doc_id = m.doc_id
+        GROUP BY d.doc_id
+    """,
+)
+def doc_repeated_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level dedup adapted to 5-token segments (the corpus has no
+    newlines); the tail (len % 5 tokens) is kept verbatim and never
+    counted as boilerplate. The redacted text itself is oracle-compared,
+    so both engines must agree on every byte of every rebuilt document —
+    the strongest differential check in the dedup family."""
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        repeated_segment_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_segment_dedup(docs, k=5, min_docs=2)
+
+
+@register(
+    "term_posting_lists",
+    tags=("text", "index"),
+    description="Inverted-index build: per-term document frequency, total "
+    "term frequency, and the first 20 postings (sorted doc ids) as a CSV "
+    "string — the IR/search primitive over the corpus",
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+        )
+        SELECT term,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+               CAST(count(*) AS BIGINT) AS tf,
+               array_to_string(list_sort(list(DISTINCT doc_id))[1:20], ',')
+                   AS postings_head
+        FROM tf
+        GROUP BY term
+    """,
+)
+def term_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One explode + one hash aggregate on term — the classic inverted-
+    index shuffle. Postings are capped at the first 20 sorted doc ids and
+    serialized to CSV so the oracle comparison is string-typed (array
+    hashing differs between engines' client layers). At 100 TB the
+    full posting list per term does NOT belong in one row — this head
+    plus df/tf is the manifest shape; the full index would be written
+    sorted by (term, doc_id) via a range-clustered writer instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    from data_algorithms_with_pyspark_spark.functions.text_functions import (
+        words,
+    )
+
+    terms = docs.select("doc_id", F.explode(words("text")).alias("term"))
+    return terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count("*").alias("tf"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_set("doc_id")), 1, 20), ","
+        ).alias("postings_head"),
+    )

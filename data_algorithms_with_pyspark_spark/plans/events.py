@@ -486,3 +486,151 @@ def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
         F.round(F.regr_r2(F.col("value"), x), 4).alias("r2"),
     )
+
+
+@register(
+    "events_funnel_stages",
+    bench=True,
+    tags=("events", "funnel"),
+    description="Ordered conversion funnel signup->view->click->purchase: "
+    "per-user stage timestamps via ONE sort+fold aggregate (no per-stage "
+    "join chain), then global stage counts + completion time",
+    oracle="""
+        WITH base AS (
+            SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+        ),
+        s1 AS (
+            SELECT user_id, min(us) AS t1 FROM base
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT b.user_id, min(b.us) AS t2
+            FROM base b JOIN s1 ON b.user_id = s1.user_id AND b.us > s1.t1
+            WHERE b.event_type = 'view' GROUP BY b.user_id
+        ),
+        s3 AS (
+            SELECT b.user_id, min(b.us) AS t3
+            FROM base b JOIN s2 ON b.user_id = s2.user_id AND b.us > s2.t2
+            WHERE b.event_type = 'click' GROUP BY b.user_id
+        ),
+        s4 AS (
+            SELECT b.user_id, min(b.us) AS t4
+            FROM base b JOIN s3 ON b.user_id = s3.user_id AND b.us > s3.t3
+            WHERE b.event_type = 'purchase' GROUP BY b.user_id
+        ),
+        j AS (
+            SELECT s1.user_id, t1, t2, t3, t4
+            FROM s1 LEFT JOIN s2 USING (user_id)
+                    LEFT JOIN s3 USING (user_id)
+                    LEFT JOIN s4 USING (user_id)
+        )
+        SELECT CAST(count(t1) AS BIGINT) AS n_signup,
+               CAST(count(t2) AS BIGINT) AS n_view,
+               CAST(count(t3) AS BIGINT) AS n_click,
+               CAST(count(t4) AS BIGINT) AS n_purchase,
+               CAST(coalesce(sum((t4 - t1) // 1000000), 0) AS BIGINT)
+                   AS sum_completion_s
+        FROM j
+    """,
+)
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic ordered funnel: the earliest view STRICTLY after the first
+    signup, earliest click strictly after that view, etc. The oracle
+    expresses it as a 4-stage join chain; the Spark plan instead sorts
+    each user's events once (array_sort of collect_list) and folds the
+    array through a 4-slot state struct — ONE shuffle on user_id total,
+    versus four aggregate+join rounds. At 100 TB the fold's per-user
+    array is bounded by per-user activity (watch whales; the state is 4
+    longs regardless). All comparisons are on epoch MICROS longs on both
+    engines so nanos-parquet truncation can't skew stage boundaries."""
+    from data_algorithms_with_pyspark_spark.operators.windows import (
+        funnel_stage_times,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    staged = funnel_stage_times(
+        events, ("signup", "view", "click", "purchase")
+    )
+    t1, t4 = F.col("t_signup"), F.col("t_purchase")
+    return staged.agg(
+        F.count("t_signup").alias("n_signup"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+        F.coalesce(
+            F.sum(
+                F.when(t4.isNotNull(), F.floor((t4 - t1) / F.lit(1000000)))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sum_completion_s"),
+    )
+
+
+@register(
+    "events_cohort_retention",
+    bench=True,
+    tags=("events", "window"),
+    description="Cohort retention triangle: users grouped by first-active "
+    "day, distinct active users per (cohort_day, day_offset)",
+    oracle="""
+        WITH act AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        cohort AS (
+            SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id
+        )
+        SELECT c.cohort_day,
+               CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+        FROM act a JOIN cohort c ON a.user_id = c.user_id
+        GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-analytics retention triangle. Two shuffles: distinct
+    (user, day) activity (collapses the event volume first — at 100 TB
+    this is the pass that matters), then the cohort groupBy; the
+    per-user first-day table joins back on user_id where AQE picks
+    broadcast vs shuffle by actual size. Day arithmetic runs in the
+    UTC-pinned session (readers.ensure_session_confs) so both engines
+    bucket midnight-straddling events identically."""
+    events = load_table(spark, sf_dir, "events")
+    act = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(cohort, on="user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "events_value_histogram",
+    tags=("events", "stats"),
+    description="Fixed-width value histogram per event type in INTEGER "
+    "space (cents div bucket-width) — the cross-engine-safe form of "
+    "width_bucket over doubles",
+    oracle="""
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) // 2500 AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram binning quantizes to integer cents FIRST (the engine's
+    money idiom), then buckets by integer division — bucket edges can
+    never drift between engines the way ``width_bucket`` over raw
+    doubles can at representability boundaries. One partial+final
+    hash aggregate; at 100 TB the map-side combine collapses each
+    partition to at most (types x buckets) rows before the shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    bucket = F.floor(cents / F.lit(2500)).cast("long").alias("bucket")
+    return events.groupBy("event_type", bucket).agg(F.count("*").alias("n"))

@@ -305,3 +305,33 @@ def test_pii_scrub_planted(spark):
     # middle group), so categories stay disjoint here.
     assert out[2] == ("ssn <SSN> ip <IPV4>", 0, 0, 1, 1)
     assert out[3] == ("clean text only", 0, 0, 0, 0)
+
+
+def test_repeated_segment_dedup_planted(spark):
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        repeated_segment_dedup,
+    )
+
+    df = _docs(
+        spark,
+        [
+            (0, "aa bb cc dd ee"),
+            (1, "aa bb xx yy"),
+            (2, "cc dd aa bb zz"),
+            (3, "qq"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_segments"], r["n_removed"], r["redacted"])
+        for r in repeated_segment_dedup(df, k=2, min_docs=2).collect()
+    }
+    # "aa bb" appears in docs 0/1/2 and "cc dd" in 0/2 -> both removed
+    # everywhere; tails ("ee", "zz", "qq") are never counted or removed.
+    assert out[0] == (2, 2, "ee")
+    assert out[1] == (2, 1, "xx yy")
+    assert out[2] == (2, 2, "zz")
+    assert out[3] == (0, 0, "qq")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        repeated_segment_dedup(df, k=0)

@@ -160,3 +160,46 @@ def test_language_id_markers(spark):
     )
     langs = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
     assert langs == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_funnel_stage_times_planted(spark):
+    import datetime as dt
+
+    import pytest
+
+    from data_algorithms_with_pyspark_spark.operators.windows import (
+        funnel_stage_times,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        # user 1: clean completion, out-of-order noise ignored
+        (1, s(0), "b"),
+        (1, s(10), "a"),  # first a AFTER a 'b' that must not count
+        (1, s(20), "b"),
+        (1, s(30), "c"),
+        # user 2: reaches b only; the c BEFORE b must not count
+        (2, s(0), "a"),
+        (2, s(1), "c"),
+        (2, s(2), "b"),
+        # user 3: same-timestamp a and b -> strict > rejects the b
+        (3, s(5), "a"),
+        (3, s(5), "b"),
+        # user 4: never enters the funnel (only noise)
+        (4, s(0), "x"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {
+        r["user_id"]: (r["t_a"], r["t_b"], r["t_c"])
+        for r in funnel_stage_times(df, ("a", "b", "c")).collect()
+    }
+    us = lambda sec: int((s(sec) - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)  # noqa: E731
+    assert out[1] == (us(10), us(20), us(30))
+    assert out[2] == (us(0), us(2), None)
+    assert out[3] == (us(5), None, None)
+    assert 4 not in out  # filtered with no funnel events at all
+    with pytest.raises(ValueError):
+        funnel_stage_times(df, ("a",))
+    with pytest.raises(ValueError):
+        funnel_stage_times(df, ("a", "a"))
