@@ -144,3 +144,23 @@ def test_char_lm_model_broadcasts_not_corpus(spark):
     df = all_queries()["doc_char_lm_scores"].fn(spark, SF_SMOKE)
     plan = _executed_plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_funnel_is_single_user_shuffle(spark):
+    """funnel_stage_times' contract: ONE shuffle keyed on user_id (plus
+    the trivial single-partition exchange for the final global roll-up) —
+    never the oracle's 4-round aggregate+join chain."""
+    df = all_queries()["events_funnel_stages"].fn(spark, SF_SMOKE)
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+
+
+def test_segment_dedup_no_cartesian_and_broadcast_frequent_set(spark):
+    """The frequent-segment set (tiny after the min_docs filter) must be
+    the broadcast side; the per-segment join must never be all-pairs."""
+    df = all_queries()["doc_repeated_segment_dedup"].fn(spark, SF_SMOKE)
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
