@@ -156,14 +156,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # events.ts is parquet TIMESTAMP(NANOS): surfaced as a ns-long via
-        # spark.sql.legacy.parquet.nanosAsLong (session.py), converted here
-        # to a microsecond timestamp (truncation — matches engines that
-        # narrow ns to us).
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # events.ts as parquet TIMESTAMP(NANOS): surfaced as a ns-long
+            # via spark.sql.legacy.parquet.nanosAsLong (session.py),
+            # converted here to a microsecond timestamp (truncation —
+            # matches engines that narrow ns to us).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # events.ts as parquet TIMESTAMP(MICROS, isAdjustedToUTC=false)
+            # reads as TIMESTAMP_NTZ. The catalog computes on session-time
+            # TIMESTAMP (unix_micros/window/interval arithmetic); with the
+            # session pinned to UTC (ensure_session_confs) this cast is
+            # wall-clock-identical to the oracle's naive reading.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
