@@ -981,3 +981,101 @@ def term_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.array_sort(F.collect_set("doc_id")), 1, 20), ","
         ).alias("postings_head"),
     )
+
+
+# --- trained k-means (Lloyd's) with an unrolled value oracle ----------------
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 2
+_KMEANS_DIM = 64
+
+
+def _kmeans_oracle() -> str:
+    """Unroll exactly _KMEANS_ITERS Lloyd's iterations in DuckDB SQL with
+    the SAME quantization the Spark operator applies (round to
+    CENTROID_QUANT dp on init and on every recomputed mean), then emit the
+    final per-vector assignment. Chained CTEs, no recursion — the
+    iteration count is a shared literal, so both engines run the identical
+    computation."""
+    from data_algorithms_with_pyspark_spark.operators.clustering import (
+        CENTROID_QUANT,
+    )
+
+    q = CENTROID_QUANT
+    k, dim = _KMEANS_K, _KMEANS_DIM
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+        {name} AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT v.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_cosine_similarity(v.vec, c.cvec)
+                                        DESC,
+                                    c.cid
+                       ) AS rn
+                FROM v CROSS JOIN {cents} c
+            ) WHERE rn = 1
+        )"""
+
+    def recompute(name: str, assign_t: str, prev: str) -> str:
+        return f"""
+        {name} AS MATERIALIZED (
+            SELECT p.cid, COALESCE(g.cvec, p.cvec) AS cvec
+            FROM {prev} p LEFT JOIN (
+                SELECT cid, list(m ORDER BY i) AS cvec FROM (
+                    SELECT a.cid, d.i, round(avg(v.vec[d.i]), {q}) AS m
+                    FROM v JOIN {assign_t} a USING (vec_id)
+                    CROSS JOIN dims d
+                    GROUP BY a.cid, d.i
+                ) GROUP BY cid
+            ) g USING (cid)
+        )"""
+
+    return f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        ),
+        dims AS (SELECT unnest(range(1, {dim + 1})) AS i),
+        c0 AS MATERIALIZED (
+            SELECT vec_id::INT AS cid,
+                   list_transform(vec, x -> round(x, {q})) AS cvec
+            FROM v WHERE vec_id < {k}
+        ),{assign("a1", "c0")},{recompute("c1", "a1", "c0")},
+        {assign("a2", "c1")},{recompute("c2", "a2", "c1")},
+        {assign("a3", "c2")}
+        SELECT vec_id, cid FROM a3 ORDER BY vec_id
+    """
+
+
+@register(
+    "embedding_kmeans_assign",
+    tags=("similarity", "clustering", "iterative"),
+    description=f"Trained k-means (Lloyd's, k={_KMEANS_K}, "
+    f"{_KMEANS_ITERS} iterations) over the embeddings corpus with a fully "
+    "unrolled DuckDB value oracle — centroids quantized to a shared grid "
+    "each round so both engines run the identical computation "
+    "(operators/clustering.py)",
+    oracle=_kmeans_oracle(),
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The centroid TRAINER the IVF/SemDeDup operators anticipate: Lloyd's
+    with broadcast-out/aggregate-back data motion (corpus never shuffles;
+    driver state = k*dim doubles). tol=0 pins the iteration count to the
+    oracle's unroll; a positive tol only stops early when an iteration is
+    an exact no-op, which the unrolled SQL is invariant to."""
+    from data_algorithms_with_pyspark_spark.operators.clustering import (
+        assign_to_centroids,
+        kmeans_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", to_double_array("embedding").alias("vec"))
+    centroids = kmeans_train(
+        vecs, _KMEANS_K, max_iter=_KMEANS_ITERS, tol=0.0, vec_col="vec"
+    )
+    cents = spark.createDataFrame(
+        list(enumerate(centroids)), "cid int, cvec array<double>"
+    )
+    return assign_to_centroids(vecs, cents, _KMEANS_K).orderBy("vec_id")
