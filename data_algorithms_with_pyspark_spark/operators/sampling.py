@@ -15,14 +15,22 @@ Two families:
     Per-stratum Bernoulli sampling via ``DataFrame.sampleBy`` — seeded,
     but partition-layout-dependent; use for exploratory downsampling, not
     for reproducible pipeline stages.
+
+``group_hash_topk``
+    Deterministic fixed-SIZE per-group sample (exactly min(k, |group|)
+    rows): rank by md5(key) inside each group, keep the k smallest — the
+    reproducible replacement for per-group reservoir sampling. One shuffle
+    on the group key.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = [
+    "group_hash_topk",
     "hash_sample",
     "hash_sample_predicate",
     "rational_hash_sample_predicate",
@@ -76,3 +84,29 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum Bernoulli sample (wraps ``sampleBy``; seeded)."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def group_hash_topk(
+    df: DataFrame, group_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen by the md5 order of
+    ``key_col`` — a deterministic stand-in for per-group reservoir
+    sampling (same rows on every run, every cluster size, every engine).
+
+    Where ``rational_hash_sample_predicate`` gives a deterministic RATE,
+    this gives a deterministic SIZE — the "cap every source at k docs"
+    move in corpus mixing. Plan: one hash-partition shuffle on the group
+    key + a running row_number, with the rank filter applied before
+    anything downstream — Spark pushes the ``rn <= k`` predicate into the
+    WindowGroupLimit physical node, so each task keeps a k-row heap per
+    group instead of materializing full groups.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    order = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(order, F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

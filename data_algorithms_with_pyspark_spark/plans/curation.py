@@ -1079,3 +1079,68 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(enumerate(centroids)), "cid int, cvec array<double>"
     )
     return assign_to_centroids(vecs, cents, _KMEANS_K).orderBy("vec_id")
+
+
+# --- scale-safe global numbering and fixed-size group sampling -------------
+
+
+@register(
+    "documents_global_row_index",
+    tags=("ordering", "scale-pattern"),
+    description="Contiguous 0-based global row numbers under a total order "
+    "(source, doc_id) WITHOUT a single-partition window — range exchange + "
+    "per-partition offsets + mono-id local index "
+    "(operators/ordering.py:global_row_index)",
+    oracle="""
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS row_idx
+        FROM documents
+    """,
+)
+def documents_global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-sample-id assignment every packing/sharding step needs.
+    The naive row_number() over a global Window funnels the corpus through
+    ONE task; this plan's only corpus-wide motion is the range exchange —
+    counts collect one row per partition and the local index rides the
+    monotonically_increasing_id low bits, all JVM-side."""
+    from data_algorithms_with_pyspark_spark.operators.ordering import (
+        global_row_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return global_row_index(docs, ["source", "doc_id"])
+
+
+_GROUP_SAMPLE_K = 25
+
+
+@register(
+    "documents_per_source_sample",
+    tags=("sampling", "scale-pattern"),
+    description=f"Deterministic fixed-size per-group sample: exactly "
+    f"min({_GROUP_SAMPLE_K}, |group|) docs per source by md5 rank — the "
+    "reproducible reservoir replacement; rank filter plans as "
+    "WindowGroupLimit (operators/sampling.py:group_hash_topk)",
+    oracle=f"""
+        SELECT doc_id, source, n_chars FROM (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= {_GROUP_SAMPLE_K}
+    """,
+)
+def documents_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap-every-source-at-k corpus mixing. Unlike rate-based sampling
+    (documents_hash_sample) the output size is exact per group; unlike
+    df.sample it is identical on every run/cluster/engine."""
+    from data_algorithms_with_pyspark_spark.operators.sampling import (
+        group_hash_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return group_hash_topk(docs, "source", "doc_id", _GROUP_SAMPLE_K)

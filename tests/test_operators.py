@@ -203,3 +203,58 @@ def test_funnel_stage_times_planted(spark):
         funnel_stage_times(df, ("a",))
     with pytest.raises(ValueError):
         funnel_stage_times(df, ("a", "a"))
+
+
+# --- ordering / sampling scale patterns -------------------------------------
+
+
+def test_global_row_index_contiguous_and_ordered(spark):
+    from data_algorithms_with_pyspark_spark.operators.ordering import (
+        global_row_index,
+    )
+
+    rows = [(i, f"src{i % 3}") for i in range(97)]
+    df = spark.createDataFrame(rows, "id long, src string").repartition(8)
+    out = global_row_index(df, ["src", "id"], num_partitions=5).collect()
+    assert sorted(r["row_idx"] for r in out) == list(range(97))
+    by_order = sorted(out, key=lambda r: (r["src"], r["id"]))
+    assert [r["row_idx"] for r in by_order] == list(range(97))
+
+
+def test_global_row_index_deterministic(spark):
+    from data_algorithms_with_pyspark_spark.operators.ordering import (
+        global_row_index,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(50)], "id long"
+    ).repartition(7)
+    a = {r["id"]: r["row_idx"] for r in global_row_index(df, ["id"]).collect()}
+    b = {r["id"]: r["row_idx"] for r in global_row_index(df, ["id"]).collect()}
+    assert a == b == {i: i for i in range(50)}
+
+
+def test_group_hash_topk_exact_sizes_and_determinism(spark):
+    from data_algorithms_with_pyspark_spark.operators.sampling import (
+        group_hash_topk,
+    )
+
+    rows = [(i, "big" if i < 40 else "small") for i in range(45)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = group_hash_topk(df, "grp", "id", 10)
+    got = out.groupBy("grp").count().collect()
+    sizes = {r["grp"]: r["count"] for r in got}
+    assert sizes == {"big": 10, "small": 5}  # capped vs exhausted group
+    ids1 = sorted(r["id"] for r in out.collect())
+    ids2 = sorted(r["id"] for r in group_hash_topk(df, "grp", "id", 10).collect())
+    assert ids1 == ids2
+
+
+def test_group_hash_topk_plans_window_group_limit(spark):
+    from data_algorithms_with_pyspark_spark.operators.sampling import (
+        group_hash_topk,
+    )
+
+    df = spark.createDataFrame([(i, i % 2) for i in range(20)], "id long, g int")
+    plan = group_hash_topk(df, "g", "id", 3)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
