@@ -28,6 +28,7 @@ __all__ = [
     "binary_metadata",
     "decode_image_batch",
     "extract_features",
+    "resize_image",
     "frame_sample",
 ]
 
@@ -152,4 +153,49 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4)
 
     return media.select("media_id", "payload").mapInPandas(
         _frames, schema=_FRAME_SCHEMA
+    )
+
+
+_RESIZED_SCHEMA = "media_id long, height int, width int, resized binary"
+
+
+def resize_image(
+    media: DataFrame, height: int = 32, width: int = 32, fake: bool = True
+) -> DataFrame:
+    """Resize stub: emits a fixed-size payload per image.
+
+    ``fake=True`` strided-samples exactly height*width bytes from the
+    payload (deterministic, so the batch shape — constant-size outputs
+    from variable-size inputs, the property real resize gives a training
+    pipeline — is testable end-to-end); ``fake=False`` raises inside the
+    workers' batches until a real image library is swapped in.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n_out = height * width
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL/opencv — not in this image"
+                )
+            outs = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(arr) == 0:
+                    arr = np.zeros(1, dtype=np.uint8)
+                idx = (np.arange(n_out) * len(arr)) // n_out
+                outs.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "height": height,
+                    "width": width,
+                    "resized": outs,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _resize, schema=_RESIZED_SCHEMA
     )

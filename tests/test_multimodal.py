@@ -71,3 +71,36 @@ def test_frame_sampling_one_to_many(spark, media):
     )
     assert len(per_media) == 20
     assert all(1 <= r["n"] <= 3 for r in per_media)
+
+
+def test_resize_image_constant_output_size(spark):
+    from data_algorithms_with_pyspark_spark.operators.multimodal import (
+        resize_image,
+        with_binary_payload,
+    )
+    from data_algorithms_with_pyspark_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    media = with_binary_payload(docs)
+    out = resize_image(media, height=8, width=4).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["height"] == 8 and r["width"] == 4
+        assert len(r["resized"]) == 32  # constant-size regardless of input
+
+
+def test_resize_image_real_decode_stub_raises(spark):
+    from data_algorithms_with_pyspark_spark.operators.multimodal import (
+        resize_image,
+        with_binary_payload,
+    )
+    from data_algorithms_with_pyspark_spark.sources.readers import load_table
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(2)
+    media = with_binary_payload(docs)
+    with _pytest.raises((PythonException, Py4JJavaError)):
+        resize_image(media, fake=False).collect()
