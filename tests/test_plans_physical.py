@@ -164,3 +164,47 @@ def test_segment_dedup_no_cartesian_and_broadcast_frequent_set(spark):
     plan = _executed_plan(df).split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_kmeans_assignment_hash_aggregate_not_sort(spark):
+    """The packed-bigint argmax must keep centroid assignment a
+    HashAggregate (primitive buffer); a struct-keyed max would silently
+    degrade to SortAggregate — the 100 TB cost center kmeans avoids."""
+    from data_algorithms_with_pyspark_spark.operators.clustering import (
+        assign_to_centroids,
+    )
+    from data_algorithms_with_pyspark_spark.functions.vectors import (
+        to_double_array,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    vecs = emb.select("vec_id", to_double_array("embedding").alias("vec"))
+    cents = spark.createDataFrame(
+        [(i, [float(i + 1)] * 64) for i in range(4)],
+        "cid int, cvec array<double>",
+    )
+    plan = _executed_plan(assign_to_centroids(vecs, cents, 4))
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_global_row_index_no_window_no_global_sort(spark):
+    """The single-partition trap this operator exists to avoid: no Window
+    node, no global Sort; the only corpus motion is the range exchange,
+    and offsets come back via a broadcast join."""
+    from data_algorithms_with_pyspark_spark.operators.ordering import (
+        global_row_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    df = global_row_index(docs, ["source", "doc_id"], num_partitions=4)
+    plan = _executed_plan(df)
+    assert "Window" not in plan
+    assert "rangepartitioning" in plan
+    assert "BroadcastHashJoin" in plan
+    # the range partitioner is the ONLY exchange kind touching the corpus
+    # (its subtree prints once per reference to the persisted relation);
+    # the tiny offset table broadcasts, so no hash exchange ever appears
+    assert "Exchange hashpartitioning" not in plan
+    assert "InMemoryTableScan" in plan  # both passes reuse the persisted part
