@@ -44,7 +44,9 @@ __all__ = [
     "word_shingles",
     "token_shingles",
     "minhash_signatures",
+    "minhash_bands",
     "minhash_candidate_pairs",
+    "incremental_minhash_candidates",
     "simhash",
     "simhash_candidate_pairs",
     "ngram_jaccard_pairs",
@@ -197,6 +199,32 @@ def minhash_signatures(
     )
 
 
+def minhash_bands(
+    signatures: DataFrame, bands: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding of signature tables: (id, band, band_hash) rows, one per
+    band per doc — the 24-byte currency every banded-join dedup variant
+    shuffles instead of signatures or text."""
+    sig_len = F.size(F.col("signature"))
+    rows_per_band = (sig_len / F.lit(bands)).cast("int")
+    return signatures.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).select(
+        F.col(id_col),
+        F.col("band"),
+        F.xxhash64(
+            F.col("band"),
+            F.slice(
+                F.col("signature"),
+                F.col("band") * rows_per_band + 1,
+                rows_per_band,
+            ),
+        ).alias("band_hash"),
+    )
+
+
 def minhash_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -224,20 +252,7 @@ def minhash_candidate_pairs(
     # candidate id to compute the estimate. Spark reuses the signature
     # aggregation's exchange across the three references (ReusedExchange),
     # so the expensive shingle/hash pass still runs once.
-    sig_len = F.size(F.col("signature"))
-    rows_per_band = (sig_len / F.lit(bands)).cast("int")
-    banded = signatures.select(
-        F.col(id_col),
-        F.col("signature"),
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-    ).select(
-        F.col(id_col),
-        F.col("band"),
-        F.xxhash64(
-            F.col("band"),
-            F.slice(F.col("signature"), F.col("band") * rows_per_band + 1, rows_per_band),
-        ).alias("band_hash"),
-    )
+    banded = minhash_bands(signatures, bands, id_col=id_col)
     left = banded.select(F.col(id_col).alias("id_1"), "band", "band_hash")
     right = banded.select(F.col(id_col).alias("id_2"), "band", "band_hash")
     pairs = (
@@ -415,6 +430,7 @@ def semdedup_prune(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     materialize: bool = True,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster, then prune within clusters.
 
@@ -443,11 +459,30 @@ def semdedup_prune(
     join), and each reference would otherwise replay the centroid
     assignment from the scan — the same "checkpoint the sketch, not the
     corpus" move as ``minhash_candidate_pairs``.
+
+    ``centroids``: pass ``clustering.kmeans_train`` output to cluster on
+    TRAINED centroids (the real SemDeDup setup); default None keeps the
+    deterministic first-k-ids stand-in the catalog oracle replays.
     """
     vecs = embeddings.select(F.col(id_col), to_double_array(vec_col).alias("vec"))
-    from data_algorithms_with_pyspark_spark.operators.similarity import ivf_assign
+    if centroids is not None:
+        # trained centroids (clustering.kmeans_train) — real SemDeDup runs
+        # on k-means clusters; the deterministic first-k-ids stand-in below
+        # remains the default because the catalog oracle replays it exactly
+        from data_algorithms_with_pyspark_spark.operators.clustering import (
+            assign_to_centroids,
+        )
 
-    assign = ivf_assign(vecs, n_clusters, id_col=id_col)
+        cents = embeddings.sparkSession.createDataFrame(
+            list(enumerate(centroids)), "cid int, cvec array<double>"
+        )
+        assign = assign_to_centroids(vecs, cents, len(centroids), id_col=id_col)
+    else:
+        from data_algorithms_with_pyspark_spark.operators.similarity import (
+            ivf_assign,
+        )
+
+        assign = ivf_assign(vecs, n_clusters, id_col=id_col)
     clustered = vecs.join(assign, on=id_col)
     if materialize:
         clustered = clustered.persist()
@@ -560,4 +595,58 @@ def repeated_segment_dedup(
             ),
             " ",
         ).alias("redacted"),
+    )
+
+
+def incremental_minhash_candidates(
+    new_sigs: DataFrame,
+    hist_sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against an existing corpus —
+    the daily-ingest shape for approximate dedup: band the increment, band
+    (or read the pre-banded index of) the history, and equi-join buckets
+    across the two tables only. History x history pairs are never formed —
+    at 100 TB that is the difference between re-clustering the corpus
+    every day and an increment-sized join.
+
+    Output: (id_new, id_hist, est_jaccard). Signatures join back once per
+    side to compute the estimate; the band join itself carries 24-byte
+    rows. At production scale ``hist_sigs``' banding is a persisted index
+    (written once per corpus snapshot by ``minhash_bands``) bucketed on
+    band_hash so each daily increment's join prunes to matching buckets.
+    """
+    new_b = minhash_bands(new_sigs, bands, id_col=id_col).select(
+        F.col(id_col).alias("id_new"), "band", "band_hash"
+    )
+    hist_b = minhash_bands(hist_sigs, bands, id_col=id_col).select(
+        F.col(id_col).alias("id_hist"), "band", "band_hash"
+    )
+    pairs = (
+        new_b.join(hist_b, on=["band", "band_hash"])
+        .select("id_new", "id_hist")
+        .dropDuplicates(["id_new", "id_hist"])
+    )
+    s_new = new_sigs.select(
+        F.col(id_col).alias("id_new"), F.col("signature").alias("sig_1")
+    )
+    s_hist = hist_sigs.select(
+        F.col(id_col).alias("id_hist"), F.col("signature").alias("sig_2")
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_1"), F.col("sig_2"), lambda a, b: a == b),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.size(F.col("sig_1"))
+    )
+    return (
+        pairs.join(s_new, on="id_new")
+        .join(s_hist, on="id_hist")
+        .select("id_new", "id_hist", F.round(est, 4).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= F.lit(min_jaccard))
     )

@@ -1144,3 +1144,32 @@ def documents_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars"
     )
     return group_hash_topk(docs, "source", "doc_id", _GROUP_SAMPLE_K)
+
+
+@register(
+    "incremental_near_dup_candidates",
+    tags=("dedup", "incremental", "lsh"),
+    description="Cross-snapshot NEAR-dup: the daily increment's MinHash "
+    "bands equi-join the history's banded index only — history x history "
+    "pairs never form (xxhash64-based -> rows-only check; planted-dup "
+    "tests carry the value assertions)",
+)
+def incremental_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where incremental_dedup_new_docs anti-joins EXACT fingerprints,
+    this catches near-misses: signatures for the whole corpus computed in
+    one shingle pass (persisted — the sketch, not the corpus), split into
+    increment (doc_id % 8 == 0) and history, then banded-join across the
+    split only. At 100 TB the history bands are a stored index; the join
+    cost tracks the increment size, not the corpus."""
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_perm=64, shingle_n=3).persist()
+    new_sigs = sigs.where(F.col("doc_id") % 8 == 0)
+    hist_sigs = sigs.where(F.col("doc_id") % 8 != 0)
+    return incremental_minhash_candidates(
+        new_sigs, hist_sigs, bands=16, min_jaccard=0.3
+    )

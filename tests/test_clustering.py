@@ -108,3 +108,21 @@ def test_kmeans_requires_k_vectors(spark):
     )
     with pytest.raises(ValueError, match="at least k=3"):
         kmeans_train(df, k=3, vec_col="vec")
+
+
+def test_semdedup_with_trained_centroids(spark, blobs):
+    """semdedup_prune accepts kmeans_train output: planted duplicate is
+    dropped, unique vectors survive, every vector gets a cluster."""
+    from data_algorithms_with_pyspark_spark.operators.dedup import semdedup_prune
+
+    rows = _blob_rows()
+    rows.append((999, list(rows[0][1])))  # exact duplicate of id 0
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    cents = kmeans_train(df, k=3, max_iter=3, vec_col="vec")
+    out = semdedup_prune(
+        df, threshold=0.999, id_col="vec_id", vec_col="vec", centroids=cents
+    ).collect()
+    verdict = {r["vec_id"]: r["is_kept"] for r in out}
+    assert len(verdict) == 31
+    assert verdict[0] is True and verdict[999] is False  # min-id survives
+    assert all(r["cid"] in (0, 1, 2) for r in out)

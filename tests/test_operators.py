@@ -258,3 +258,38 @@ def test_group_hash_topk_plans_window_group_limit(spark):
     df = spark.createDataFrame([(i, i % 2) for i in range(20)], "id long, g int")
     plan = group_hash_topk(df, "g", "id", 3)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_incremental_minhash_planted_dup_found_history_pairs_never(spark):
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        minhash_signatures,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest before nightfall arrives"
+    )
+    rows = [
+        (1, base),                     # history
+        (2, base),                     # history: exact dup of 1 (must NOT pair)
+        (3, "completely different words about spark shuffles and joins "
+            "with nothing shared at all in any shingle window here"),
+        (100, base),                   # new: dup of history 1 and 2
+        (101, "unique new document mentioning catalyst optimizer rules "
+              "and adaptive query execution exclusively right here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs).persist()
+    new_sigs = sigs.where(F.col("doc_id") >= 100)
+    hist_sigs = sigs.where(F.col("doc_id") < 100)
+    got = incremental_minhash_candidates(
+        new_sigs, hist_sigs, min_jaccard=0.5
+    ).collect()
+    pairs = {(r["id_new"], r["id_hist"]) for r in got}
+    assert (100, 1) in pairs and (100, 2) in pairs
+    assert all(p[0] >= 100 for p in pairs)  # id_new only from the increment
+    assert not any(p[0] == 101 for p in pairs)  # unique doc pairs with nothing
+    for r in got:
+        assert r["est_jaccard"] >= 0.5
+    sigs.unpersist()
