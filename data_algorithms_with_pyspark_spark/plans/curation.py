@@ -1173,3 +1173,234 @@ def incremental_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFra
     return incremental_minhash_candidates(
         new_sigs, hist_sigs, bands=16, min_jaccard=0.3
     )
+
+
+# --- tokenizer-training prep, leakage-safe split, count-min sketch ----------
+
+
+@register(
+    "bpe_pair_counts",
+    tags=("text", "tokenizer"),
+    description="BPE training round-1: adjacent symbol-pair counts weighted "
+    "by word frequency — pairs enumerate over DISTINCT words only (the "
+    "classic count-words-first optimization), so pair-explosion cost tracks "
+    "vocabulary size, not corpus size",
+    oracle=f"""
+        WITH w AS (SELECT unnest({_TOKENS}) AS term FROM documents),
+        wc AS (SELECT term, count(*) AS n FROM w GROUP BY term),
+        p AS (
+            SELECT unnest(list_transform(range(1, length(term)),
+                                         i -> substr(term, i, 2))) AS pair,
+                   n
+            FROM wc WHERE length(term) >= 2
+        )
+        SELECT pair, CAST(sum(n) AS BIGINT) AS pair_count
+        FROM p GROUP BY pair
+        ORDER BY pair_count DESC, pair LIMIT 50
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of byte-pair-encoding vocabulary training. Corpus
+    tokens hash-aggregate to (word, freq) FIRST; character pairs then
+    explode over the distinct vocabulary weighted by freq — at 100 TB the
+    second aggregate's input is |vocab| * avg_word_len rows, orders of
+    magnitude below corpus token count. Word of length 1 contributes no
+    pair (sequence() would count DOWN without the guard)."""
+    from data_algorithms_with_pyspark_spark.functions.text_functions import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(words("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .where(F.length("term") >= 2)
+    )
+    pairs = wc.select(
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("term") - 1),
+                lambda i: F.col("term").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(50)
+    )
+
+
+_SPLIT_TEST_NUM = 1
+_SPLIT_TEST_DEN = 5  # test fraction = 1/5
+
+
+@register(
+    "documents_leakage_safe_split",
+    tags=("sampling", "curation"),
+    description="Leakage-safe train/test split keyed on the CONTENT "
+    "fingerprint (exact duplicates always land on the same side) with a "
+    "per-source audit that no fingerprint spans both splits",
+    oracle=f"""
+        WITH fp AS (
+            SELECT source, md5({_NORMALIZED_SQL}) AS fingerprint,
+                   ('0x' || substring(md5({_NORMALIZED_SQL}), 1, 6))::BIGINT
+                       * {_SPLIT_TEST_DEN} < {16**6} * {_SPLIT_TEST_NUM}
+                       AS is_test
+            FROM documents
+        ),
+        per_fp AS (
+            SELECT source, fingerprint,
+                   count(*) AS n,
+                   count(DISTINCT is_test) AS n_sides,
+                   max(CASE WHEN is_test THEN 1 ELSE 0 END) = 1 AS any_test
+            FROM fp GROUP BY source, fingerprint
+        )
+        SELECT source,
+               CAST(sum(CASE WHEN NOT any_test THEN n ELSE 0 END) AS BIGINT)
+                   AS n_train,
+               CAST(sum(CASE WHEN any_test THEN n ELSE 0 END) AS BIGINT)
+                   AS n_test,
+               CAST(sum(CASE WHEN n_sides > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_leaked_fingerprints
+        FROM per_fp GROUP BY source ORDER BY source
+    """,
+)
+def documents_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splitting by row hash leaks: two copies of a document can land in
+    train AND test, inflating eval. Keying the split on the content
+    fingerprint makes co-location structural; the query also AUDITS it
+    (n_leaked_fingerprints, per-fingerprint count of sides seen — 0 by
+    construction, and the oracle proves both engines agree). The split
+    predicate is the all-integer rational-rate draw (1/5 test) on the
+    fingerprint's first 6 md5 hex digits."""
+    from data_algorithms_with_pyspark_spark.functions.text_functions import (
+        normalize_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fingerprint = F.md5(normalize_text("text"))
+    u = F.conv(F.substring(fingerprint, 1, 6), 16, 10).cast("long")
+    is_test = u * F.lit(_SPLIT_TEST_DEN) < F.lit(16**6 * _SPLIT_TEST_NUM)
+    fp = docs.select(
+        "source",
+        fingerprint.alias("fingerprint"),
+        is_test.alias("is_test"),
+    )
+    per_fp = fp.groupBy("source", "fingerprint").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("is_test").alias("n_sides"),
+        F.max(F.col("is_test").cast("int")).alias("any_test"),
+    )
+    return (
+        per_fp.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("any_test") == 0, F.col("n")).otherwise(0)).alias(
+                "n_train"
+            ),
+            F.sum(F.when(F.col("any_test") == 1, F.col("n")).otherwise(0)).alias(
+                "n_test"
+            ),
+            F.sum((F.col("n_sides") > 1).cast("long")).alias(
+                "n_leaked_fingerprints"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_CMS_ROWS = 4
+_CMS_WIDTH = 256
+
+
+@register(
+    "term_count_min_sketch",
+    tags=("sketch", "text"),
+    description=f"Count-min sketch ({_CMS_ROWS}x{_CMS_WIDTH} md5-hashed "
+    "cells) over corpus terms, read back for the top-30 true terms — "
+    "bounded-space frequency estimation with the one-sided-error "
+    "guarantee (estimate >= truth), FULL value oracle via md5 buckets",
+    oracle=f"""
+        WITH t AS (SELECT unnest({_TOKENS}) AS term FROM documents),
+        truec AS (SELECT term, count(*) AS true_count FROM t GROUP BY term),
+        rows_ AS (SELECT unnest(range(0, {_CMS_ROWS})) AS r),
+        cells AS (
+            SELECT r, ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' ||
+                                             term), 1, 6))::BIGINT
+                          % {_CMS_WIDTH} AS bucket,
+                   count(*) AS c
+            FROM t CROSS JOIN rows_
+            GROUP BY 1, 2
+        ),
+        est AS (
+            SELECT tc.term, min(c.c) AS cms_estimate
+            FROM truec tc CROSS JOIN rows_ r
+            JOIN cells c ON c.r = r.r
+                AND c.bucket = ('0x' || substring(
+                        md5(CAST(r.r AS VARCHAR) || ':' || tc.term),
+                        1, 6))::BIGINT % {_CMS_WIDTH}
+            GROUP BY tc.term
+        )
+        SELECT tc.term, CAST(tc.true_count AS BIGINT) AS true_count,
+               CAST(e.cms_estimate AS BIGINT) AS cms_estimate
+        FROM truec tc JOIN est e USING (term)
+        ORDER BY true_count DESC, term LIMIT 30
+    """,
+)
+def term_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-space counting move: the sketch is ROWSxWIDTH cells no
+    matter the corpus (each partition pre-combines to at most that many
+    rows before the shuffle — the groupBy carries ~1k rows per partition
+    at ANY scale). The read-back joins the tiny cell table back broadcast.
+    Estimate >= truth always (collisions only ADD); the oracle recomputes
+    the identical md5 bucketing."""
+    from data_algorithms_with_pyspark_spark.functions.text_functions import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(words("text")).alias("term"))
+
+    def bucket(r: int, col) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"{r}:"), col))
+        return F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % _CMS_WIDTH
+
+    cells = (
+        terms.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).cast("long").alias("r"),
+                            bucket(r, F.col("term")).alias("bucket"),
+                        )
+                        for r in range(_CMS_ROWS)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .select("cell.r", "cell.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    truec = terms.groupBy("term").agg(F.count("*").alias("true_count"))
+    lookups = truec.select(
+        "term",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("r"),
+                        bucket(r, F.col("term")).alias("bucket"),
+                    )
+                    for r in range(_CMS_ROWS)
+                ]
+            )
+        ).alias("cell"),
+    ).select("term", "true_count", "cell.r", "cell.bucket")
+    est = (
+        lookups.join(F.broadcast(cells), on=["r", "bucket"])
+        .groupBy("term", "true_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.orderBy(F.col("true_count").desc(), "term").limit(30)
