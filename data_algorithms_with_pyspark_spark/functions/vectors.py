@@ -19,6 +19,7 @@ __all__ = [
     "dot_product",
     "l2_norm",
     "cosine_similarity",
+    "cosine_with_norms",
     "int8_quant_sse_fp",
 ]
 
@@ -47,6 +48,23 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     num = dot_product(a, b)
     den = l2_norm(a) * l2_norm(b)
     return F.when(den == 0.0, F.lit(0.0)).otherwise(num / den)
+
+
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine similarity with PRE-MATERIALIZED norms — bit-identical to
+    ``cosine_similarity(a, b)`` whenever ``na``/``nb`` are ``l2_norm(a)``/
+    ``l2_norm(b)`` stored in a projection: the expression tree is the same
+    (dot / (na * nb), zero-guarded), only the two norm folds are evaluated
+    ONCE per vector instead of once per pair.
+
+    This is the pair-stage optimization for every quadratic-in-cluster or
+    corpus-x-centroid cosine: per-pair interpreted work drops from three
+    64-element folds to one fold and a divide (~3x on the hot stage), and
+    because the arithmetic is unchanged the DuckDB value oracles keep
+    matching bit-for-bit.
+    """
+    den = na * nb
+    return F.when(den == 0.0, F.lit(0.0)).otherwise(dot_product(a, b) / den)
 
 
 def int8_quant_sse_fp(a: Column) -> Column:

@@ -34,7 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_algorithms_with_pyspark_spark.functions.vectors import (
-    cosine_similarity,
+    cosine_with_norms,
+    l2_norm,
     to_double_array,
 )
 
@@ -61,7 +62,17 @@ def assign_to_centroids(
     ``similarity.ivf_assign`` for why this beats max_by/max(struct) at
     scale. Ties break to the lower cid.
     """
-    cos_vc = cosine_similarity(F.col("vec"), F.col("cvec"))
+    cents = cents.select(
+        "cid", "cvec", l2_norm(F.col("cvec")).alias("_cn")
+    )
+    vecs = vecs.withColumn("_vn", l2_norm(F.col("vec")))
+    # norms materialized once per vector/centroid: the broadcast-product
+    # evaluation does one fold per (vec, centroid) instead of three —
+    # bit-identical to cosine_similarity, so the unrolled kmeans oracle
+    # keeps matching (functions/vectors.py:cosine_with_norms)
+    cos_vc = cosine_with_norms(
+        F.col("vec"), F.col("cvec"), F.col("_vn"), F.col("_cn")
+    )
     packed = (
         F.round((cos_vc + F.lit(1.0)) * F.lit(1e15)).cast("long")
         * F.lit(n_cents)

@@ -34,6 +34,8 @@ from data_algorithms_with_pyspark_spark.functions.text_functions import (
 )
 from data_algorithms_with_pyspark_spark.functions.vectors import (
     cosine_similarity,
+    cosine_with_norms,
+    l2_norm,
     to_double_array,
 )
 
@@ -411,10 +413,22 @@ def embedding_near_dup_pairs(
     """
     vecs = embeddings.select(
         F.col(id_col), to_double_array(vec_col).alias("vec")
+    ).withColumn("_n", l2_norm(F.col("vec")))
+    left = vecs.select(
+        F.col(id_col).alias("id_1"),
+        F.col("vec").alias("v_1"),
+        F.col("_n").alias("n_1"),
     )
-    left = vecs.select(F.col(id_col).alias("id_1"), F.col("vec").alias("v_1"))
-    right = vecs.select(F.col(id_col).alias("id_2"), F.col("vec").alias("v_2"))
-    cos = cosine_similarity(F.col("v_1"), F.col("v_2"))
+    right = vecs.select(
+        F.col(id_col).alias("id_2"),
+        F.col("vec").alias("v_2"),
+        F.col("_n").alias("n_2"),
+    )
+    # norms materialized once per vector: per-pair work is one fold + one
+    # divide, bit-identical to cosine_similarity (functions/vectors.py)
+    cos = cosine_with_norms(
+        F.col("v_1"), F.col("v_2"), F.col("n_1"), F.col("n_2")
+    )
     return (
         left.crossJoin(right)
         .where(F.col("id_1") < F.col("id_2"))
@@ -483,16 +497,29 @@ def semdedup_prune(
         )
 
         assign = ivf_assign(vecs, n_clusters, id_col=id_col)
-    clustered = vecs.join(assign, on=id_col)
+    clustered = vecs.join(assign, on=id_col).withColumn(
+        "_n", l2_norm(F.col("vec"))
+    )
     if materialize:
         clustered = clustered.persist()
     left = clustered.select(
-        F.col("cid"), F.col(id_col).alias("id_1"), F.col("vec").alias("v_1")
+        F.col("cid"),
+        F.col(id_col).alias("id_1"),
+        F.col("vec").alias("v_1"),
+        F.col("_n").alias("n_1"),
     )
     right = clustered.select(
-        F.col("cid"), F.col(id_col).alias("id_2"), F.col("vec").alias("v_2")
+        F.col("cid"),
+        F.col(id_col).alias("id_2"),
+        F.col("vec").alias("v_2"),
+        F.col("_n").alias("n_2"),
     )
-    cos = cosine_similarity(F.col("v_1"), F.col("v_2"))
+    # per-pair cosine does ONE fold (the dot): norms ride the persisted
+    # clustered table — bit-identical to cosine_similarity, so the value
+    # oracle is untouched while the quadratic stage drops ~3x of its work
+    cos = cosine_with_norms(
+        F.col("v_1"), F.col("v_2"), F.col("n_1"), F.col("n_2")
+    )
     drops = (
         left.join(right, on="cid")
         .where(F.col("id_1") < F.col("id_2"))

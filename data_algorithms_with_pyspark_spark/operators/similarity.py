@@ -26,6 +26,7 @@ from pyspark.sql.functions import pandas_udf
 
 from data_algorithms_with_pyspark_spark.functions.vectors import (
     cosine_similarity,
+    cosine_with_norms,
     dot_product,
     l2_norm,
     to_double_array,
@@ -57,9 +58,15 @@ def cosine_topk(
     """
     vecs = embeddings.select(F.col(id_col), to_double_array(vec_col).alias("vec"))
     query = vecs.where(F.col(id_col) == query_id).select(
-        F.col("vec").alias("query_vec")
+        F.col("vec").alias("query_vec"),
+        l2_norm(F.col("vec")).alias("query_norm"),
     )
-    cos = cosine_similarity(F.col("vec"), F.col("query_vec"))
+    cos = cosine_with_norms(
+        F.col("vec"),
+        F.col("query_vec"),
+        l2_norm(F.col("vec")),
+        F.col("query_norm"),
+    )
     return (
         vecs.where(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(query))
@@ -140,14 +147,24 @@ def lsh_near_dup_pairs(
     trades a little recall for a join keyed on ``srp_code`` instead of a
     cross join: shuffle O(n), compare O(sum bucket^2).
     """
-    coded = srp_codes(embeddings, dim, n_planes, seed, id_col, vec_col)
+    coded = srp_codes(embeddings, dim, n_planes, seed, id_col, vec_col).withColumn(
+        "_n", l2_norm(F.col("vec"))
+    )
     left = coded.select(
-        F.col(id_col).alias("id_1"), F.col("vec").alias("v_1"), "srp_code"
+        F.col(id_col).alias("id_1"),
+        F.col("vec").alias("v_1"),
+        F.col("_n").alias("n_1"),
+        "srp_code",
     )
     right = coded.select(
-        F.col(id_col).alias("id_2"), F.col("vec").alias("v_2"), "srp_code"
+        F.col(id_col).alias("id_2"),
+        F.col("vec").alias("v_2"),
+        F.col("_n").alias("n_2"),
+        "srp_code",
     )
-    cos = cosine_similarity(F.col("v_1"), F.col("v_2"))
+    cos = cosine_with_norms(
+        F.col("v_1"), F.col("v_2"), F.col("n_1"), F.col("n_2")
+    )
     return (
         left.join(right, on="srp_code", how="inner")
         .where(F.col("id_1") < F.col("id_2"))
@@ -268,9 +285,14 @@ def ivf_assign(
     packed low bits.
     """
     cents = vecs.where(F.col(id_col) < n_lists).select(
-        F.col(id_col).alias("cid"), F.col("vec").alias("cvec")
+        F.col(id_col).alias("cid"),
+        F.col("vec").alias("cvec"),
+        l2_norm(F.col("vec")).alias("_cn"),
     )
-    cos_vc = cosine_similarity(F.col("vec"), F.col("cvec"))
+    vecs = vecs.withColumn("_vn", l2_norm(F.col("vec")))
+    cos_vc = cosine_with_norms(
+        F.col("vec"), F.col("cvec"), F.col("_vn"), F.col("_cn")
+    )
     packed = (
         F.round((cos_vc + F.lit(1.0)) * F.lit(1e15)).cast("long")
         * F.lit(n_lists)
@@ -305,13 +327,16 @@ def ivf_topk(
     scored. Ties broken by centroid/vector id everywhere -> fully
     deterministic.
     """
-    vecs = embeddings.select(F.col(id_col), to_double_array(vec_col).alias("vec"))
+    vecs = embeddings.select(
+        F.col(id_col), to_double_array(vec_col).alias("vec")
+    ).withColumn("_vn", l2_norm(F.col("vec")))
     cents = vecs.where(F.col(id_col) < n_lists).select(
         F.col(id_col).alias("cid"), F.col("vec").alias("cvec")
     )
-    assign = ivf_assign(vecs, n_lists, id_col=id_col)
+    assign = ivf_assign(vecs.drop("_vn"), n_lists, id_col=id_col)
     query = vecs.where(F.col(id_col) == query_id).select(
-        F.col("vec").alias("query_vec")
+        F.col("vec").alias("query_vec"),
+        F.col("_vn").alias("query_norm"),
     )
     probes = (
         cents.crossJoin(F.broadcast(query))
@@ -323,7 +348,10 @@ def ivf_topk(
         .limit(n_probe)
         .select("cid")
     )
-    cos_q = cosine_similarity(F.col("vec"), F.col("query_vec"))
+    # probed-candidate scoring folds once per candidate (norms precomputed)
+    cos_q = cosine_with_norms(
+        F.col("vec"), F.col("query_vec"), F.col("_vn"), F.col("query_norm")
+    )
     return (
         vecs.join(assign, on=id_col)
         .join(F.broadcast(probes), on="cid")

@@ -71,6 +71,14 @@ _SAMPLE_PRIORITY = (
     "events_inter_arrival_stats",
     "events_rolling_hour_avg",
     "events_hourly_gap_fill",
+    # round-2 additions with full value oracles (registered in the tail
+    # module, floated here so the driver attests them the round they land)
+    "embedding_kmeans_assign",
+    "documents_global_row_index",
+    "documents_per_source_sample",
+    "bpe_pair_counts",
+    "documents_leakage_safe_split",
+    "term_count_min_sketch",
 )
 
 _REGISTRY: dict[str, "CatalogQuery"] = {}

@@ -92,3 +92,55 @@ def test_hash_sample_is_deterministic_partition_of_rows(spark, rate):
     b = {r["k"] for r in inverse.collect()}
     assert a | b == set(range(200)) and not (a & b)
     assert {r["k"] for r in kept.collect()} == a  # stable on recompute
+
+
+# --- round-2 additions: CMS one-sided error, BPE mass conservation ----------
+
+
+def test_cms_estimate_dominates_truth_for_every_term(spark):
+    """Count-min's defining guarantee: collisions only ADD, so the sketch
+    estimate is >= the true count for EVERY term (checked exhaustively at
+    sf0.001, not just the query's top-30 slice)."""
+    from data_algorithms_with_pyspark_spark.plans.catalog import all_queries
+    from tests.conftest import SF_SMOKE
+
+    q = all_queries()["term_count_min_sketch"]
+    rows = q.fn(spark, SF_SMOKE).collect()
+    assert rows, "sketch query returned nothing"
+    for r in rows:
+        assert r["cms_estimate"] >= r["true_count"], r
+
+
+def test_bpe_pair_mass_equals_weighted_word_lengths(spark):
+    """Every word of length L contributes exactly (L-1)*freq pairs: the
+    total pair mass in the (unlimited) aggregate must equal the weighted
+    sum over the vocabulary."""
+    from pyspark.sql import functions as F
+
+    from data_algorithms_with_pyspark_spark.functions.text_functions import (
+        words,
+    )
+    from data_algorithms_with_pyspark_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    wc = (
+        docs.select(F.explode(words("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .where(F.length("term") >= 2)
+    )
+    expected = wc.select(
+        F.sum((F.length("term") - 1) * F.col("n")).alias("mass")
+    ).collect()[0]["mass"]
+    pairs = wc.select(
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("term") - 1),
+                lambda i: F.col("term").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    got = pairs.select(F.sum("n")).collect()[0][0]
+    assert got == expected
