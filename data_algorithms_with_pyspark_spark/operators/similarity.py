@@ -34,6 +34,8 @@ from data_algorithms_with_pyspark_spark.functions.vectors import (
 
 __all__ = [
     "cosine_topk",
+    "knn_join",
+    "knn_join_srp",
     "random_hyperplanes",
     "srp_codes",
     "lsh_near_dup_pairs",
@@ -360,4 +362,127 @@ def ivf_topk(
         .select(F.col(id_col), F.round(cos_q, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch exact k-NN: top-k cosine neighbors in ``corpus`` for EVERY
+    row of ``queries`` — the retrieval shape (a batch of query embeddings
+    vs the corpus), where ``cosine_topk`` answers one query.
+
+    Scale shape: the query table broadcasts (a query batch is small by
+    construction); the corpus streams through the broadcast product and
+    never shuffles at full width — the rank<=k filter plans as
+    **WindowGroupLimit**, whose PARTIAL mode runs before the exchange, so
+    each task forwards at most k rows per query and the shuffle carries
+    O(n_tasks * |queries| * k) rows, not the n*|queries| scored product.
+    Norms are materialized once per side (cosine_with_norms — one fold
+    per candidate). Ranking is on the ROUNDED cosine with the neighbor id
+    as tiebreaker, the catalog's total-order-over-rounded-values rule.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        to_double_array(vec_col).alias("q_vec"),
+    ).withColumn("_qn", l2_norm(F.col("q_vec")))
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        to_double_array(vec_col).alias("n_vec"),
+    ).withColumn("_nn", l2_norm(F.col("n_vec")))
+    cos = cosine_with_norms(
+        F.col("n_vec"), F.col("q_vec"), F.col("_nn"), F.col("_qn")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", F.round(cos, 6).alias("cosine"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("n_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+def knn_join_srp(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 32,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch approximate k-NN: SRP band buckets prune the candidate set,
+    exact cosine ranks only candidates — the scale path of ``knn_join``
+    when the query batch is too large to score against the full corpus.
+
+    Both sides are coded with the SAME hyperplanes (seed-shared), so a
+    query only meets corpus vectors agreeing on at least one of ``bands``
+    band codes; expected candidates per query are O(bands * n / 2^(n_planes
+    /bands)). May return fewer than k neighbors for isolated queries —
+    the standard ANN recall trade, tunable via bands/width.
+    """
+    if n_planes % bands:
+        raise ValueError("n_planes must divide evenly into bands")
+    width = n_planes // bands
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        coded = srp_codes(df, dim, n_planes, seed, id_col, vec_col)
+        band_vals = F.array(
+            *[
+                F.shiftright(F.col("srp_code"), b * width).bitwiseAND(
+                    F.lit(mask).cast("long")
+                )
+                for b in range(bands)
+            ]
+        )
+        return coded.select(
+            F.col(id_col).alias(side),
+            F.posexplode(band_vals).alias("band", "band_code"),
+        )
+
+    cand = (
+        banded(queries, "q_id")
+        .join(banded(corpus, "n_id"), on=["band", "band_code"])
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), to_double_array(vec_col).alias("q_vec")
+    ).withColumn("_qn", l2_norm(F.col("q_vec")))
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), to_double_array(vec_col).alias("n_vec")
+    ).withColumn("_nn", l2_norm(F.col("n_vec")))
+    cos = cosine_with_norms(
+        F.col("n_vec"), F.col("q_vec"), F.col("_nn"), F.col("_qn")
+    )
+    scored = (
+        cand.join(q, on="q_id")
+        .join(c, on="n_id")
+        .select("q_id", "n_id", F.round(cos, 6).alias("cosine"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("n_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "rank")
     )

@@ -1404,3 +1404,55 @@ def term_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("cms_estimate"))
     )
     return est.orderBy(F.col("true_count").desc(), "term").limit(30)
+
+
+# --- batch k-NN join --------------------------------------------------------
+
+_KNN_QUERIES = 8
+_KNN_K = 3
+
+
+@register(
+    "ann_knn_join_bruteforce",
+    tags=("similarity", "knn"),
+    description=f"Batch exact k-NN join: top-{_KNN_K} cosine neighbors for "
+    f"each of {_KNN_QUERIES} query vectors — broadcast query batch, corpus "
+    "streams once, rank<=k plans as WindowGroupLimit (partial mode caps "
+    "each task at k rows per query BEFORE the shuffle)",
+    oracle=f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        ),
+        q AS (SELECT vec_id AS q_id, vec AS q_vec FROM v
+              WHERE vec_id < {_KNN_QUERIES}),
+        c AS (SELECT vec_id AS n_id, vec AS n_vec FROM v
+              WHERE vec_id >= {_KNN_QUERIES}),
+        scored AS (
+            SELECT q.q_id, c.n_id,
+                   round(list_cosine_similarity(c.n_vec, q.q_vec), 6)
+                       AS cosine
+            FROM c CROSS JOIN q
+        )
+        SELECT q_id, n_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+            SELECT q_id, n_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY cosine DESC, n_id
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= {_KNN_K}
+    """,
+)
+def ann_knn_join_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval building block: a BATCH of query embeddings against
+    the corpus (cosine_topk answers one query; real pipelines score
+    thousands per pass). Query batch = the {_KNN_QUERIES} lowest vec_ids,
+    corpus = the rest; exact scoring, so a full DuckDB value oracle. The
+    banded-SRP variant (knn_join_srp) is the same API at candidate-pruned
+    cost for corpus-scale query batches."""
+    from data_algorithms_with_pyspark_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _KNN_QUERIES)
+    corpus = emb.where(F.col("vec_id") >= _KNN_QUERIES)
+    out = knn_join(queries, corpus, k=_KNN_K)
+    return out.withColumn("rank", F.col("rank").cast("long"))

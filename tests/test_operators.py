@@ -293,3 +293,43 @@ def test_incremental_minhash_planted_dup_found_history_pairs_never(spark):
     for r in got:
         assert r["est_jaccard"] >= 0.5
     sigs.unpersist()
+
+
+def test_knn_join_srp_finds_planted_neighbors(spark):
+    """SRP's guarantee is recall on genuinely-similar pairs (identical
+    vectors share every sign bit, hence every band bucket) — uniform-random
+    corpus pairs (cos ~0.4 at 64-dim) are BELOW the similarity LSH prunes
+    for, so the planted copy, not a random pair, is the contract to test.
+    Each query is a corpus vector re-issued under a new id: the source must
+    come back as its rank-1 neighbor with cosine 1.0, through the banded
+    join alone."""
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        knn_join_srp,
+    )
+    from data_algorithms_with_pyspark_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = emb.where(F.col("vec_id") < 80)
+    queries = corpus.where(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    got = knn_join_srp(queries, corpus, dim=64, k=3).collect()
+    rank1 = {r["q_id"]: (r["n_id"], r["cosine"]) for r in got if r["rank"] == 1}
+    for qid in range(1000, 1008):
+        assert rank1[qid] == (qid - 1000, 1.0), rank1.get(qid)
+
+
+def test_knn_join_plans_window_group_limit(spark):
+    from data_algorithms_with_pyspark_spark.operators.similarity import knn_join
+    from data_algorithms_with_pyspark_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    df = knn_join(emb.where(F.col("vec_id") < 4), emb.where(F.col("vec_id") >= 4), k=2)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
