@@ -31,6 +31,7 @@ __all__ = [
     "streaming_sliding_windows",
     "streaming_session_windows",
     "streaming_dedup_within_watermark",
+    "streaming_dedup_vs_history",
     "streaming_click_purchase_join",
     "streaming_enriched_events",
     "run_to_memory_sink",
@@ -117,6 +118,39 @@ def streaming_dedup_within_watermark(
     state, unlike a global ``dropDuplicates`` whose state grows forever."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
+    )
+
+
+def streaming_dedup_vs_history(
+    docs_stream: DataFrame,
+    history_fingerprints: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of the batch incremental-dedup queries
+    (incremental_dedup_new_docs / incremental_near_dup_candidates): every
+    arriving document is fingerprinted and admitted only if the content
+    hash is absent from the static history AND unseen within the stream.
+
+    Plan shape: stream-static LEFT ANTI join — supported natively with the
+    static side on the right, and Spark re-broadcasts/rescans only the
+    static side's matching buckets per micro-batch; the stream never
+    accumulates join state. The within-stream ``dropDuplicates`` DOES keep
+    one state-store entry per distinct fingerprint seen — bounded by
+    distinct NEW content per run, which is the semantics an exactly-once
+    ingest requires (there is no event-time column on documents to
+    watermark it away; restart with a fresh checkpoint per ingest window
+    to reset it).
+    """
+    from data_algorithms_with_pyspark_spark.functions.text_functions import (
+        normalize_text,
+    )
+
+    fp = F.md5(normalize_text(text_col))
+    hist = history_fingerprints.select("fingerprint")
+    return (
+        docs_stream.withColumn("fingerprint", fp)
+        .dropDuplicates(["fingerprint"])
+        .join(hist, on="fingerprint", how="left_anti")
     )
 
 

@@ -261,3 +261,41 @@ def test_streaming_enriched_events_matches_batch_join(spark, events_dir):
 
     with _pytest.raises(ValueError):
         streaming_enriched_events(stream, dim, how="full")
+
+
+def test_streaming_dedup_vs_history(spark, tmp_path):
+    """Arriving docs are admitted iff their content hash is new vs the
+    static history AND within the stream (first occurrence wins)."""
+    from data_algorithms_with_pyspark_spark.streaming.events import (
+        streaming_dedup_vs_history,
+    )
+
+    docs_dir = str(tmp_path / "docs_stream")
+    batch = spark.createDataFrame(
+        [
+            (1, "seen before in history"),
+            (2, "brand new document one"),
+            (3, "brand new document one"),   # in-stream dup of 2
+            (4, "another fresh document"),
+        ],
+        "doc_id long, text string",
+    )
+    batch.coalesce(1).write.mode("overwrite").parquet(docs_dir)
+
+    history = spark.createDataFrame(
+        [("seen before in history",)], "text string"
+    ).select(F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("fingerprint"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    admitted = streaming_dedup_vs_history(stream, history)
+    run_to_memory_sink(admitted, "hist_dedup_out", output_mode="append")
+    rows = spark.sql("SELECT doc_id FROM hist_dedup_out").collect()
+    got = sorted(r["doc_id"] for r in rows)
+    assert len(got) == 2
+    assert 1 not in got            # history dup rejected
+    assert got[1] == 4             # doc 4 always admitted
+    assert got[0] in (2, 3)        # exactly one of the in-stream dups
