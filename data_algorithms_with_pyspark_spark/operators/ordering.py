@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-__all__ = ["global_row_index"]
+__all__ = ["global_row_index", "global_ranked_prefix_sum"]
 
 _MONO_PARTITION_SHIFT = 33  # monotonically_increasing_id() = pid << 33 | idx
 
@@ -88,3 +88,74 @@ def global_row_index(
         .drop("_pid", "_local", "_offset")
     )
     return numbered
+
+
+def global_ranked_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    rank_col: str = "rank",
+    cum_col: str = "cum_value",
+    total_col: str | None = "total_value",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global rank + inclusive running total of ``value_col`` under a total
+    order, without funneling the relation through one partition.
+
+    The naive form — ``sum(x).over(Window.orderBy(...))`` — plans an
+    Exchange SinglePartition: every row through one task. Here:
+
+    1. range-exchange on ``order_cols`` (fully parallel), persist to pin
+       the sampled boundaries;
+    2. per-partition (count, sum) — one collected row per partition;
+    3. exclusive prefix offsets on the driver, broadcast back on pid;
+    4. within-partition window (partitioned BY pid, so state is per-task)
+       for the local rank/cumsum, plus the offsets.
+
+    The within-partition window costs one hash exchange on pid (moves each
+    partition as a block); total corpus motion is 2 exchanges vs the
+    single-task funnel. Exact for integer values (offsets are exact sums);
+    for doubles the split changes accumulation order — use integers (this
+    engine's cross-engine rule anyway). ``total_col`` (if not None) is the
+    driver-known grand total attached as a literal — replacing the
+    ``sum() over ()`` full-relation window with a constant.
+    """
+    parted = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    stats = (
+        parted.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.count("*").alias("_cnt"), F.sum(value_col).alias("_sum"))
+        .collect()
+    )
+    offsets, row_acc, sum_acc = [], 0, 0
+    for row in sorted(stats, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], row_acc, sum_acc))
+        row_acc += row["_cnt"]
+        sum_acc += row["_sum"] or 0
+    offset_df = parted.sparkSession.createDataFrame(
+        offsets or [(0, 0, 0)], "_pid int, _row_off long, _sum_off long"
+    )
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    cum_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        parted.withColumn("_pid", F.spark_partition_id())
+        .join(F.broadcast(offset_df), on="_pid")
+        .withColumn(
+            rank_col,
+            (F.row_number().over(w) + F.col("_row_off")).cast("long"),
+        )
+        .withColumn(
+            cum_col, (F.sum(value_col).over(cum_w) + F.col("_sum_off"))
+        )
+        .drop("_pid", "_row_off", "_sum_off")
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(sum_acc).cast("long"))
+    return out

@@ -394,14 +394,19 @@ def corpus_vocabulary_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The coverage curve a tokenizer-training run reads off first: terms
     in frequency order with the cumulative share of all token occurrences
     each prefix of the vocabulary covers. Two hash aggregates (explode ->
-    term counts) then ONE single-partition window over the VOCABULARY
-    relation — safe because vocabularies are sub-million rows even at
-    100 TB corpus scale (the corpus itself is never windowed); the total
-    rides along via sum() over the same tiny relation."""
-    from pyspark.sql.window import Window
-
+    term counts), then the rank + running total come from
+    ``ordering.global_ranked_prefix_sum`` — range-exchange + per-partition
+    offsets — NOT a single-partition Window: a web-crawl vocabulary
+    (every typo, URL, hex blob is a "term") is corpus-scaled, and the
+    naive ``sum(n).over(Window.orderBy(...))`` funnels it through one
+    task. Counts are integers, so the split accumulation is exact and the
+    oracle unchanged; the grand total is driver-known and attached as a
+    literal (replacing a second full-relation window)."""
     from data_algorithms_with_pyspark_spark.functions.text_functions import (
         words,
+    )
+    from data_algorithms_with_pyspark_spark.operators.ordering import (
+        global_ranked_prefix_sum,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -410,20 +415,16 @@ def corpus_vocabulary_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("n"))
     )
-    order = Window.orderBy(F.col("n").desc(), F.col("term").asc())
-    cum = Window.orderBy(F.col("n").desc(), F.col("term").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    ranked = global_ranked_prefix_sum(
+        freq,
+        [F.col("n").desc(), F.col("term").asc()],
+        "n",
+        rank_col="rank",
+        cum_col="cum_n",
+        total_col="total_n",
     )
-    total = Window.partitionBy()
     return (
-        freq.select(
-            "term",
-            "n",
-            F.row_number().over(order).cast("long").alias("rank"),
-            F.sum("n").over(cum).alias("cum_n"),
-            F.sum("n").over(total).alias("total_n"),
-        )
-        .select(
+        ranked.select(
             "term",
             "n",
             "rank",

@@ -333,3 +333,33 @@ def test_knn_join_plans_window_group_limit(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_global_ranked_prefix_sum_matches_single_window(spark):
+    from pyspark.sql.window import Window
+
+    from data_algorithms_with_pyspark_spark.operators.ordering import (
+        global_ranked_prefix_sum,
+    )
+
+    rows = [(f"t{i:03d}", (i * 7) % 13 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "term string, n long").repartition(9)
+    got = {
+        r["term"]: (r["rank"], r["cum_value"], r["total_value"])
+        for r in global_ranked_prefix_sum(
+            df, [F.col("n").desc(), F.col("term").asc()], "n",
+            num_partitions=5,
+        ).collect()
+    }
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    cum_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    expected = {
+        r["term"]: (r["rank"], r["cum"], r["total"])
+        for r in df.select(
+            "term",
+            F.row_number().over(w).cast("long").alias("rank"),
+            F.sum("n").over(cum_w).alias("cum"),
+            F.sum("n").over(Window.partitionBy()).alias("total"),
+        ).collect()
+    }
+    assert got == expected
