@@ -1,0 +1,102 @@
+"""Fuzzy (similarity) join between two tables on a string key.
+
+The entity-resolution shape: match near-identical names/titles across two
+catalogs without a cross join. The reference has nothing like it; a
+training-data pipeline needs it constantly (align scraped metadata,
+reconcile document sources).
+
+Plan shape:
+
+1. both sides explode to (id, char-n-gram shingle) posting lists;
+2. candidates = equi-join on the shingle (a pair sharing ANY shingle is a
+   candidate — COMPLETE for any Jaccard threshold > 0, since a pair with
+   a positive intersection shares at least one shingle);
+3. exact Jaccard over the two DISTINCT shingle sets verifies candidates.
+
+The shuffle currency is (id, shingle) postings, never the row payloads;
+verification joins the shingle-set arrays back once per surviving id.
+
+``max_shingle_df`` (off by default) drops shingles appearing on more than
+N left+right rows before the candidate join — the stop-shingle cap that
+bounds hot-posting blowup (a shingle on f_L/f_R rows contributes
+f_L * f_R candidate rows). With the cap on, recall is no longer exact for
+pairs whose ONLY shared shingles are capped — the standard trade; leave
+it off when the key column is short strings (names), where df stays low.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["char_shingles", "similarity_join"]
+
+
+def char_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct lowercase character n-grams of a string -> array<string>.
+    Strings shorter than n yield the whole (lowercased) string as their
+    single shingle, so short keys still participate."""
+    c = F.col(col) if isinstance(col, str) else col
+    lc = F.lower(c)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(lc) - n + 1, F.lit(1))),
+        lambda i: lc.substr(i, F.lit(n)),
+    )
+    return F.array_distinct(grams)
+
+
+def similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_col: str,
+    right_id: str,
+    right_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(left_id, right_id, jaccard) for every cross-table pair whose
+    char-n-gram Jaccard similarity is >= ``threshold`` (rounded to 4dp,
+    the catalog's cross-engine comparison scale)."""
+    l_sets = left.select(
+        F.col(left_id).alias("_lid"),
+        char_shingles(left_col, shingle_n).alias("_lsh"),
+    )
+    r_sets = right.select(
+        F.col(right_id).alias("_rid"),
+        char_shingles(right_col, shingle_n).alias("_rsh"),
+    )
+    l_post = l_sets.select("_lid", F.explode("_lsh").alias("_sh"))
+    r_post = r_sets.select("_rid", F.explode("_rsh").alias("_sh"))
+    if max_shingle_df is not None:
+        df_counts = (
+            l_post.select("_sh")
+            .unionAll(r_post.select("_sh"))
+            .groupBy("_sh")
+            .count()
+            .where(F.col("count") <= max_shingle_df)
+            .select("_sh")
+        )
+        l_post = l_post.join(df_counts, on="_sh", how="left_semi")
+        r_post = r_post.join(df_counts, on="_sh", how="left_semi")
+    cand = (
+        l_post.join(r_post, on="_sh")
+        .select("_lid", "_rid")
+        .dropDuplicates(["_lid", "_rid"])
+    )
+    inter = F.size(F.array_intersect(F.col("_lsh"), F.col("_rsh"))).cast(
+        "double"
+    )
+    union = F.size(F.array_union(F.col("_lsh"), F.col("_rsh"))).cast("double")
+    jac = F.round(F.when(union > 0, inter / union).otherwise(0.0), 4)
+    return (
+        cand.join(l_sets, on="_lid")
+        .join(r_sets, on="_rid")
+        .select(
+            F.col("_lid").alias(left_id + "_l"),
+            F.col("_rid").alias(right_id + "_r"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )

@@ -1457,3 +1457,78 @@ def ann_knn_join_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.where(F.col("vec_id") >= _KNN_QUERIES)
     out = knn_join(queries, corpus, k=_KNN_K)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --- fuzzy (similarity) join ------------------------------------------------
+
+_FUZZY_THRESHOLD = 0.4
+_FUZZY_N = 3
+_FUZZY_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "range(1, greatest(length(lower(p_name)) - 2, 1) + 1), "
+    "i -> substr(lower(p_name), i, 3)))"
+)
+
+
+@register(
+    "part_name_similarity_join",
+    tags=("join", "fuzzy", "dedup"),
+    description=f"Entity-resolution fuzzy join: char-trigram Jaccard >= "
+    f"{_FUZZY_THRESHOLD} matches between the DISTINCT part names of two "
+    "catalog halves via shingle posting-list candidates (complete for any "
+    "threshold > 0 — a qualifying pair shares at least one shingle), "
+    "exact-Jaccard verify (operators/fuzzy.py:similarity_join)",
+    oracle=f"""
+        WITH l AS MATERIALIZED (
+            SELECT p_name AS lname, {_FUZZY_SHINGLES_SQL} AS lsh
+            FROM (SELECT DISTINCT p_name FROM part WHERE p_partkey % 2 = 0)
+        ),
+        r AS MATERIALIZED (
+            SELECT p_name AS rname, {_FUZZY_SHINGLES_SQL} AS rsh
+            FROM (SELECT DISTINCT p_name FROM part WHERE p_partkey % 2 = 1)
+        )
+        SELECT lname AS name_l, rname AS name_r, jaccard FROM (
+            SELECT lname, rname,
+                   round(CAST(len(list_intersect(lsh, rsh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(lsh, rsh))), 4)
+                       AS jaccard
+            FROM l CROSS JOIN r
+        ) WHERE jaccard >= {_FUZZY_THRESHOLD}
+    """,
+)
+def part_name_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match near-identical part names across two catalog halves WITHOUT
+    a cross join: dedupe each side to its distinct names first (the
+    entity-resolution vocabulary is orders of magnitude below row count —
+    here 64 names over 2000 parts), then shingle postings equi-join for
+    candidates and set-Jaccard verify. The oracle IS the cross join — at
+    sf0.01 DuckDB brute-forces what the Spark plan must reproduce through
+    the posting-list path, proving candidate completeness, not just
+    plausibility. max_shingle_df (the hot-posting cap) stays off here so
+    equivalence is exact; at corpus scale it bounds candidate blowup at a
+    documented recall trade."""
+    from data_algorithms_with_pyspark_spark.operators.fuzzy import (
+        similarity_join,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    left = (
+        part.where(F.col("p_partkey") % 2 == 0)
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    right = (
+        part.where(F.col("p_partkey") % 2 == 1)
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    return similarity_join(
+        left,
+        right,
+        "name",
+        "name",
+        "name",
+        "name",
+        _FUZZY_THRESHOLD,
+        shingle_n=_FUZZY_N,
+    )

@@ -363,3 +363,34 @@ def test_global_ranked_prefix_sum_matches_single_window(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_similarity_join_planted_matches_and_df_cap(spark):
+    from data_algorithms_with_pyspark_spark.operators.fuzzy import (
+        similarity_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "acme corporation"), (2, "zenith labs"), (3, "qqq")],
+        "id long, name string",
+    )
+    right = spark.createDataFrame(
+        [(10, "acme corp"), (11, "zenith labs inc"), (12, "unrelated name")],
+        "id long, name string",
+    )
+    got = {
+        (r["id_l"], r["id_r"]): r["jaccard"]
+        for r in similarity_join(
+            left, right, "id", "name", "id", "name", 0.4
+        ).collect()
+    }
+    assert (1, 10) in got and (2, 11) in got
+    assert (3, 12) not in got and (1, 12) not in got
+    for j in got.values():
+        assert 0.4 <= j <= 1.0
+    # hot-shingle cap: with max_shingle_df=0 every posting is dropped ->
+    # no candidates at all (the documented recall trade, extreme case)
+    empty = similarity_join(
+        left, right, "id", "name", "id", "name", 0.4, max_shingle_df=0
+    ).collect()
+    assert empty == []
