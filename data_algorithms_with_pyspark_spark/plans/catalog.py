@@ -79,6 +79,8 @@ _SAMPLE_PRIORITY = (
     "bpe_pair_counts",
     "documents_leakage_safe_split",
     "term_count_min_sketch",
+    "ann_knn_join_bruteforce",
+    "part_name_similarity_join",
 )
 
 _REGISTRY: dict[str, "CatalogQuery"] = {}

@@ -144,3 +144,56 @@ def test_bpe_pair_mass_equals_weighted_word_lengths(spark):
     )
     got = pairs.select(F.sum("n")).collect()[0][0]
     assert got == expected
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    names=st.lists(
+        st.text(alphabet="abcdef ", min_size=1, max_size=12),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_similarity_join_matches_bruteforce_model(spark, names, threshold):
+    """Posting-list candidate generation must reproduce the brute-force
+    cross join EXACTLY (completeness: any pair above threshold shares a
+    shingle) on arbitrary strings, including shorter-than-shingle ones."""
+    from data_algorithms_with_pyspark_spark.operators.fuzzy import (
+        similarity_join,
+    )
+
+    half = len(names) // 2
+    left = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names[:half])], "id long, name string"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, n) for i, n in enumerate(names[half:])],
+        "id long, name string",
+    )
+
+    def shingles(text: str) -> set[str]:
+        t = text.lower()
+        if len(t) <= 3:
+            return {t}
+        return {t[i : i + 3] for i in range(len(t) - 2)}
+
+    expected = {}
+    for i, ln in enumerate(names[:half]):
+        for j, rn in enumerate(names[half:]):
+            a, b = shingles(ln), shingles(rn)
+            jac = round(len(a & b) / len(a | b), 4)
+            if jac >= threshold:
+                expected[(i, 100 + j)] = jac
+    got = {
+        (r["id_l"], r["id_r"]): r["jaccard"]
+        for r in similarity_join(
+            left, right, "id", "name", "id", "name", threshold
+        ).collect()
+    }
+    assert got == expected
