@@ -1532,3 +1532,99 @@ def part_name_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _FUZZY_THRESHOLD,
         shingle_n=_FUZZY_N,
     )
+
+
+# --- vocabulary encode (apply-tokenizer-at-scale) ---------------------------
+
+_ENCODE_VOCAB_K = 500
+_ENCODE_HEAD = 20
+
+
+@register(
+    "documents_vocab_encode",
+    tags=("text", "tokenizer"),
+    description=f"Apply a trained vocabulary at scale: rank the top "
+    f"{_ENCODE_VOCAB_K} terms into ids, broadcast the vocab, encode every "
+    f"document to its id sequence (first {_ENCODE_HEAD} ids as CSV, OOV "
+    "= -1) with per-doc OOV counts — the encode pass of every training "
+    "pipeline",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        w AS (SELECT doc_id, unnest(t) AS term,
+                     unnest(range(1, len(t) + 1)) AS pos
+              FROM toks),
+        vocab AS (
+            SELECT term, row_number() OVER (ORDER BY n DESC, term) - 1 AS id
+            FROM (SELECT term, count(*) AS n FROM w GROUP BY term)
+            ORDER BY n DESC, term LIMIT {_ENCODE_VOCAB_K}
+        ),
+        enc AS (
+            SELECT w.doc_id, w.pos, COALESCE(v.id, -1) AS tok_id
+            FROM w LEFT JOIN vocab v USING (term)
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN tok_id = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               array_to_string(
+                   list_transform(
+                       list_sort(list(ROW(pos, tok_id)))[1:{_ENCODE_HEAD}],
+                       r -> CAST(r[2] AS VARCHAR)),
+                   ',') AS ids_head
+        FROM enc GROUP BY doc_id
+    """,
+)
+def documents_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode = posexplode tokens -> broadcast the ranked vocabulary ->
+    one hash aggregate back to a per-doc row. The vocab (id = frequency
+    rank) broadcasts at any corpus size (it is top-K by construction);
+    the corpus shuffles ONCE, keyed by doc_id, carrying (pos, id) ints.
+    The id sequence head is CSV so the cross-engine hash is string-typed
+    (same convention as term_posting_lists)."""
+    from data_algorithms_with_pyspark_spark.functions.text_functions import (
+        words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", words("text").alias("t"))
+    w = toks.select(
+        "doc_id", F.posexplode("t").alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    from pyspark.sql.window import Window
+
+    # id ranking runs on the top-K relation (TakeOrderedAndProject output,
+    # <= _ENCODE_VOCAB_K rows at ANY corpus size), so the single-partition
+    # window here is constant-bounded — see tests/test_plan_lint.py
+    vocab = (
+        w.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(_ENCODE_VOCAB_K)
+        .select(
+            "term",
+            (
+                F.row_number().over(Window.orderBy(F.col("n").desc(), "term"))
+                - 1
+            )
+            .cast("long")
+            .alias("id"),
+        )
+    )
+    enc = w.join(F.broadcast(vocab), on="term", how="left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(-1)).alias("tok_id")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum((F.col("tok_id") == -1).cast("long")).alias("n_oov"),
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok_id"))),
+                    1,
+                    _ENCODE_HEAD,
+                ),
+                lambda s: s["tok_id"].cast("string"),
+            ),
+            ",",
+        ).alias("ids_head"),
+    )

@@ -63,7 +63,10 @@ def _single_partition_violations(plan: str) -> bool:
         if "Exchange SinglePartition" not in line:
             continue
         child = lines[i + 1] if i + 1 < len(lines) else ""
-        if "partial_" not in child:
+        # "partial_" -> one pre-combined row per task (global aggregate);
+        # TakeOrderedAndProject -> the exchanged relation is LIMIT-bounded
+        # (top-K), constant-sized at any corpus scale.
+        if "partial_" not in child and "TakeOrderedAndProject" not in child:
             return True
     return False
 
