@@ -64,3 +64,53 @@ def test_bucketed_groupby_on_bucket_key_has_no_shuffle(spark, no_broadcast):
         assert agg.count() == customer.select("c_custkey").distinct().count()
     finally:
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_zorder_layout_prunes_2d_box_queries(spark, tmp_path):
+    """Z-ordered files bound BOTH dimensions, so a box query selective in
+    the second column skips files; a single-column sort layout spans the
+    full second dimension in every file and reads them all. File pruning
+    is observed through distinct input_file_name() on the filtered scan —
+    row-group-pruned files contribute zero rows."""
+    from pyspark.sql import functions as F
+
+    from data_algorithms_with_pyspark_spark.functions.zorder import (
+        zorder_by_quantiles,
+    )
+
+    rows = [(x, y) for x in range(128) for y in range(128)]
+    df = spark.createDataFrame(rows, "x int, y int")
+
+    zkey, _, _ = zorder_by_quantiles(df, "x", "y", n_buckets=16)
+    z_path = str(tmp_path / "zorder")
+    (
+        df.withColumn("_z", zkey)
+        .repartitionByRange(16, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(z_path)
+    )
+    x_path = str(tmp_path / "xsort")
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(x_path)
+    )
+
+    def files_touched(path: str) -> int:
+        scan = (
+            spark.read.parquet(path)
+            .where((F.col("y") >= 40) & (F.col("y") <= 47))  # narrow in y
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+        return scan
+
+    z_files, x_files = files_touched(z_path), files_touched(x_path)
+    assert x_files == 16          # x-sorted layout: every file spans all y
+    # the y-range maps into one 8-row bucket -> one Morton block row ->
+    # 4 of 16 files; a range straddling the top-level split doubles that
+    assert z_files <= x_files / 4
