@@ -1,0 +1,91 @@
+"""User-facing facade over the query catalog.
+
+The reference's users import a chapter module and call a function
+(``/root/reference/src/chapter_04/examples/parquet_operations.py`` style);
+this engine's equivalent surface is one object bound to a SparkSession and
+a data directory:
+
+    from data_algorithms_with_pyspark_spark.engine import Engine
+
+    eng = Engine(spark, "/root/testdata/sf0.1")   # or Engine.local()
+    eng.names()                                   # every catalog query
+    eng.describe("q1_pricing_summary")            # what it computes
+    df = eng.run("q1_pricing_summary")            # lazy DataFrame
+    eng.explain("q5_local_supplier_volume")       # physical plan text
+    eng.tables()                                  # register temp views,
+    spark.sql("SELECT ... FROM lineitem ...")     # then go raw SQL
+
+Everything stays lazy: ``run`` returns the DataFrame; nothing collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_algorithms_with_pyspark_spark.plans.catalog import (
+    CatalogQuery,
+    all_queries,
+)
+from data_algorithms_with_pyspark_spark.sources.readers import (
+    load_table,
+    register_views,
+)
+
+__all__ = ["Engine"]
+
+
+class Engine:
+    """A SparkSession + scale-factor directory bound to the query catalog."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    @classmethod
+    def local(cls, sf_dir: str = "/root/testdata/sf0.01", **kwargs) -> "Engine":
+        """Engine on the tuned local session (session.get_spark)."""
+        from data_algorithms_with_pyspark_spark.session import get_spark
+
+        return cls(get_spark(**kwargs), sf_dir)
+
+    # -- catalog ----------------------------------------------------------
+    def names(self, tag: str | None = None) -> list[str]:
+        """Catalog query names, optionally filtered by tag."""
+        qs = all_queries()
+        if tag is None:
+            return list(qs)
+        return [n for n, q in qs.items() if tag in q.tags]
+
+    def get(self, name: str) -> CatalogQuery:
+        qs = all_queries()
+        if name not in qs:
+            raise KeyError(
+                f"unknown query {name!r}; nearest: "
+                f"{[n for n in qs if name.split('_')[0] in n][:5]}"
+            )
+        return qs[name]
+
+    def describe(self, name: str) -> str:
+        q = self.get(name)
+        oracle = "DuckDB value oracle" if q.oracle else "rows-only check"
+        return f"{q.name} [{', '.join(q.tags)}] ({oracle}): {q.description}"
+
+    # -- execution --------------------------------------------------------
+    def run(self, name: str) -> DataFrame:
+        """Build the query's DataFrame (lazy — caller decides the action)."""
+        return self.get(name).fn(self.spark, self.sf_dir)
+
+    def explain(self, name: str) -> str:
+        """Formatted physical plan without executing the query."""
+        df = self.run(name)
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    # -- raw data ---------------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        return load_table(self.spark, self.sf_dir, name)
+
+    def tables(self) -> None:
+        """Register every engine table as a temp view for spark.sql use."""
+        register_views(self.spark, self.sf_dir)

@@ -48,3 +48,28 @@ def test_partition_sizes_sums_to_total_and_bounded(spark):
     )
     assert all(r["count"] <= 2 for r in per_part)
     assert sample.count() <= 2 * 8
+
+
+# --- Engine facade ----------------------------------------------------------
+
+
+def test_engine_facade(spark):
+    from data_algorithms_with_pyspark_spark.engine import Engine
+    from tests.conftest import SF_SMOKE
+
+    eng = Engine(spark, SF_SMOKE)
+    assert "q1_pricing_summary" in eng.names()
+    assert "dedup_exact_groups" in eng.names(tag="dedup")
+    desc = eng.describe("q1_pricing_summary")
+    assert "DuckDB value oracle" in desc
+    assert eng.run("q1_pricing_summary").count() == 6
+    plan = eng.explain("q6_forecast_revenue")
+    assert "Physical Plan" in plan and "PushedFilters" in plan
+    assert eng.table("nation").count() == 25
+    eng.tables()
+    assert spark.sql("SELECT count(*) n FROM region").collect()[0]["n"] == 5
+    try:
+        eng.get("no_such_query")
+        raise AssertionError("expected KeyError")
+    except KeyError as e:
+        assert "unknown query" in str(e)
