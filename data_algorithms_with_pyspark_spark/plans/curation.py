@@ -1052,6 +1052,7 @@ def _kmeans_oracle() -> str:
 
 @register(
     "embedding_kmeans_assign",
+    bench=True,
     tags=("similarity", "clustering", "iterative"),
     description=f"Trained k-means (Lloyd's, k={_KMEANS_K}, "
     f"{_KMEANS_ITERS} iterations) over the embeddings corpus with a fully "
@@ -1087,6 +1088,7 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "documents_global_row_index",
+    bench=True,
     tags=("ordering", "scale-pattern"),
     description="Contiguous 0-based global row numbers under a total order "
     "(source, doc_id) WITHOUT a single-partition window — range exchange + "
@@ -1149,6 +1151,7 @@ def documents_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "incremental_near_dup_candidates",
+    bench=True,
     tags=("dedup", "incremental", "lsh"),
     description="Cross-snapshot NEAR-dup: the daily increment's MinHash "
     "bands equi-join the history's banded index only — history x history "
@@ -1317,6 +1320,7 @@ _CMS_WIDTH = 256
 
 @register(
     "term_count_min_sketch",
+    bench=True,
     tags=("sketch", "text"),
     description=f"Count-min sketch ({_CMS_ROWS}x{_CMS_WIDTH} md5-hashed "
     "cells) over corpus terms, read back for the top-30 true terms — "
@@ -1415,6 +1419,7 @@ _KNN_K = 3
 
 @register(
     "ann_knn_join_bruteforce",
+    bench=True,
     tags=("similarity", "knn"),
     description=f"Batch exact k-NN join: top-{_KNN_K} cosine neighbors for "
     f"each of {_KNN_QUERIES} query vectors — broadcast query batch, corpus "
@@ -1472,6 +1477,7 @@ _FUZZY_SHINGLES_SQL = (
 
 @register(
     "part_name_similarity_join",
+    bench=True,
     tags=("join", "fuzzy", "dedup"),
     description=f"Entity-resolution fuzzy join: char-trigram Jaccard >= "
     f"{_FUZZY_THRESHOLD} matches between the DISTINCT part names of two "
@@ -1542,6 +1548,7 @@ _ENCODE_HEAD = 20
 
 @register(
     "documents_vocab_encode",
+    bench=True,
     tags=("text", "tokenizer"),
     description=f"Apply a trained vocabulary at scale: rank the top "
     f"{_ENCODE_VOCAB_K} terms into ids, broadcast the vocab, encode every "
