@@ -36,6 +36,7 @@ __all__ = [
     "cosine_topk",
     "knn_join",
     "knn_join_srp",
+    "rerank_topk",
     "random_hyperplanes",
     "srp_codes",
     "lsh_near_dup_pairs",
@@ -485,4 +486,66 @@ def knn_join_srp(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+def rerank_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fake: bool = True,
+) -> DataFrame:
+    """Second-stage rerank of candidate pairs — the two-stage retrieval
+    shape: cheap candidate generation (``knn_join_srp``) followed by an
+    expensive learned scorer over the SURVIVING pairs only.
+
+    ``candidates``: (q_id, n_id) rows. Both vectors join back and score
+    through ONE Arrow-batched pandas UDF — the batch shape a GPU
+    cross-encoder needs (pairs arrive in columnar batches; the model call
+    replaces the stub body). STUB: no model runtime lives in this
+    container; ``fake=True`` scores with a deterministic
+    sigmoid-of-scaled-dot (monotone in cosine for same-norm pairs, so
+    planted near-dups still rank first); ``fake=False`` raises inside the
+    workers until a real model is swapped in.
+
+    Output: (q_id, n_id, score, rank) — rank<=k per query via the same
+    WindowGroupLimit-friendly rounded-score ordering as ``knn_join``.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), to_double_array(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), to_double_array(vec_col).alias("n_vec")
+    )
+    paired = candidates.join(q, on="q_id").join(c, on="n_id")
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _score(qv: pd.Series, nv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype="float64")
+        if not fake:
+            raise NotImplementedError(
+                "real cross-encoder scoring needs a model runtime — "
+                "swap this body for the batched model call"
+            )
+        a = np.stack(qv.to_numpy()).astype(np.float64, copy=False)
+        b = np.stack(nv.to_numpy()).astype(np.float64, copy=False)
+        dots = np.einsum("ij,ij->i", a, b)
+        return pd.Series(1.0 / (1.0 + np.exp(-dots)))
+
+    scored = paired.select(
+        "q_id", "n_id", F.round(_score("q_vec", "n_vec"), 6).alias("score")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "score", "rank")
     )

@@ -394,3 +394,31 @@ def test_similarity_join_planted_matches_and_df_cap(spark):
         left, right, "id", "name", "id", "name", 0.4, max_shingle_df=0
     ).collect()
     assert empty == []
+
+
+def test_rerank_topk_two_stage_retrieval(spark):
+    """Candidates from the SRP stage rerank through the Arrow-batched
+    scorer: the planted duplicate must stay rank 1, ranks are 1..k, and
+    the scorer plans as ArrowEvalPython (never row-wise BatchEvalPython)."""
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        knn_join_srp,
+        rerank_topk,
+    )
+    from data_algorithms_with_pyspark_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = emb.where(F.col("vec_id") < 80)
+    queries = corpus.where(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    cand = knn_join_srp(queries, corpus, dim=64, k=10).select("q_id", "n_id")
+    out = rerank_topk(cand, queries, corpus, k=3)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    rows = out.collect()
+    rank1 = {r["q_id"]: r["n_id"] for r in rows if r["rank"] == 1}
+    for qid in range(1000, 1004):
+        assert rank1[qid] == qid - 1000  # planted source survives rerank
+    assert all(1 <= r["rank"] <= 3 for r in rows)
