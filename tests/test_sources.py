@@ -202,3 +202,48 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     assert set(merged.columns) == {"id", "v", "score"}
     got = {r["id"]: r["score"] for r in merged.collect()}
     assert got[1] is None and got[2] == 9.5
+
+
+# --- Python DataSource: synthetic events ------------------------------------
+
+
+def test_synthetic_source_deterministic_and_partition_independent(spark):
+    """Row i is a pure function of (seed, i): the same multiset must come
+    back at ANY partition count, and re-reads must be identical — the
+    contract that makes the source usable for scale testing."""
+    from pyspark.sql import functions as F
+
+    from data_algorithms_with_pyspark_spark.sources.synthetic import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+
+    def checksum(partitions: int):
+        df = (
+            spark.read.format("synthetic_events")
+            .option("rows", 5000)
+            .option("partitions", partitions)
+            .load()
+        )
+        agg = df.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("event_id").alias("ids"),
+            F.bit_xor(F.xxhash64("event_id", "ts_us", "user_id", "event_type",
+                                 (F.col("value") * 100).cast("long"))).alias("h"),
+        ).collect()[0]
+        return (agg["n"], agg["ids"], agg["h"])
+
+    a, b = checksum(4), checksum(17)
+    assert a == b == (5000, 5000, a[2])
+
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 1000)
+        .option("partitions", 8)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    types = {r["event_type"] for r in df.select("event_type").distinct().collect()}
+    assert types <= {"signup", "view", "click", "purchase", "refund"}
+    assert len(types) >= 4
