@@ -22,7 +22,12 @@ no sequential RNG state to carry across rows or partitions.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 __all__ = ["SyntheticEventsSource", "register_synthetic_source"]
 
@@ -72,9 +77,47 @@ class _SyntheticEventsReader(DataSourceReader):
             yield (i, ts_us, user_id, etype, value)
 
 
+class _SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batched form of the same deterministic generator: the offset
+    IS the row counter, so each batch is the contiguous id slice
+    [start, start + rows_per_batch) and replaying any offset range
+    regenerates identical rows — exactly-once semantics for free, with no
+    files and no state beyond one integer."""
+
+    def __init__(self, options):
+        self.per_batch = int(options.get("rowsPerBatch", 100))
+        self.seed = int(options.get("seed", 42))
+        self.n_users = int(options.get("users", 50))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = lo + self.per_batch
+        return self._rows(lo, hi), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["next"]), int(end["next"]))
+
+    def _rows(self, lo: int, hi: int):
+        # a LIST, not a generator: the simple stream reader prefetches and
+        # pickles the batch driver-side (generators are not picklable)
+        base = self.seed << 32
+        out = []
+        for i in range(lo, hi):
+            h = _splitmix64(base + i)
+            user_id = h % self.n_users
+            etype = _EVENT_TYPES[(h >> 17) % len(_EVENT_TYPES)]
+            ts_us = 1_700_000_000_000_000 + (h >> 3) % (30 * 86_400_000_000)
+            value = ((h >> 7) % 1_000_000) / 100.0
+            out.append((i, ts_us, user_id, etype, value))
+        return out
+
+
 class SyntheticEventsSource(DataSource):
-    """``format("synthetic_events")`` — options: rows, partitions, seed,
-    users."""
+    """``format("synthetic_events")`` — batch options: rows, partitions,
+    seed, users; streaming options: rowsPerBatch, seed, users."""
 
     @classmethod
     def name(cls) -> str:
@@ -88,6 +131,9 @@ class SyntheticEventsSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _SyntheticEventsStreamReader(self.options)
 
 
 def register_synthetic_source(spark) -> None:

@@ -299,3 +299,44 @@ def test_streaming_dedup_vs_history(spark, tmp_path):
     assert 1 not in got            # history dup rejected
     assert got[1] == 4             # doc 4 always admitted
     assert got[0] in (2, 3)        # exactly one of the in-stream dups
+
+
+def test_synthetic_stream_source_micro_batches(spark):
+    """The Python streaming DataSource ticks deterministic micro-batches:
+    row ids are the offset counter, so N processed batches yield exactly
+    N * rowsPerBatch distinct sequential ids."""
+    from data_algorithms_with_pyspark_spark.sources.synthetic import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rowsPerBatch", 40)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream_out")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) n FROM synth_stream_out").collect()[0]["n"]
+            if n >= 120:
+                break
+            time.sleep(1)
+        rows = spark.sql(
+            "SELECT count(*) n, count(DISTINCT event_id) d, min(event_id) lo "
+            "FROM synth_stream_out"
+        ).collect()[0]
+        assert rows["n"] >= 120
+        assert rows["d"] == rows["n"]  # sequential ids, no dup, no gap loss
+        assert rows["lo"] == 0
+        assert rows["n"] % 40 == 0     # whole micro-batches only
+    finally:
+        q.stop()
