@@ -84,3 +84,59 @@ def test_scale_features_fused_matches_composed(spark):
 
     assert _joins(fused) == 1
     assert _joins(composed) > 1
+
+
+# --- SQL function registry ---------------------------------------------------
+
+
+def test_sql_registered_functions_match_dataframe_forms(spark):
+    """SQL scalar functions inline the same expression trees the DataFrame
+    operators use — results must be identical; the Arrow scorer must plan
+    ArrowEvalPython (vectorized), never BatchEvalPython."""
+    from pyspark.sql import functions as F
+
+    from data_algorithms_with_pyspark_spark.functions.sql_registry import (
+        register_sql_functions,
+    )
+    from data_algorithms_with_pyspark_spark.functions.text_functions import (
+        normalize_text,
+        words,
+    )
+    from data_algorithms_with_pyspark_spark.functions.vectors import (
+        cosine_similarity,
+        l2_norm,
+    )
+
+    register_sql_functions(spark)
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 2.0], [2.0, 4.0, 4.0], "  Hello   World  "),
+            (2, [0.0, 0.0, 0.0], [1.0, 0.0, 0.0], "a  B\tc"),
+        ],
+        "id long, a array<double>, b array<double>, txt string",
+    )
+    df.createOrReplaceTempView("sqlreg_t")
+    got = spark.sql(
+        "SELECT id, cosine_sim(a, b) AS cs, l2norm(a) AS n, "
+        "tokenize(txt) AS toks, norm_text(txt) AS nt "
+        "FROM sqlreg_t ORDER BY id"
+    ).collect()
+    exp = (
+        df.select(
+            "id",
+            cosine_similarity(F.col("a"), F.col("b")).alias("cs"),
+            l2_norm(F.col("a")).alias("n"),
+            words("txt").alias("toks"),
+            normalize_text("txt").alias("nt"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in exp]
+
+    scored = spark.sql(
+        "SELECT id, batch_sigmoid_dot(a, b) AS s FROM sqlreg_t"
+    )
+    scored.collect()
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
