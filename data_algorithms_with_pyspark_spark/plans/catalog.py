@@ -81,6 +81,7 @@ _SAMPLE_PRIORITY = (
     "term_count_min_sketch",
     "ann_knn_join_bruteforce",
     "part_name_similarity_join",
+    "documents_vocab_encode",
 )
 
 _REGISTRY: dict[str, "CatalogQuery"] = {}
