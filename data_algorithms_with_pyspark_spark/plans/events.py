@@ -634,3 +634,69 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     bucket = F.floor(cents / F.lit(2500)).cast("long").alias("bucket")
     return events.groupBy("event_type", bucket).agg(F.count("*").alias("n"))
+
+
+@register(
+    "events_seasonal_anomalies",
+    tags=("events", "stats", "quality", "window"),
+    description="Seasonal anomaly detection: per-(dow, hour) baseline "
+    "profile (mean/stddev of value) computed once and broadcast back over "
+    "the stream; events > 2.5 sample-stddevs from THEIR seasonal slot are "
+    "flagged — the profile is 168 rows at any corpus size",
+    oracle="""
+        WITH slotted AS (
+            SELECT event_id, event_type, value,
+                   isodow(ts) - 1 AS dow, hour(ts) AS hod
+            FROM events
+        ),
+        profile AS (
+            SELECT dow, hod, avg(value) AS mu, stddev_samp(value) AS sd,
+                   count(*) AS n
+            FROM slotted GROUP BY dow, hod
+        )
+        SELECT e.event_id, e.event_type,
+               CAST(e.dow AS BIGINT) AS dow, CAST(e.hod AS BIGINT) AS hod,
+               round(e.value, 2) AS value,
+               round(abs(e.value - p.mu) / p.sd, 4) AS abs_z
+        FROM slotted e JOIN profile p USING (dow, hod)
+        WHERE p.n >= 2 AND p.sd > 0
+          AND round(abs(e.value - p.mu) / p.sd, 4) >= 2.5
+    """,
+)
+def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-mean outlier checks miss load seasonality (a value normal at
+    Friday noon is anomalous at 4am Sunday); the fix is a per-(day-of-week,
+    hour) baseline (dow is Monday=0 on BOTH engines: Spark weekday() and
+    DuckDB isodow()-1 — dayofweek() disagrees across engines, Sunday=1 vs
+    Sunday=0, an off-by-one a small-SF vacuous test cannot catch).
+    Scale shape: the profile aggregate map-side combines to
+    at most 168 rows per task and BROADCASTS back over the corpus — the
+    stream itself never shuffles for the join. Slots with fewer than two
+    events or zero variance are excluded (z undefined), mirrored exactly
+    in the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    slotted = events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.weekday("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    )
+    profile = slotted.groupBy("dow", "hod").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+        F.count("*").alias("n"),
+    )
+    abs_z = F.round(F.abs(F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        slotted.join(F.broadcast(profile), on=["dow", "hod"])
+        .where((F.col("n") >= 2) & (F.col("sd") > 0) & (abs_z >= 2.5))
+        .select(
+            "event_id",
+            "event_type",
+            "dow",
+            "hod",
+            F.round("value", 2).alias("value"),
+            abs_z.alias("abs_z"),
+        )
+    )

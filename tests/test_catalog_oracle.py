@@ -39,3 +39,33 @@ def test_entry_contract(spark):
     oracles = e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 25
+
+
+# Queries whose result is EMPTY at SF_SMOKE get only a vacuous value check
+# above (0 == 0 rows proves nothing about the values — the seasonal-dow
+# off-by-one hid exactly there). Re-verify them against their oracles at
+# sf0.01, where they produce rows.
+_EMPTY_AT_SMOKE = ("events_seasonal_anomalies", "customers_without_orders")
+
+
+def test_empty_at_smoke_queries_are_vacuous_only_where_expected(spark):
+    """If a NEW query joins this club, add it to the sf0.01 re-check below
+    (this assertion is the tripwire)."""
+    for name, q in all_queries().items():
+        n = q.fn(spark, SF_SMOKE).count()
+        if n == 0:
+            assert name in _EMPTY_AT_SMOKE, (
+                f"{name} is empty at SF_SMOKE: its value oracle is vacuous "
+                "— add it to _EMPTY_AT_SMOKE for the sf0.01 re-check"
+            )
+
+
+@pytest.mark.parametrize("name", _EMPTY_AT_SMOKE)
+def test_empty_at_smoke_queries_verify_at_sf001(spark, name):
+    from tests.conftest import SF_CORRECTNESS, make_duckdb
+
+    q = all_queries()[name]
+    if q.oracle is None:
+        pytest.skip("rows-only query")
+    con = make_duckdb(SF_CORRECTNESS)
+    compare_spark_duckdb(q.fn(spark, SF_CORRECTNESS), con, q.oracle)
