@@ -638,6 +638,7 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_seasonal_anomalies",
+    bench=True,
     tags=("events", "stats", "quality", "window"),
     description="Seasonal anomaly detection: per-(dow, hour) baseline "
     "profile (mean/stddev of value) computed once and broadcast back over "

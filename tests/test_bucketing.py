@@ -114,3 +114,25 @@ def test_zorder_layout_prunes_2d_box_queries(spark, tmp_path):
     # the y-range maps into one 8-row bucket -> one Morton block row ->
     # 4 of 16 files; a range straddling the top-level split doubles that
     assert z_files <= x_files / 4
+
+
+def test_interleave_bits_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from data_algorithms_with_pyspark_spark.functions.zorder import (
+        interleave_bits,
+    )
+
+    # a=0b11 -> even bit positions 0,2 ; b=0b01 -> odd bit position 1
+    got = (
+        spark.range(1)
+        .select(
+            interleave_bits(F.lit(3), F.lit(1), bits=2).alias("z1"),
+            interleave_bits(F.lit(0), F.lit(0), bits=4).alias("z0"),
+            interleave_bits(F.lit(15), F.lit(15), bits=4).alias("zf"),
+        )
+        .collect()[0]
+    )
+    assert got["z1"] == 0b111  # 5 (a bits) + 2 (b bit)
+    assert got["z0"] == 0
+    assert got["zf"] == 0b11111111  # full 8-bit block
