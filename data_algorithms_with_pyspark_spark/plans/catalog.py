@@ -54,34 +54,67 @@ _QUERY_MODULES = (
 )
 
 # Queries floated to the FRONT of the catalog iteration order, ahead of
-# module registration order. These are the ten queries the round-1 driver
-# saw red (the load_table session-conf bug, since fixed): eight live in
-# plans/events (already early), but events_value_stats / event_type_stats
-# live in reference_algorithms, past the driver's sampling prefix — they
-# must appear inside it so the fix is externally attested, not just
-# locally verified.
+# module registration order. The external driver samples a ~50-query
+# prefix each round; this list rotates per round so cumulative driver
+# attestation covers every catalog query (scripts/driver_sim.py always
+# verifies all of them regardless of order).
 _SAMPLE_PRIORITY = (
-    "events_value_stats",
-    "event_type_stats",
-    "events_hourly_windows",
-    "events_sessionization",
-    "events_user_running_totals",
-    "events_props_extraction",
-    "clicks_last_purchase_asof",
-    "events_inter_arrival_stats",
-    "events_rolling_hour_avg",
-    "events_hourly_gap_fill",
-    # round-2 additions with full value oracles (registered in the tail
-    # module, floated here so the driver attests them the round they land)
-    "embedding_kmeans_assign",
-    "documents_global_row_index",
-    "documents_per_source_sample",
-    "bpe_pair_counts",
-    "documents_leakage_safe_split",
-    "term_count_min_sketch",
-    "ann_knn_join_bruteforce",
-    "part_name_similarity_join",
-    "documents_vocab_encode",
+    # Round 3: the 35 queries the driver's ~50-query sample window has
+    # never attested (union of CORRECTNESS_r01+r02), so cumulative driver
+    # attestation reaches the whole catalog.
+    "customer_balance_ranks",
+    "customer_balance_window_bounds",
+    "corpus_curation_pipeline",
+    "near_dup_clusters",
+    "corpus_token_stats",
+    "customer_segment_upsert",
+    "documents_hash_sample",
+    "training_shard_packing",
+    "benchmark_contamination",
+    "orders_quality_report",
+    "corpus_curation_v2",
+    "orders_date_functions",
+    "part_string_functions",
+    "embedding_vector_stats",
+    "brand_type_map_roundtrip",
+    "fasta_base_count",
+    "doc_gopher_quality_rules",
+    "doc_repetition_scores",
+    "embedding_int8_quant_error",
+    "orders_salted_join_agg",
+    "events_hourly_daily_rollup",
+    "corpus_weighted_mixture_sample",
+    "corpus_vocabulary_coverage",
+    "kmv_distinct_users",
+    "events_value_ewma",
+    "embedding_semdedup_prune",
+    "doc_char_lm_scores",
+    "doc_length_quantile_filter",
+    "doc_boilerplate_ngrams",
+    "doc_sequence_chunks",
+    "incremental_dedup_new_docs",
+    "doc_pii_scrub_report",
+    "doc_repeated_segment_dedup",
+    "term_posting_lists",
+    "incremental_near_dup_candidates",
+    # MinHash/SimHash family: upgraded this round from rows-only to full
+    # md5-derived DuckDB value oracles — re-attest.
+    "minhash_near_dup_candidates",
+    "simhash_near_dup_candidates",
+    # New round-3 queries (real rerank scorer, real multimodal decode,
+    # persisted band index, HLL bracket twin).
+    "rerank_topk",
+    "multimodal_decoded_stats",
+    "incremental_near_dup_persisted_index",
+    "exact_distinct_users",
+    # Graph family: green in r1 only, two rounds stale — re-attest.
+    "graph_degrees",
+    "graph_bidirectional_edges",
+    "graph_two_hop_paths",
+    "graph_triangles",
+    "graph_connected_components",
+    "graph_pagerank",
+    "graph_shortest_paths",
 )
 
 _REGISTRY: dict[str, "CatalogQuery"] = {}
