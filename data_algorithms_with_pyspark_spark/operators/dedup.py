@@ -16,9 +16,12 @@ Five dedup families, each Spark-first and shuffle-conscious:
   embedding      — cosine near-dup over embedding vectors (see also
                    operators/similarity.py for the ANN scale path).
 
-Everything is Catalyst expressions (xxhash64, higher-order array functions)
-— no Python UDFs, deterministic (fixed seed), so results are reproducible
-run-to-run and across cluster sizes.
+Everything is Catalyst expressions (hash functions, higher-order array
+functions) — no Python UDFs, deterministic (fixed seed), so results are
+reproducible run-to-run and across cluster sizes. Hash-based operators
+take ``hash_fn``: "xxhash64" (default, JVM-intrinsic fast path) or "md5"
+(engine-portable via ``md5_long60``, giving the whole MinHash/SimHash
+family cross-engine value oracles — see plans/lsh_oracles.py).
 """
 
 from __future__ import annotations
@@ -41,6 +44,8 @@ from data_algorithms_with_pyspark_spark.functions.vectors import (
 
 __all__ = [
     "exact_dedup_groups",
+    "md5_long60",
+    "floor_round",
     "spread_partitions",
     "exact_deduplicate",
     "word_shingles",
@@ -93,6 +98,49 @@ def exact_deduplicate(
 # --- MinHash + LSH ----------------------------------------------------------
 
 _MERSENNE_PRIME_31 = (1 << 31) - 1
+
+# 15 hex digits = 60 bits: the largest md5 prefix that fits a signed long
+# in every engine (16 digits could overflow BIGINT on the '0x...' cast).
+_MD5_HEX_DIGITS = 15
+
+
+def md5_long60(col: Column) -> Column:
+    """Deterministic 60-bit integer hash of a string column.
+
+    ``conv(substring(md5(x), 1, 15), 16, 10)`` — the same engine-portable
+    construction as the KMV sketch (operators/sketches.py): md5 of the
+    UTF-8 bytes, first 15 hex digits, parsed base-16. Any engine with an
+    md5 function reproduces it bit-for-bit (DuckDB:
+    ``('0x' || substring(md5(x), 1, 15))::BIGINT``), which is what gives
+    the MinHash/SimHash family full cross-engine value oracles. ~2-3x the
+    cost of xxhash64 (string md5 + hex parse vs one JVM intrinsic), so
+    operators default to xxhash64 and take ``hash_fn="md5"`` where the
+    differential-testing contract is worth the delta.
+    """
+    return F.conv(F.substring(F.md5(col), 1, _MD5_HEX_DIGITS), 16, 10).cast(
+        "long"
+    )
+
+
+def _base_hash(col: Column, hash_fn: str) -> Column:
+    """Shingle/token -> non-negative long, per the selected hash family."""
+    if hash_fn == "md5":
+        return md5_long60(col)
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
+def floor_round(col: Column, scale: int) -> Column:
+    """``floor(x * 10^scale + 0.5) / 10^scale`` — engine-portable rounding.
+
+    ``round()``'s half-case tie-break differs across engines (Spark
+    HALF_UP on the binary value vs C-library variants); the floor form is
+    IEEE-exact and identical everywhere, so rounded outputs hash-match
+    under differential testing (same convention as plans/catalog.cents_sum).
+    """
+    scl = float(10**scale)
+    return F.floor(col * F.lit(scl) + F.lit(0.5)) / F.lit(scl)
 
 
 def spread_partitions(df: DataFrame) -> DataFrame:
@@ -162,12 +210,17 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-document MinHash signature (array<long> of length num_perm).
 
     Universal hashing h_i(x) = (a_i * x + b_i) mod p over p = 2^31-1, with
-    base hash xxhash64 folded into [0, p). Operands stay < 2^31 so the
-    64-bit products cannot overflow (ANSI-safe).
+    the base hash folded into [0, p). Operands stay < 2^31 so the 64-bit
+    products cannot overflow (ANSI-safe).
+
+    ``hash_fn``: "xxhash64" (default, fastest — JVM intrinsic) or "md5"
+    (``md5_long60`` — engine-portable, giving the signature pipeline a
+    full cross-engine value oracle; see plans/lsh_oracles.py).
     """
     params = _minhash_params(num_perm, seed)
     # Plan shape chosen for throughput: explode shingles once, evaluate the
@@ -183,7 +236,9 @@ def minhash_signatures(
         F.explode(token_shingles(F.col("_w"), shingle_n)).alias("_sh"),
     ).select(
         F.col(id_col),
-        F.pmod(F.xxhash64("_sh"), F.lit(_MERSENNE_PRIME_31)).alias("_h"),
+        F.pmod(_base_hash(F.col("_sh"), hash_fn), F.lit(_MERSENNE_PRIME_31)).alias(
+            "_h"
+        ),
     )
     mins = [
         F.min(
@@ -202,29 +257,43 @@ def minhash_signatures(
 
 
 def minhash_bands(
-    signatures: DataFrame, bands: int, id_col: str = "doc_id"
+    signatures: DataFrame,
+    bands: int,
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding of signature tables: (id, band, band_hash) rows, one per
     band per doc — the 24-byte currency every banded-join dedup variant
-    shuffles instead of signatures or text."""
+    shuffles instead of signatures or text.
+
+    ``hash_fn="md5"`` hashes the canonical string "band,v1,v2,..." via
+    ``md5_long60`` so a foreign engine reproduces the buckets (including
+    any hash collisions) exactly.
+    """
     sig_len = F.size(F.col("signature"))
     rows_per_band = (sig_len / F.lit(bands)).cast("int")
+    sig_slice = F.slice(
+        F.col("signature"), F.col("band") * rows_per_band + 1, rows_per_band
+    )
+    if hash_fn == "md5":
+        band_hash = md5_long60(
+            F.concat_ws(
+                ",",
+                F.col("band").cast("string"),
+                F.array_join(
+                    F.transform(sig_slice, lambda x: x.cast("string")), ","
+                ),
+            )
+        )
+    elif hash_fn == "xxhash64":
+        band_hash = F.xxhash64(F.col("band"), sig_slice)
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     return signatures.select(
         F.col(id_col),
         F.col("signature"),
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-    ).select(
-        F.col(id_col),
-        F.col("band"),
-        F.xxhash64(
-            F.col("band"),
-            F.slice(
-                F.col("signature"),
-                F.col("band") * rows_per_band + 1,
-                rows_per_band,
-            ),
-        ).alias("band_hash"),
-    )
+    ).select(F.col(id_col), F.col("band"), band_hash.alias("band_hash"))
 
 
 def minhash_candidate_pairs(
@@ -233,6 +302,7 @@ def minhash_candidate_pairs(
     bands: int = 16,
     min_jaccard: float = 0.0,
     materialize: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: docs agreeing on any band become a candidate pair.
 
@@ -254,7 +324,7 @@ def minhash_candidate_pairs(
     # candidate id to compute the estimate. Spark reuses the signature
     # aggregation's exchange across the three references (ReusedExchange),
     # so the expensive shingle/hash pass still runs once.
-    banded = minhash_bands(signatures, bands, id_col=id_col)
+    banded = minhash_bands(signatures, bands, id_col=id_col, hash_fn=hash_fn)
     left = banded.select(F.col(id_col).alias("id_1"), "band", "band_hash")
     right = banded.select(F.col(id_col).alias("id_2"), "band", "band_hash")
     pairs = (
@@ -281,7 +351,7 @@ def minhash_candidate_pairs(
     return (
         pairs.join(s1, on="id_1")
         .join(s2, on="id_2")
-        .select("id_1", "id_2", F.round(est, 4).alias("est_jaccard"))
+        .select("id_1", "id_2", floor_round(est, 4).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= F.lit(min_jaccard))
     )
 
@@ -290,16 +360,27 @@ def minhash_candidate_pairs(
 
 
 def simhash(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens (unweighted).
+    """SimHash over whitespace tokens (unweighted).
 
-    Per bit b: sum over tokens of ±1 depending on bit b of xxhash64(token);
+    Per bit b: sum over tokens of ±1 depending on bit b of the token hash;
     bit set iff the sum is positive. Pure array expressions, one pass.
+
+    Hash width follows ``hash_fn``: 64 bits for "xxhash64", 60 bits for
+    "md5" (``md5_long60`` — the widest md5 prefix that fits a signed long
+    in every engine; pass ``n_bits=60`` to ``simhash_candidate_pairs``).
+    A document with no tokens hashes to 0 in either family.
     """
+    n_bits = 64 if hash_fn == "xxhash64" else 60
     with_hashes = spread_partitions(docs.select(id_col, text_col)).select(
         F.col(id_col),
-        F.transform(words(text_col), lambda t: F.xxhash64(t)).alias("_th"),
+        F.transform(
+            words(text_col), lambda t: _base_hash(t, hash_fn)
+        ).alias("_th"),
     )
     # One vote column per bit (Python-unrolled: shift amounts must be
     # literals); each vote is a fold over the token-hash array.
@@ -311,7 +392,7 @@ def simhash(
         )
 
     sim = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         vote = F.aggregate(F.col("_th"), F.lit(0).cast("long"), _vote_fold(b))
         sim = sim.bitwiseOR(
             F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
@@ -322,11 +403,13 @@ def simhash(
 
 
 def simhash_candidate_pairs(
-    hashes: DataFrame, id_col: str = "doc_id", bands: int = 4
+    hashes: DataFrame, id_col: str = "doc_id", bands: int = 4, n_bits: int = 64
 ) -> DataFrame:
-    """Near-dup candidates: docs sharing any 16-bit band of their SimHash
-    (catches pairs within small hamming distance), plus exact hamming."""
-    band_width = 64 // bands
+    """Near-dup candidates: docs sharing any (n_bits/bands)-bit band of
+    their SimHash (catches pairs within small hamming distance), plus
+    exact hamming. ``n_bits`` must match the ``simhash`` hash family
+    (64 for xxhash64, 60 for md5)."""
+    band_width = n_bits // bands
     band_vals = F.array(
         *[
             F.shiftright(F.col("simhash"), b * band_width).bitwiseAND(
@@ -631,6 +714,8 @@ def incremental_minhash_candidates(
     id_col: str = "doc_id",
     bands: int = 16,
     min_jaccard: float = 0.0,
+    hash_fn: str = "xxhash64",
+    hist_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates of a NEW batch against an existing corpus —
     the daily-ingest shape for approximate dedup: band the increment, band
@@ -643,12 +728,17 @@ def incremental_minhash_candidates(
     side to compute the estimate; the band join itself carries 24-byte
     rows. At production scale ``hist_sigs``' banding is a persisted index
     (written once per corpus snapshot by ``minhash_bands``) bucketed on
-    band_hash so each daily increment's join prunes to matching buckets.
+    band_hash so each daily increment's join prunes to matching buckets —
+    pass that pre-banded table as ``hist_bands`` (columns: id_col, band,
+    band_hash; e.g. read back from ``sources.writers.write_bucketed_table``)
+    and the history side is neither re-shingled nor re-banded.
     """
-    new_b = minhash_bands(new_sigs, bands, id_col=id_col).select(
+    new_b = minhash_bands(new_sigs, bands, id_col=id_col, hash_fn=hash_fn).select(
         F.col(id_col).alias("id_new"), "band", "band_hash"
     )
-    hist_b = minhash_bands(hist_sigs, bands, id_col=id_col).select(
+    if hist_bands is None:
+        hist_bands = minhash_bands(hist_sigs, bands, id_col=id_col, hash_fn=hash_fn)
+    hist_b = hist_bands.select(
         F.col(id_col).alias("id_hist"), "band", "band_hash"
     )
     pairs = (
@@ -674,6 +764,6 @@ def incremental_minhash_candidates(
     return (
         pairs.join(s_new, on="id_new")
         .join(s_hist, on="id_hist")
-        .select("id_new", "id_hist", F.round(est, 4).alias("est_jaccard"))
+        .select("id_new", "id_hist", floor_round(est, 4).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= F.lit(min_jaccard))
     )

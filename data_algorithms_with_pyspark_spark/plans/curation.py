@@ -42,6 +42,9 @@ from data_algorithms_with_pyspark_spark.plans.catalog import (
     register,
 )
 from data_algorithms_with_pyspark_spark.plans.extensions import _TOKENS
+from data_algorithms_with_pyspark_spark.plans.lsh_oracles import (
+    incremental_minhash_sql,
+)
 from data_algorithms_with_pyspark_spark.sources.readers import load_table
 
 _STOPS_SQL = "['the', 'and', 'of', 'to', 'a', 'in', 'is', 'that']"
@@ -1155,8 +1158,8 @@ def documents_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "incremental", "lsh"),
     description="Cross-snapshot NEAR-dup: the daily increment's MinHash "
     "bands equi-join the history's banded index only — history x history "
-    "pairs never form (xxhash64-based -> rows-only check; planted-dup "
-    "tests carry the value assertions)",
+    "pairs never form (md5-derived hashes -> full value oracle)",
+    oracle=incremental_minhash_sql(min_jaccard=0.3, modulus=8),
 )
 def incremental_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Where incremental_dedup_new_docs anti-joins EXACT fingerprints,
@@ -1171,11 +1174,13 @@ def incremental_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, num_perm=64, shingle_n=3).persist()
+    sigs = minhash_signatures(
+        docs, num_perm=64, shingle_n=3, hash_fn="md5"
+    ).persist()
     new_sigs = sigs.where(F.col("doc_id") % 8 == 0)
     hist_sigs = sigs.where(F.col("doc_id") % 8 != 0)
     return incremental_minhash_candidates(
-        new_sigs, hist_sigs, bands=16, min_jaccard=0.3
+        new_sigs, hist_sigs, bands=16, min_jaccard=0.3, hash_fn="md5"
     )
 
 

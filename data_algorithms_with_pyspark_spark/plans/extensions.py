@@ -40,6 +40,10 @@ from data_algorithms_with_pyspark_spark.operators.text import (
     token_counts,
 )
 from data_algorithms_with_pyspark_spark.plans.catalog import register
+from data_algorithms_with_pyspark_spark.plans.lsh_oracles import (
+    minhash_pairs_sql,
+    simhash_pairs_sql,
+)
 from data_algorithms_with_pyspark_spark.sources.readers import load_table
 
 # Shared DuckDB SQL fragments — single source of truth with the Spark side.
@@ -225,23 +229,28 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     tags=("dedup", "lsh"),
     description="MinHash(64) + 16-band LSH candidate pairs with est. Jaccard "
-    "(scale path: band equi-join, no all-pairs). xxhash64-based -> no SQL oracle",
+    "(scale path: band equi-join, no all-pairs). md5-derived hashes -> the "
+    "oracle replays signatures, banding, and estimates bit-for-bit",
+    oracle=minhash_pairs_sql(0.1, num_perm=64, bands=16, shingle_n=_NGRAM_N),
 )
 def minhash_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, num_perm=64, shingle_n=_NGRAM_N)
-    return minhash_candidate_pairs(sigs, bands=16, min_jaccard=0.1)
+    sigs = minhash_signatures(docs, num_perm=64, shingle_n=_NGRAM_N, hash_fn="md5")
+    return minhash_candidate_pairs(sigs, bands=16, min_jaccard=0.1, hash_fn="md5")
 
 
 @register(
     "simhash_near_dup_candidates",
     tags=("dedup", "lsh"),
-    description="64-bit SimHash banded candidates with hamming distance "
-    "(xxhash64-based -> no SQL oracle)",
+    description="60-bit SimHash banded candidates with hamming distance "
+    "(md5-derived token hashes -> full cross-engine value oracle)",
+    oracle=simhash_pairs_sql(max_hamming=15, bands=4, n_bits=60),
 )
 def simhash_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_candidate_pairs(simhash(docs)).where(F.col("hamming") <= 16)
+    return simhash_candidate_pairs(
+        simhash(docs, hash_fn="md5"), n_bits=60
+    ).where(F.col("hamming") <= 15)
 
 
 @register(

@@ -53,6 +53,9 @@ from data_algorithms_with_pyspark_spark.plans.catalog import register
 from data_algorithms_with_pyspark_spark.plans.extensions import (
     srp_pairs_sql as _srp_pairs,
 )
+from data_algorithms_with_pyspark_spark.plans.lsh_oracles import (
+    near_dup_clusters_sql,
+)
 from data_algorithms_with_pyspark_spark.sources.readers import load_table
 
 # Shared fragments — identical to plans/extensions.py so Spark and oracle
@@ -178,8 +181,12 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near_dup_clusters",
     tags=("pipeline", "dedup", "lsh"),
     description="LSH candidates -> exact-Jaccard verify -> connected "
-    "components -> cluster id per near-duplicate document (seeded hashes "
-    "-> rows-only check; planted-dup test in tests/test_pipelines.py)",
+    "components -> cluster id per near-duplicate document (md5-derived "
+    "hashes -> full value oracle incl. a recursive-CTE component labeling; "
+    "planted-dup test in tests/test_pipelines.py)",
+    oracle=near_dup_clusters_sql(
+        candidate_jaccard=0.1, verify_jaccard=_NEAR_DUP_JACCARD
+    ),
 )
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale-correct near-dup shape: the quadratic all-pairs step never
@@ -188,8 +195,10 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns verified pairs into clusters. Returns (doc_id, cluster_id,
     cluster_size) for documents in clusters of size >= 2."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, num_perm=64, shingle_n=3)
-    candidates = minhash_candidate_pairs(sigs, bands=16, min_jaccard=0.1)
+    sigs = minhash_signatures(docs, num_perm=64, shingle_n=3, hash_fn="md5")
+    candidates = minhash_candidate_pairs(
+        sigs, bands=16, min_jaccard=0.1, hash_fn="md5"
+    )
     verified = ngram_jaccard_pairs(
         docs, _NEAR_DUP_JACCARD, shingle_n=3, candidates=candidates
     )
