@@ -25,6 +25,8 @@ from data_algorithms_with_pyspark_spark.operators.dedup import (
 )
 from data_algorithms_with_pyspark_spark.operators.multimodal import (
     binary_metadata,
+    decode_image_batch,
+    synthetic_bmp_media,
     with_binary_payload,
 )
 from data_algorithms_with_pyspark_spark.operators.similarity import (
@@ -431,6 +433,44 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return binary_metadata(with_binary_payload(docs))
+
+
+@register(
+    "multimodal_decoded_stats",
+    tags=("multimodal", "pandas-udf"),
+    description="REAL image decode over a corpus of valid 24-bit BMP files "
+    "(pure-numpy parser in Arrow mapInPandas batches): dimensions + pixel "
+    "checksum per image; the closed-form pixel rule lets the oracle compute "
+    "expected decode outputs in pure SQL without a codec",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT media_id, w, h, i % w AS x, i // w AS y
+            FROM (SELECT media_id, w, h, unnest(range(w * h)) AS i FROM m)
+        )
+        SELECT media_id,
+               CAST(h AS INT) AS height,
+               CAST(w AS INT) AS width,
+               CAST(3 AS INT) AS n_channels,
+               CAST(sum(  (x * 7 + media_id) % 256
+                        + (y * 11 + media_id) % 256
+                        + (x + y + media_id) % 256) AS BIGINT) AS pixel_sum
+        FROM px GROUP BY media_id, w, h
+    """,
+)
+def multimodal_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end real-bytes multimodal pass: synthesize a corpus of
+    actual BMP files (one per document id — real headers, padding, BGR
+    bottom-up rows), then DECODE them with the pure-numpy parser and
+    report dimensions + the sum of every decoded channel byte. Decode
+    runs in the Arrow mapInPandas batches; nothing is faked."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_bmp_media(docs)
+    return decode_image_batch(media, fake=False)
 
 
 @register(

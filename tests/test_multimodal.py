@@ -1,16 +1,21 @@
-"""Multimodal plumbing tests: schema/batch shapes of the mapInPandas
-pipeline are real even though decode is stubbed."""
+"""Multimodal tests: the mapInPandas batch plumbing AND the real BMP/PPM
+decode path (pure-numpy codec — no image libraries involved)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from data_algorithms_with_pyspark_spark.operators.multimodal import (
     binary_metadata,
+    decode_image,
     decode_image_batch,
+    encode_bmp,
     extract_features,
     frame_sample,
+    resize_image,
+    synthetic_bmp_media,
     with_binary_payload,
 )
 from data_algorithms_with_pyspark_spark.sources.readers import load_table
@@ -23,6 +28,12 @@ def media(spark):
     return with_binary_payload(docs).cache()
 
 
+@pytest.fixture(scope="module")
+def bmp_media(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    return synthetic_bmp_media(docs).cache()
+
+
 def test_payload_schema_and_metadata(spark, media):
     assert dict(media.dtypes)["payload"] == "binary"
     meta = binary_metadata(media)
@@ -32,27 +43,53 @@ def test_payload_schema_and_metadata(spark, media):
     assert all(r["n_bytes"] > 0 for r in rows)
 
 
-def test_decode_stub_runs_distributed(spark, media):
-    decoded = decode_image_batch(media, fake=True)
-    rows = decoded.collect()
+def test_bmp_roundtrip_local():
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (5, 7), (11, 13)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_image(encode_bmp(px)) == px).all()
+
+
+def test_ppm_decode_local():
+    ppm = b"P6\n# comment\n7 5\n255\n" + bytes(range(7 * 5 * 3))
+    px = decode_image(ppm)
+    assert px.shape == (5, 7, 3)
+    assert px.flatten().tolist() == list(range(105))
+
+
+def test_decode_image_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_image(b"not an image at all")
+
+
+def test_real_decode_distributed(spark, bmp_media):
+    decoded = decode_image_batch(bmp_media, fake=False)
+    rows = {r["media_id"]: r for r in decoded.collect()}
     assert len(rows) == 20
-    assert all(r["height"] >= 16 and r["width"] >= 16 for r in rows)
     assert dict(decoded.dtypes) == {
         "media_id": "bigint",
         "height": "int",
         "width": "int",
         "n_channels": "int",
+        "pixel_sum": "bigint",
     }
+    for mid, r in rows.items():
+        w, h = 4 + mid % 13, 4 + mid % 11
+        assert (r["width"], r["height"], r["n_channels"]) == (w, h, 3)
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        expect = int(
+            (((x * 7 + mid) % 256) + ((y * 11 + mid) % 256)).sum()
+            + ((x + y + mid) % 256).sum()
+        )
+        assert r["pixel_sum"] == expect
 
 
-def test_decode_unstubbed_raises(spark, media):
-    from py4j.protocol import Py4JJavaError
-
-    with pytest.raises(Exception) as exc_info:
-        decode_image_batch(media, fake=False).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, Py4JJavaError
-    )
+def test_decode_fake_path_still_runs(spark, media):
+    decoded = decode_image_batch(media, fake=True)
+    rows = decoded.collect()
+    assert len(rows) == 20
+    assert all(r["height"] >= 16 and r["width"] >= 16 for r in rows)
 
 
 def test_feature_extraction_shape(spark, media):
@@ -73,34 +110,30 @@ def test_frame_sampling_one_to_many(spark, media):
     assert all(1 <= r["n"] <= 3 for r in per_media)
 
 
-def test_resize_image_constant_output_size(spark):
-    from data_algorithms_with_pyspark_spark.operators.multimodal import (
-        resize_image,
-        with_binary_payload,
-    )
-    from data_algorithms_with_pyspark_spark.sources.readers import load_table
-
-    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
-    media = with_binary_payload(docs)
-    out = resize_image(media, height=8, width=4).collect()
+def test_resize_fake_constant_output_size(spark, media):
+    out = resize_image(media, height=8, width=4, fake=True).collect()
     assert len(out) == 20
     for r in out:
         assert r["height"] == 8 and r["width"] == 4
         assert len(r["resized"]) == 32  # constant-size regardless of input
 
 
-def test_resize_image_real_decode_stub_raises(spark):
-    from data_algorithms_with_pyspark_spark.operators.multimodal import (
-        resize_image,
-        with_binary_payload,
-    )
-    from data_algorithms_with_pyspark_spark.sources.readers import load_table
-
-    import pytest as _pytest
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors.exceptions.captured import PythonException
-
-    docs = load_table(spark, SF_SMOKE, "documents").limit(2)
-    media = with_binary_payload(docs)
-    with _pytest.raises((PythonException, Py4JJavaError)):
-        resize_image(media, fake=False).collect()
+def test_resize_real_decodes_and_reencodes(spark, bmp_media):
+    out = resize_image(bmp_media, height=6, width=5, fake=False).collect()
+    assert len(out) == 20
+    for r in out:
+        px = decode_image(bytes(r["resized"]))
+        assert px.shape == (6, 5, 3)
+    # nearest-neighbor of the synthetic rule is checkable exactly
+    mid = out[0]["media_id"]
+    w0, h0 = 4 + mid % 13, 4 + mid % 11
+    yi = (np.arange(6) * h0) // 6
+    xi = (np.arange(5) * w0) // 5
+    x = np.arange(w0, dtype=np.int64)[None, :]
+    y = np.arange(h0, dtype=np.int64)[:, None]
+    src = np.empty((h0, w0, 3), dtype=np.uint8)
+    src[:, :, 0] = (x * 7 + mid) % 256
+    src[:, :, 1] = (y * 11 + mid) % 256
+    src[:, :, 2] = (x + y + mid) % 256
+    got = decode_image(bytes(out[0]["resized"]))
+    assert (got == src[yi][:, xi]).all()
