@@ -17,6 +17,7 @@ All vector math is JVM-side (functions/vectors.py). Deterministic seeds.
 from __future__ import annotations
 
 import random
+from collections.abc import Callable
 
 import numpy as np
 import pandas as pd
@@ -37,6 +38,7 @@ __all__ = [
     "knn_join",
     "knn_join_srp",
     "rerank_topk",
+    "sigmoid_dot_scorer",
     "random_hyperplanes",
     "srp_codes",
     "lsh_near_dup_pairs",
@@ -489,6 +491,21 @@ def knn_join_srp(
     )
 
 
+def sigmoid_dot_scorer(qv: pd.Series, nv: pd.Series) -> pd.Series:
+    """Default pair scorer: sigmoid of the raw dot product — vectorized
+    numpy over the Arrow batch, deterministic, and SQL-expressible
+    (``1/(1+exp(-list_inner_product(a,b)))``), so rerank results carry a
+    full cross-engine value oracle. Monotone in cosine for same-norm
+    pairs. Also registered SQL-side as ``batch_sigmoid_dot``
+    (functions/sql_registry.py)."""
+    if len(qv) == 0:
+        return pd.Series([], dtype="float64")
+    a = np.stack(qv.to_numpy()).astype(np.float64, copy=False)
+    b = np.stack(nv.to_numpy()).astype(np.float64, copy=False)
+    dots = np.einsum("ij,ij->i", a, b)
+    return pd.Series(1.0 / (1.0 + np.exp(-dots)))
+
+
 def rerank_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -496,20 +513,19 @@ def rerank_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    fake: bool = True,
+    scorer: "Callable[[pd.Series, pd.Series], pd.Series] | None" = None,
 ) -> DataFrame:
     """Second-stage rerank of candidate pairs — the two-stage retrieval
-    shape: cheap candidate generation (``knn_join_srp``) followed by an
-    expensive learned scorer over the SURVIVING pairs only.
+    shape: cheap candidate generation (``knn_join`` / ``knn_join_srp``)
+    followed by an expensive scorer over the SURVIVING pairs only.
 
     ``candidates``: (q_id, n_id) rows. Both vectors join back and score
     through ONE Arrow-batched pandas UDF — the batch shape a GPU
-    cross-encoder needs (pairs arrive in columnar batches; the model call
-    replaces the stub body). STUB: no model runtime lives in this
-    container; ``fake=True`` scores with a deterministic
-    sigmoid-of-scaled-dot (monotone in cosine for same-norm pairs, so
-    planted near-dups still rank first); ``fake=False`` raises inside the
-    workers until a real model is swapped in.
+    cross-encoder needs (pairs arrive in columnar batches). ``scorer``
+    maps two vector Series to a double Series per batch; the default is
+    the real deterministic ``sigmoid_dot_scorer``; pass a model-backed
+    callable to swap in a learned cross-encoder without touching the
+    pipeline.
 
     Output: (q_id, n_id, score, rank) — rank<=k per query via the same
     WindowGroupLimit-friendly rounded-score ordering as ``knn_join``.
@@ -524,19 +540,8 @@ def rerank_topk(
 
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("double")
-    def _score(qv: pd.Series, nv: pd.Series) -> pd.Series:
-        if len(qv) == 0:
-            return pd.Series([], dtype="float64")
-        if not fake:
-            raise NotImplementedError(
-                "real cross-encoder scoring needs a model runtime — "
-                "swap this body for the batched model call"
-            )
-        a = np.stack(qv.to_numpy()).astype(np.float64, copy=False)
-        b = np.stack(nv.to_numpy()).astype(np.float64, copy=False)
-        dots = np.einsum("ij,ij->i", a, b)
-        return pd.Series(1.0 / (1.0 + np.exp(-dots)))
+    score_fn = scorer if scorer is not None else sigmoid_dot_scorer
+    _score = pandas_udf(score_fn, "double")
 
     scored = paired.select(
         "q_id", "n_id", F.round(_score("q_vec", "n_vec"), 6).alias("score")

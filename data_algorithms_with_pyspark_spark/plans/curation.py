@@ -1469,6 +1469,76 @@ def ann_knn_join_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+_RERANK_CAND = 20
+_RERANK_K = 5
+
+
+@register(
+    "rerank_topk",
+    tags=("similarity", "retrieval", "pandas-udf"),
+    description=f"Two-stage retrieval: exact top-{_RERANK_CAND} cosine "
+    f"candidates per query, reranked to top-{_RERANK_K} by the Arrow-batched "
+    "sigmoid-dot pair scorer (operators/similarity.rerank_topk) — the "
+    "cross-encoder batch shape with a real deterministic scorer and a full "
+    "SQL oracle",
+    oracle=f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        ),
+        q AS (SELECT vec_id AS q_id, vec AS q_vec FROM v
+              WHERE vec_id < {_KNN_QUERIES}),
+        c AS (SELECT vec_id AS n_id, vec AS n_vec FROM v
+              WHERE vec_id >= {_KNN_QUERIES}),
+        scored AS (
+            SELECT q.q_id, c.n_id,
+                   round(list_cosine_similarity(c.n_vec, q.q_vec), 6)
+                       AS cosine,
+                   list_inner_product(c.n_vec, q.q_vec) AS dot
+            FROM c CROSS JOIN q
+        ),
+        cand AS (
+            SELECT q_id, n_id, dot FROM (
+                SELECT q_id, n_id, dot,
+                       row_number() OVER (
+                           PARTITION BY q_id ORDER BY cosine DESC, n_id
+                       ) AS rn
+                FROM scored
+            ) WHERE rn <= {_RERANK_CAND}
+        ),
+        resc AS (
+            SELECT q_id, n_id,
+                   round(1.0 / (1.0 + exp(-dot)), 6) AS score
+            FROM cand
+        )
+        SELECT q_id, n_id, score, CAST(rank AS BIGINT) AS rank FROM (
+            SELECT q_id, n_id, score,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY score DESC, n_id
+                   ) AS rank
+            FROM resc
+        ) WHERE rank <= {_RERANK_K}
+    """,
+)
+def rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate generation (exact batch k-NN, broadcast query batch +
+    WindowGroupLimit) feeds the Arrow-batched pair scorer over surviving
+    pairs only — the production two-stage retrieval shape; swap the
+    default sigmoid-dot scorer for a model-backed callable and the plan
+    is unchanged. Scoring cost tracks |queries| x cand_k, never
+    |queries| x corpus."""
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        knn_join,
+        rerank_topk as rerank_op,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _KNN_QUERIES)
+    corpus = emb.where(F.col("vec_id") >= _KNN_QUERIES)
+    cand = knn_join(queries, corpus, k=_RERANK_CAND).select("q_id", "n_id")
+    out = rerank_op(cand, queries, corpus, k=_RERANK_K)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # --- fuzzy (similarity) join ------------------------------------------------
 
 _FUZZY_THRESHOLD = 0.4
