@@ -1184,6 +1184,70 @@ def incremental_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "incremental_near_dup_persisted_index",
+    bench=True,
+    tags=("dedup", "incremental", "lsh", "bucketed"),
+    description="Incremental near-dup against a PERSISTED band index: the "
+    "history's (doc_id, band, band_hash) rows are written once as a table "
+    "bucketed on band_hash, so the daily join re-bands only the increment "
+    "and the history side scans with NO Exchange — the production shape "
+    "incremental_near_dup_candidates's docstring promises",
+    oracle=incremental_minhash_sql(min_jaccard=0.3, modulus=8),
+)
+def incremental_near_dup_persisted_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same result as incremental_near_dup_candidates (identical oracle),
+    different physical plan: the history band index is a bucketed table
+    (pay-once shuffle at write time), built here only if this session has
+    not built it for this sf_dir yet — exactly the once-per-corpus-
+    snapshot amortization of a real daily-ingest pipeline. The banded
+    equi-join then exchanges the increment side only; history signatures
+    join back solely to estimate Jaccard on surviving pairs."""
+    import hashlib
+
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        minhash_bands,
+        minhash_signatures,
+    )
+    from data_algorithms_with_pyspark_spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs, num_perm=64, shingle_n=3, hash_fn="md5"
+    ).persist()
+    new_sigs = sigs.where(F.col("doc_id") % 8 == 0)
+    hist_sigs = sigs.where(F.col("doc_id") % 8 != 0)
+    # index name keyed by sf_dir: tests drive several SFs through ONE
+    # session, and a stale index for another corpus must never be reused
+    idx = f"hist_band_idx_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    if not spark.catalog.tableExists(idx):
+        # repartition on the bucket key first: without it every write task
+        # emits a file per bucket (tasks x buckets tiny files); with it
+        # each of the 16 tasks owns exactly one bucket's rows
+        write_bucketed_table(
+            minhash_bands(hist_sigs, 16, hash_fn="md5").repartition(
+                16, F.col("band_hash")
+            ),
+            idx,
+            bucket_cols=("band_hash",),
+            num_buckets=16,
+            sort_cols=("band_hash",),
+        )
+    return incremental_minhash_candidates(
+        new_sigs,
+        hist_sigs,
+        bands=16,
+        min_jaccard=0.3,
+        hash_fn="md5",
+        hist_bands=spark.table(idx),
+    )
+
+
 # --- tokenizer-training prep, leakage-safe split, count-min sketch ----------
 
 

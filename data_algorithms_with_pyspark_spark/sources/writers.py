@@ -122,6 +122,25 @@ def write_bucketed_table(
     ``partitionBy`` (physical_partitioning.py:60-84); bucketing is the
     co-location story it never reaches.
     """
+    spark = df.sparkSession
+    if mode == "overwrite" and not spark.catalog.tableExists(table_name):
+        # A managed-table LOCATION can outlive its (session-scoped,
+        # in-memory) catalog entry — e.g. a previous process wrote the
+        # table and exited. saveAsTable refuses to adopt the orphaned
+        # directory even in overwrite mode (LOCATION_ALREADY_EXISTS), so
+        # clear it the way DROP TABLE would have.
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        )
+        local = urlparse(warehouse)
+        if local.scheme in ("", "file"):
+            shutil.rmtree(
+                f"{local.path or warehouse}/{table_name.lower()}",
+                ignore_errors=True,
+            )
     writer = df.write.mode(mode).format(format).bucketBy(
         num_buckets, *bucket_cols
     )

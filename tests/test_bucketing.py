@@ -136,3 +136,21 @@ def test_interleave_bits_known_values(spark):
     assert got["z1"] == 0b111  # 5 (a bits) + 2 (b bit)
     assert got["z0"] == 0
     assert got["zf"] == 0b11111111  # full 8-bit block
+
+
+def test_persisted_band_index_scan_is_bucketed(spark):
+    """The incremental near-dup index query reads history bands from the
+    bucketed table: the scan must carry bucket metadata (pay-once shuffle)
+    and sit under the band join with no Exchange of its own."""
+    from data_algorithms_with_pyspark_spark.plans.catalog import get_query
+    from tests.conftest import SF_SMOKE
+
+    df = get_query("incremental_near_dup_persisted_index").fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "hist_band_idx" in ln
+    ]
+    assert scan_lines, "bucketed index scan missing from the plan"
+    assert all("Bucketed: true" in ln for ln in scan_lines)
