@@ -15,7 +15,16 @@ a data directory:
     eng.tables()                                  # register temp views,
     spark.sql("SELECT ... FROM lineitem ...")     # then go raw SQL
 
-Everything stays lazy: ``run`` returns the DataFrame; nothing collects.
+``run`` returns a DataFrame and MOSTLY stays lazy, with documented
+exceptions: a handful of queries run bounded driver jobs at
+DataFrame-BUILD time — the global-ordering pair (documents_global_row_index,
+corpus_vocabulary_coverage: range-exchange + persist + one collected row
+per partition, see operators/ordering.py), the iterative operators
+(embedding_kmeans_assign, graph components/pagerank: one scalar action
+per round), and the persisted-index build (incremental_near_dup_persisted_index:
+writes the bucketed band table once per session/sf). The ordering
+operators' caches can be released via their ``cache_registry`` hook;
+``Engine.run`` itself never collects result rows.
 """
 
 from __future__ import annotations

@@ -61,7 +61,19 @@ def assign_to_centroids(
     (corpus never shuffles) + ONE packed-bigint HashAggregate argmax — see
     ``similarity.ivf_assign`` for why this beats max_by/max(struct) at
     scale. Ties break to the lower cid.
+
+    ``n_cents`` is capped at 4000: the packing multiplies the cosine grid
+    (round((cos+1)*1e15) <= 2e15) by n_cents, and 4000 is the largest
+    round cluster count whose product stays clear of Long.MAX (2e15 * 4611
+    overflows and would wrap into wrong assignments silently). Coarse
+    quantizers above 4k clusters should go hierarchical (two-level IVF)
+    rather than widen the pack.
     """
+    if n_cents > 4000:
+        raise ValueError(
+            f"n_cents={n_cents} exceeds the packed-argmax overflow bound "
+            "(4000); use a hierarchical/two-level quantizer instead"
+        )
     cents = cents.select(
         "cid", "cvec", l2_norm(F.col("cvec")).alias("_cn")
     )

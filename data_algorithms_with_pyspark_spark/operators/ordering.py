@@ -43,6 +43,7 @@ def global_row_index(
     order_cols: list[str | Column],
     index_col: str = "row_idx",
     num_partitions: int | None = None,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Add ``index_col``: contiguous 0-based global row numbers under the
     total order given by ``order_cols``.
@@ -51,16 +52,27 @@ def global_row_index(
     column); ties straddling a range-partition boundary would otherwise
     make the numbering nondeterministic.
 
-    The input is persisted (MEMORY_AND_DISK) for the duration of the two
-    passes — inherent to any count-then-number scheme; the alternative
-    (a second full shuffle onto partition id to fuse both passes into one
-    window job) moves the whole corpus again instead of re-reading it.
+    EAGER + CACHING, by design: building the result runs a driver job
+    (the per-partition counts — one collected row per partition) and
+    persists the range-partitioned input (MEMORY_AND_DISK) so the count
+    pass and the numbering pass see identical sampled range boundaries.
+    That cache must outlive the returned DataFrame's consumption, so this
+    function cannot unpersist it; a long-lived session should pass
+    ``cache_registry`` (any list) — the persisted relation is appended,
+    and the caller unpersists after materializing the result:
+
+        caches: list[DataFrame] = []
+        out = global_row_index(df, ["k", "id"], cache_registry=caches)
+        out.write.parquet(...)
+        for c in caches: c.unpersist()
     """
     parted = (
         df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
         else df.repartitionByRange(*order_cols)
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(parted)
 
     counts = (
         parted.groupBy(F.spark_partition_id().alias("_pid"))
@@ -98,6 +110,7 @@ def global_ranked_prefix_sum(
     cum_col: str = "cum_value",
     total_col: str | None = "total_value",
     num_partitions: int | None = None,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Global rank + inclusive running total of ``value_col`` under a total
     order, without funneling the relation through one partition.
@@ -119,12 +132,19 @@ def global_ranked_prefix_sum(
     engine's cross-engine rule anyway). ``total_col`` (if not None) is the
     driver-known grand total attached as a literal — replacing the
     ``sum() over ()`` full-relation window with a constant.
+
+    EAGER + CACHING like ``global_row_index`` (driver job for the
+    per-partition stats; the range-partitioned input stays persisted) —
+    pass ``cache_registry`` to receive the persisted relation and release
+    it once the result is materialized.
     """
     parted = (
         df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
         else df.repartitionByRange(*order_cols)
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(parted)
 
     stats = (
         parted.groupBy(F.spark_partition_id().alias("_pid"))

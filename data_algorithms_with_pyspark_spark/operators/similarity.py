@@ -374,6 +374,7 @@ def knn_join(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_same_id: bool = True,
 ) -> DataFrame:
     """Batch exact k-NN: top-k cosine neighbors in ``corpus`` for EVERY
     row of ``queries`` — the retrieval shape (a batch of query embeddings
@@ -388,6 +389,12 @@ def knn_join(
     Norms are materialized once per side (cosine_with_norms — one fold
     per candidate). Ranking is on the ROUNDED cosine with the neighbor id
     as tiebreaker, the catalog's total-order-over-rounded-values rule.
+
+    ``exclude_same_id=True`` (default) assumes query and corpus ids share
+    ONE namespace (typically both sides are slices of the same table) and
+    drops the self-pair n_id == q_id. If the two tables have independent
+    id spaces, a corpus vector whose id merely coincides with a query id
+    would be silently excluded — pass ``exclude_same_id=False`` there.
     """
     q = queries.select(
         F.col(id_col).alias("q_id"),
@@ -400,10 +407,11 @@ def knn_join(
     cos = cosine_with_norms(
         F.col("n_vec"), F.col("q_vec"), F.col("_nn"), F.col("_qn")
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("n_id") != F.col("q_id"))
-        .select("q_id", "n_id", F.round(cos, 6).alias("cosine"))
+    scored = c.crossJoin(F.broadcast(q))
+    if exclude_same_id:
+        scored = scored.where(F.col("n_id") != F.col("q_id"))
+    scored = scored.select(
+        "q_id", "n_id", F.round(cos, 6).alias("cosine")
     )
     from pyspark.sql.window import Window
 
@@ -427,6 +435,7 @@ def knn_join_srp(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_same_id: bool = True,
 ) -> DataFrame:
     """Batch approximate k-NN: SRP band buckets prune the candidate set,
     exact cosine ranks only candidates — the scale path of ``knn_join``
@@ -437,6 +446,9 @@ def knn_join_srp(
     band codes; expected candidates per query are O(bands * n / 2^(n_planes
     /bands)). May return fewer than k neighbors for isolated queries —
     the standard ANN recall trade, tunable via bands/width.
+
+    ``exclude_same_id``: same one-namespace contract as ``knn_join`` —
+    pass False when query and corpus ids are independent.
     """
     if n_planes % bands:
         raise ValueError("n_planes must divide evenly into bands")
@@ -458,13 +470,12 @@ def knn_join_srp(
             F.posexplode(band_vals).alias("band", "band_code"),
         )
 
-    cand = (
-        banded(queries, "q_id")
-        .join(banded(corpus, "n_id"), on=["band", "band_code"])
-        .where(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id")
-        .dropDuplicates(["q_id", "n_id"])
+    cand = banded(queries, "q_id").join(
+        banded(corpus, "n_id"), on=["band", "band_code"]
     )
+    if exclude_same_id:
+        cand = cand.where(F.col("q_id") != F.col("n_id"))
+    cand = cand.select("q_id", "n_id").dropDuplicates(["q_id", "n_id"])
     q = queries.select(
         F.col(id_col).alias("q_id"), to_double_array(vec_col).alias("q_vec")
     ).withColumn("_qn", l2_norm(F.col("q_vec")))

@@ -553,7 +553,9 @@ _SEMDEDUP_CLUSTERS = 16
                 SELECT v.vec_id, c.cid,
                        row_number() OVER (
                            PARTITION BY v.vec_id
-                           ORDER BY list_cosine_similarity(v.vec, c.cvec) DESC,
+                           ORDER BY CAST(floor((list_cosine_similarity(
+                                        v.vec, c.cvec) + 1.0) * 1e15 + 0.5)
+                                        AS BIGINT) DESC,
                                     c.cid
                        ) AS rn
                 FROM v CROSS JOIN cent c
@@ -1009,14 +1011,20 @@ def _kmeans_oracle() -> str:
     k, dim = _KMEANS_K, _KMEANS_DIM
 
     def assign(name: str, cents: str) -> str:
+        # ordering key quantized to the SAME 1e15 grid the Spark packed
+        # argmax uses (floor(x+0.5) == Spark's HALF_UP round for the
+        # always-positive cos+1): two centroids within ~5e-16 of cosine
+        # must tie in BOTH engines, else one flipped assignment diverges
+        # every later Lloyd iteration
         return f"""
         {name} AS MATERIALIZED (
             SELECT vec_id, cid FROM (
                 SELECT v.vec_id, c.cid,
                        row_number() OVER (
                            PARTITION BY v.vec_id
-                           ORDER BY list_cosine_similarity(v.vec, c.cvec)
-                                        DESC,
+                           ORDER BY CAST(floor((list_cosine_similarity(
+                                        v.vec, c.cvec) + 1.0) * 1e15 + 0.5)
+                                        AS BIGINT) DESC,
                                     c.cid
                        ) AS rn
                 FROM v CROSS JOIN {cents} c

@@ -489,9 +489,15 @@ def multimodal_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign AS MATERIALIZED (
             SELECT vec_id, cid FROM (
                 SELECT v.vec_id, c.cid,
+                       -- quantized to the Spark packed-argmax 1e15 grid
+                       -- (floor(x+0.5) == HALF_UP for cos+1 >= 0) so
+                       -- near-tied centroids tie identically cross-engine
                        row_number() OVER (
                            PARTITION BY v.vec_id
-                           ORDER BY list_cosine_similarity(v.vec, c.cvec) DESC, c.cid
+                           ORDER BY CAST(floor((list_cosine_similarity(
+                                        v.vec, c.cvec) + 1.0) * 1e15 + 0.5)
+                                        AS BIGINT) DESC,
+                                    c.cid
                        ) AS rn
                 FROM v CROSS JOIN cent c
             ) WHERE rn = 1

@@ -198,6 +198,26 @@ def approx_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exact_distinct_users",
+    tags=("events", "sketch"),
+    description="Exact distinct users per event type — the oracle-green "
+    "twin that brackets approx_distinct_users_hll at the driver level "
+    "(HLL itself is engine-specific, so its estimate can only be checked "
+    "rows-only; this query pins the true value it must approximate)",
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY event_type
+    """,
+)
+def exact_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+
+
+@register(
     "part_price_band_range_join",
     tags=("relational", "join", "range-join"),
     description="Bucketed range join binning part prices into [lo,hi) bands",

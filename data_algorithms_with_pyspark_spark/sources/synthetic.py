@@ -58,7 +58,11 @@ class _SyntheticEventsReader(DataSourceReader):
         self.n_users = int(options.get("users", max(1, self.rows // 20)))
 
     def partitions(self):
-        n = max(1, min(self.n_parts, self.rows or 1))
+        if self.rows <= 0:
+            # empty relation, not a crash: step would be 0 and
+            # range(0, 0, 0) raises
+            return [_Slice(0, 0, self.seed)]
+        n = max(1, min(self.n_parts, self.rows))
         step = (self.rows + n - 1) // n
         return [
             _Slice(lo, min(lo + step, self.rows), self.seed)

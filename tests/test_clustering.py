@@ -126,3 +126,18 @@ def test_semdedup_with_trained_centroids(spark, blobs):
     assert len(verdict) == 31
     assert verdict[0] is True and verdict[999] is False  # min-id survives
     assert all(r["cid"] in (0, 1, 2) for r in out)
+
+
+def test_assign_rejects_overflowing_cluster_count(spark):
+    import pytest
+
+    from data_algorithms_with_pyspark_spark.operators.clustering import (
+        assign_to_centroids,
+    )
+
+    vecs = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, vec array<double>")
+    cents = spark.createDataFrame([(0, [1.0, 0.0])], "cid int, cvec array<double>")
+    # packed argmax would overflow Long.MAX past ~4611 clusters; the guard
+    # trips at the documented 4000 bound
+    with pytest.raises(ValueError, match="overflow"):
+        assign_to_centroids(vecs, cents, 5000)

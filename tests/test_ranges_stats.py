@@ -83,3 +83,17 @@ def test_hll_error_within_bound(spark):
     assert set(exact) == set(approx)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
+
+
+def test_global_row_index_cache_registry_releases(spark):
+    from data_algorithms_with_pyspark_spark.operators.ordering import (
+        global_row_index,
+    )
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    caches = []
+    out = global_row_index(df, ["k"], cache_registry=caches)
+    assert out.count() == 100
+    assert len(caches) == 1 and caches[0].is_cached
+    caches[0].unpersist()
+    assert not caches[0].is_cached

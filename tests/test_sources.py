@@ -247,3 +247,17 @@ def test_synthetic_source_deterministic_and_partition_independent(spark):
     types = {r["event_type"] for r in df.select("event_type").distinct().collect()}
     assert types <= {"signup", "view", "click", "purchase", "refund"}
     assert len(types) >= 4
+
+
+def test_synthetic_source_zero_rows_is_empty_relation(spark):
+    from data_algorithms_with_pyspark_spark.sources.synthetic import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 0)
+        .load()
+    )
+    assert df.count() == 0
