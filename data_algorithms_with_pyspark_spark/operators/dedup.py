@@ -303,6 +303,7 @@ def minhash_candidate_pairs(
     min_jaccard: float = 0.0,
     materialize: bool = True,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs agreeing on any band become a candidate pair.
 
@@ -315,6 +316,17 @@ def minhash_candidate_pairs(
     recomputing the shingle/hash pass per reference costs far more than
     storing ~(8 + 8*num_perm) bytes/doc — at 100 TB this is the standard
     "checkpoint the sketch, not the corpus" move.
+
+    ``max_bucket_size``: skew guard for real corpora. A group of g EXACT
+    duplicates agrees on every band, so one bucket holds all g ids and
+    the band join emits g^2/2 pairs — boilerplate pages with millions of
+    copies turn the "banded, never all-pairs" promise back into a
+    quadratic hot key. Buckets larger than the cap are dropped from
+    candidate generation (one extra count aggregate over the 24-byte band
+    rows). The documented contract: run EXACT dedup first (its groupBy
+    collapses those same groups linearly), then near-dup with a cap —
+    pairs lost to a capped bucket are overwhelmingly exact dups already
+    handled upstream. None (default) disables the guard.
     """
     if materialize:
         signatures = signatures.persist()
@@ -325,6 +337,14 @@ def minhash_candidate_pairs(
     # aggregation's exchange across the three references (ReusedExchange),
     # so the expensive shingle/hash pass still runs once.
     banded = minhash_bands(signatures, bands, id_col=id_col, hash_fn=hash_fn)
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band", "band_hash")
+            .count()
+            .where(F.col("count") <= max_bucket_size)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(small, on=["band", "band_hash"])
     left = banded.select(F.col(id_col).alias("id_1"), "band", "band_hash")
     right = banded.select(F.col(id_col).alias("id_2"), "band", "band_hash")
     pairs = (

@@ -1547,6 +1547,7 @@ _RERANK_K = 5
 
 @register(
     "rerank_topk",
+    bench=True,
     tags=("similarity", "retrieval", "pandas-udf"),
     description=f"Two-stage retrieval: exact top-{_RERANK_CAND} cosine "
     f"candidates per query, reranked to top-{_RERANK_K} by the Arrow-batched "

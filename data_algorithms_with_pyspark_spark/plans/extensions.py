@@ -243,6 +243,7 @@ def minhash_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_near_dup_candidates",
+    bench=True,
     tags=("dedup", "lsh"),
     description="60-bit SimHash banded candidates with hamming distance "
     "(md5-derived token hashes -> full cross-engine value oracle)",
@@ -437,6 +438,7 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decoded_stats",
+    bench=True,
     tags=("multimodal", "pandas-udf"),
     description="REAL image decode over a corpus of valid 24-bit BMP files "
     "(pure-numpy parser in Arrow mapInPandas batches): dimensions + pixel "

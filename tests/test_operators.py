@@ -422,3 +422,41 @@ def test_rerank_topk_two_stage_retrieval(spark):
     for qid in range(1000, 1004):
         assert rank1[qid] == qid - 1000  # planted source survives rerank
     assert all(1 <= r["rank"] <= 3 for r in rows)
+
+
+def test_minhash_md5_matches_python_reference(spark):
+    """md5_long60's Spark construction (conv/substring/md5) must equal the
+    plain-Python reference — the property every DuckDB oracle relies on."""
+    import hashlib
+
+    from data_algorithms_with_pyspark_spark.operators.dedup import md5_long60
+
+    vals = ["", "a", "the quick brown fox", "123", "naïve unicode ✓"]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = {r["s"]: r["h"] for r in df.select("s", md5_long60(F.col("s")).alias("h")).collect()}
+    for v in vals:
+        expect = int(hashlib.md5(v.encode("utf-8")).hexdigest()[:15], 16)
+        assert got[v] == expect, v
+
+
+def test_minhash_bucket_cap_drops_exact_dup_floods(spark):
+    """A group of exact duplicates agrees on EVERY band; with the cap the
+    flood contributes no pairs, while a genuine near-dup pair (bucket
+    size 2) survives."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    flood = "identical boilerplate page body repeated across the whole crawl"
+    rows = [(1, base), (2, base.replace("lazy", "sleepy"))]
+    rows += [(100 + i, flood) for i in range(8)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures(docs)
+    capped = {
+        (r["id_1"], r["id_2"])
+        for r in minhash_candidate_pairs(sigs, max_bucket_size=4).collect()
+    }
+    assert (1, 2) in capped
+    assert not any(a >= 100 and b >= 100 for a, b in capped)
+    uncapped = {
+        (r["id_1"], r["id_2"])
+        for r in minhash_candidate_pairs(sigs).collect()
+    }
+    assert (100, 101) in uncapped  # the flood IS quadratic without the cap
