@@ -44,6 +44,17 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def floor_round4(col: Column) -> Column:
+    """``floor(x*1e4+0.5)/1e4`` — engine-portable 4-dp rounding. Spark's
+    ``round()`` rounds the shortest decimal repr of the double
+    (``BigDecimal.valueOf``): a value whose repr is exactly ``*.xxxx5``
+    rounds up even when its binary value sits just below the half, which
+    engines rounding the true binary value (DuckDB) round down. The floor
+    form uses only exact IEEE ops, so identical raw doubles round
+    identically everywhere. SQL twin: ``floor(x*10000+0.5)/10000``."""
+    return F.floor(col * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+
 def _marker_hits(tokens: Column, markers: tuple[str, ...]) -> Column:
     marker_array = F.array(*[F.lit(m) for m in markers])
     return F.size(F.filter(tokens, lambda t: F.array_contains(marker_array, t))).cast(
@@ -75,7 +86,13 @@ def quality_score_expr(text_col: str = "text") -> Column:
         + (stop_hits.cast("double") / safe_tokens) * 0.3
         + (n_alpha.cast("double") / safe_chars) * 0.3
     )
-    return F.round(score, 4)
+    # floor(x*1e4+0.5), not round(): Spark's round() rounds the SHORTEST
+    # DECIMAL REPR of the double (BigDecimal.valueOf), so a score whose
+    # repr is exactly *.xxxx5 rounds UP while engines rounding the true
+    # binary value round DOWN — a real sf0.1 mismatch (doc with score repr
+    # 0.31375, binary 0.3137499999...). The floor form is exact IEEE ops
+    # on the bit-identical raw double, so every engine agrees.
+    return floor_round4(score)
 
 
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -105,10 +122,10 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_chars.alias("n_chars_measured"),
-        F.round(mean_tok_len, 4).alias("mean_token_len"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        floor_round4(mean_tok_len).alias("mean_token_len"),
+        floor_round4(stop_ratio).alias("stopword_ratio"),
+        floor_round4(alpha_ratio).alias("alpha_ratio"),
+        floor_round4(score).alias("quality_score"),
     )
 
 

@@ -365,16 +365,20 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                len({_TOKENS}) AS n_tokens,
                len(text) AS n_chars_measured,
-               round(CAST(len(text) AS DOUBLE) / greatest(len({_TOKENS}), 1), 4) AS mean_token_len,
-               round(CAST({_marker_sql(LANG_MARKERS['en'])} AS DOUBLE)
-                     / greatest(len({_TOKENS}), 1), 4) AS stopword_ratio,
-               round(CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
-                     / greatest(len(text), 1), 4) AS alpha_ratio,
-               round(least(CAST(len({_TOKENS}) AS DOUBLE) / 100.0, 1.0) * 0.4
+               floor(CAST(len(text) AS DOUBLE) / greatest(len({_TOKENS}), 1)
+                     * 10000 + 0.5) / 10000 AS mean_token_len,
+               floor(CAST({_marker_sql(LANG_MARKERS['en'])} AS DOUBLE)
+                     / greatest(len({_TOKENS}), 1) * 10000 + 0.5) / 10000
+                   AS stopword_ratio,
+               floor(CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
+                     / greatest(len(text), 1) * 10000 + 0.5) / 10000
+                   AS alpha_ratio,
+               floor((least(CAST(len({_TOKENS}) AS DOUBLE) / 100.0, 1.0) * 0.4
                      + (CAST({_marker_sql(LANG_MARKERS['en'])} AS DOUBLE)
                         / greatest(len({_TOKENS}), 1)) * 0.3
                      + (CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
-                        / greatest(len(text), 1)) * 0.3, 4) AS quality_score
+                        / greatest(len(text), 1)) * 0.3) * 10000 + 0.5) / 10000
+                   AS quality_score
         FROM documents
     """,
 )

@@ -13,8 +13,9 @@ these queries chain them the way a real corpus-preparation job would:
     the three-stage near-dup story: MinHash+LSH candidate generation
     (band equi-join, no all-pairs) -> exact n-gram-Jaccard verification
     on candidates only -> connected components over verified pairs ->
-    per-document cluster id. Seeded-hash based, so rows-only at the
-    driver; tests/test_pipelines.py checks planted duplicates cluster.
+    per-document cluster id. md5-derived hashes -> full value oracle
+    (plans/lsh_oracles.py, recursive-CTE component labeling);
+    tests/test_pipelines.py checks planted duplicates cluster.
 
 ``corpus_token_stats``
     per-source corpus statistics (doc counts, token sums, exact token
@@ -113,7 +114,7 @@ def _lang_scores_sql() -> str:
         featured AS (
             SELECT doc_id, source,
                    {_pred_lang_case_sql()} AS pred_lang,
-                   round({_quality_score_sql()}, 4) AS quality_score,
+                   floor(({_quality_score_sql()}) * 10000 + 0.5) / 10000 AS quality_score,
                    len({_TOKENS}) AS n_tokens,
                    md5({_NORMALIZED}) AS content_hash
             FROM scored
@@ -519,7 +520,7 @@ _V2_COSINE_THRESHOLD = 0.35  # same tail threshold as embedding_cosine_near_dups
     oracle=f"""
         WITH feats AS (
             SELECT doc_id,
-                   round({_quality_score_sql()}, 4) AS q,
+                   floor(({_quality_score_sql()}) * 10000 + 0.5) / 10000 AS q,
                    md5({_NORMALIZED}) AS content_hash
             FROM documents
         ),

@@ -360,7 +360,8 @@ def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS richest_balance,
                round(last_value(round(c_acctbal, 2)) OVER w_full, 2)
                    AS poorest_balance,
-               round(cume_dist() OVER w_order, 6) AS balance_cume_dist
+               floor(cume_dist() OVER w_order * 1000000 + 0.5) / 1000000
+                   AS balance_cume_dist
         FROM customer
         WINDOW
             w_order AS (PARTITION BY c_nationkey
@@ -385,10 +386,18 @@ def customer_balance_window_bounds(spark: SparkSession, sf_dir: str) -> DataFram
         balance.desc(), F.col("c_custkey")
     )
     full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # cume_dist is k/n — its shortest decimal repr can be exactly
+    # *.xxxxxx5, where Spark's repr-based round() goes up but engines
+    # rounding the binary value go down; floor(x*1e6+0.5) is exact IEEE
+    # ops on the identical double, so both engines agree (found as a real
+    # sf0.1 mismatch at 0.0640625).
+    cume = F.floor(F.cume_dist().over(order) * F.lit(1000000.0) + F.lit(0.5)) / F.lit(
+        1000000.0
+    )
     return customer.select(
         "c_custkey",
         "c_nationkey",
         F.round(F.first(balance).over(full), 2).alias("richest_balance"),
         F.round(F.last(balance).over(full), 2).alias("poorest_balance"),
-        F.round(F.cume_dist().over(order), 6).alias("balance_cume_dist"),
+        cume.alias("balance_cume_dist"),
     )
