@@ -494,8 +494,11 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect(F.col("sh_1"), F.col("sh_2"))).cast("double")
     union = F.size(F.array_union(F.col("sh_1"), F.col("sh_2"))).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    # floor form, not round(): i/u is a small-integer ratio, so dyadic
+    # values like 7/32 = 0.21875 are EXACT halves at 4dp where engines'
+    # round() tie-breaks differ (see text.floor_round4)
     return (
-        base.select("id_1", "id_2", F.round(jac, 4).alias("jaccard"))
+        base.select("id_1", "id_2", floor_round(jac, 4).alias("jaccard"))
         .where(F.col("jaccard") >= F.lit(threshold))
     )
 

@@ -89,7 +89,13 @@ def similarity_join(
         "double"
     )
     union = F.size(F.array_union(F.col("_lsh"), F.col("_rsh"))).cast("double")
-    jac = F.round(F.when(union > 0, inter / union).otherwise(0.0), 4)
+    # floor form, not round(): i/u small-integer ratios hit exact dyadic
+    # halves at 4dp where engines' round() tie-breaks differ
+    # (operators/text.floor_round4 has the full story)
+    jac = F.floor(
+        F.when(union > 0, inter / union).otherwise(0.0) * F.lit(10000.0)
+        + F.lit(0.5)
+    ) / F.lit(10000.0)
     return (
         cand.join(l_sets, on="_lid")
         .join(r_sets, on="_rid")

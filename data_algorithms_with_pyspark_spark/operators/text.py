@@ -420,7 +420,9 @@ def boilerplate_ngram_coverage(
             F.col(id_col),
             "n_ngrams",
             "n_boiler",
-            F.round(F.col("n_boiler") / F.col("n_ngrams"), 4).alias(
+            # floor form: n_boiler/n_ngrams is a small-integer ratio whose
+            # shortest repr can be an exact *.xxxx5 (see floor_round4)
+            floor_round4(F.col("n_boiler") / F.col("n_ngrams")).alias(
                 "boiler_ratio"
             ),
         )

@@ -704,7 +704,8 @@ _BOILER_MIN_DOCS = 3
         SELECT g.doc_id,
                CAST(count(*) AS BIGINT) AS n_ngrams,
                CAST(count(f.ng) AS BIGINT) AS n_boiler,
-               round(CAST(count(f.ng) AS DOUBLE) / count(*), 4) AS boiler_ratio
+               floor(CAST(count(f.ng) AS DOUBLE) / count(*) * 10000 + 0.5)
+                   / 10000 AS boiler_ratio
         FROM g LEFT JOIN f USING (ng)
         GROUP BY g.doc_id
     """,
@@ -1643,8 +1644,9 @@ _FUZZY_SHINGLES_SQL = (
         )
         SELECT lname AS name_l, rname AS name_r, jaccard FROM (
             SELECT lname, rname,
-                   round(CAST(len(list_intersect(lsh, rsh)) AS DOUBLE)
-                         / len(list_distinct(list_concat(lsh, rsh))), 4)
+                   floor(CAST(len(list_intersect(lsh, rsh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(lsh, rsh)))
+                         * 10000 + 0.5) / 10000
                        AS jaccard
             FROM l CROSS JOIN r
         ) WHERE jaccard >= {_FUZZY_THRESHOLD}

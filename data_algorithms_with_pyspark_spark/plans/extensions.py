@@ -191,11 +191,13 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
         SELECT a.doc_id AS id_1, b.doc_id AS id_2,
-               round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+               floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                     * 10000 + 0.5) / 10000 AS jaccard
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                    / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+        WHERE floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                    * 10000 + 0.5) / 10000
               >= {_JACCARD_THRESHOLD}
     """,
 )

@@ -175,8 +175,9 @@ def near_dup_clusters_sql(
             FROM cand c
             JOIN sh a ON c.id_1 = a.doc_id
             JOIN sh b ON c.id_2 = b.doc_id
-            WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                        / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+            WHERE floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                        * 10000 + 0.5) / 10000
                   >= {verify_jaccard}
         ),
         nodes AS (
