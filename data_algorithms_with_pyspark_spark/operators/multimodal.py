@@ -7,12 +7,13 @@ shape that amortizes transfer and lets a decode step hold per-batch state
 
 Decoding is REAL for the self-describing uncompressed formats a
 pure-Python/numpy parser can own: BMP (24-bit BI_RGB, bottom-up or
-top-down, row padding handled) and binary PPM ("P6"). Compressed formats
-(JPEG/PNG/video codecs) would need libraries not present in this
-container; those paths keep the clearly-marked deterministic ``fake``
-byte-derived stand-ins so the distributed plumbing stays testable
-end-to-end, and swapping in PIL/opencv later changes one function body,
-not the pipeline.
+top-down, row padding handled), binary PPM ("P6"), and RIFF/WAVE PCM
+audio (8/16-bit, any channel count, chunk-walked so files with LIST/fact
+chunks parse too). Compressed formats (JPEG/PNG/video codecs) would need
+libraries not present in this container; those paths keep the
+clearly-marked deterministic ``fake`` byte-derived stand-ins so the
+distributed plumbing stays testable end-to-end, and swapping in
+PIL/opencv/soundfile later changes one function body, not the pipeline.
 """
 
 from __future__ import annotations
@@ -34,6 +35,10 @@ __all__ = [
     "decode_image",
     "synthetic_bmp_media",
     "decode_image_batch",
+    "encode_wav",
+    "decode_wav",
+    "synthetic_wav_media",
+    "decode_audio_batch",
     "extract_features",
     "resize_image",
     "frame_sample",
@@ -238,6 +243,138 @@ def decode_image_batch(media: DataFrame, fake: bool = False) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         _decode, schema=_DECODED_SCHEMA
+    )
+
+
+# --- real audio codec: RIFF/WAVE PCM (8/16-bit) -----------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode an (n_samples, n_channels) int16 array as a canonical
+    RIFF/WAVE PCM file (format tag 1, interleaved frames) — a file any
+    audio player opens, not a private container."""
+    if samples.ndim != 2 or samples.dtype != np.int16:
+        raise ValueError("encode_wav wants (n_samples, n_channels) int16")
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    header = struct.pack(
+        "<4sI4s"  # RIFF size WAVE
+        "4sIHHIIHH"  # fmt  chunk: PCM, channels, rate, byte rate, align, bits
+        "4sI",  # data chunk header
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16,
+        b"data", len(data),
+    )
+    return header + data
+
+
+def decode_wav(raw: bytes) -> tuple[int, np.ndarray]:
+    """Parse RIFF/WAVE PCM bytes -> (sample_rate, (n_samples, n_channels)
+    int16 array). Walks the chunk list (LIST/fact/cue chunks are skipped,
+    odd-sized chunks consume their pad byte), so real-world files parse,
+    not just our own encoder's output. 8-bit PCM (unsigned) is widened to
+    int16; anything non-PCM raises ValueError loudly."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError(f"unrecognized audio magic {raw[:4]!r}")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid, size = struct.unpack_from("<4sI", raw, pos)
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # odd chunks carry a pad byte
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, ch, rate, _byte_rate, _align, bits = fmt
+    if tag != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV (format tag={tag}, bits={bits})")
+    if bits == 8:  # 8-bit PCM is unsigned; center then widen
+        arr = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) * 256
+    else:
+        arr = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    n = len(arr) // ch
+    return rate, arr[: n * ch].reshape(n, ch)
+
+
+def synthetic_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-format audio corpus: one valid PCM16 WAV per
+    input row — n_samples = 200 + id%57, channels = 1 + id%2, rate =
+    8000 + (id%3)*4000, sample(i, c) = ((i*37 + c*11 + id*7) % 4001) - 2000.
+
+    The sample rule is closed-form in (id, i, c), so a foreign engine can
+    compute expected decode outputs (frame counts, sample sums) in pure
+    SQL without a WAV codec — which gives the real-decode catalog query a
+    full value oracle (same trick as ``synthetic_bmp_media``).
+    """
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n, ch = 200 + mid % 57, 1 + mid % 2
+                rate = 8000 + (mid % 3) * 4000
+                i = np.arange(n, dtype=np.int64)[:, None]
+                c = np.arange(ch, dtype=np.int64)[None, :]
+                samples = ((i * 37 + c * 11 + mid * 7) % 4001 - 2000).astype(
+                    np.int16
+                )
+                payloads.append(encode_wav(samples, rate))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        spread_partitions,
+    )
+
+    return spread_partitions(docs.select(id_col)).mapInPandas(
+        _gen, schema="media_id long, payload binary"
+    )
+
+
+_AUDIO_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_ms long, sample_sum long, abs_peak int"
+)
+
+
+def decode_audio_batch(media: DataFrame) -> DataFrame:
+    """Decode WAV payloads to (sample_rate, n_channels, n_samples,
+    duration_ms, sample_sum, abs_peak) — the metadata+checksum pass of an
+    audio ingest pipeline, really parsing RIFF bytes inside the Arrow
+    batches. ``duration_ms`` floors n_samples*1000/rate so it is exact
+    integer arithmetic on every engine."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, chans, counts, durs, sums, peaks = [], [], [], [], [], []
+            for payload in pdf["payload"]:
+                rate, samples = decode_wav(bytes(payload))
+                n = samples.shape[0]
+                rates.append(rate)
+                chans.append(samples.shape[1])
+                counts.append(n)
+                durs.append(n * 1000 // rate)
+                sums.append(int(samples.sum(dtype=np.int64)))
+                peaks.append(int(np.abs(samples.astype(np.int64)).max()) if n else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_channels": pd.Series(chans, dtype="int32"),
+                    "n_samples": pd.Series(counts, dtype="int64"),
+                    "duration_ms": pd.Series(durs, dtype="int64"),
+                    "sample_sum": pd.Series(sums, dtype="int64"),
+                    "abs_peak": pd.Series(peaks, dtype="int32"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _decode, schema=_AUDIO_SCHEMA
     )
 
 

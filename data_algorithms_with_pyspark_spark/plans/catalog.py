@@ -105,6 +105,7 @@ _SAMPLE_PRIORITY = (
     # persisted band index, HLL bracket twin).
     "rerank_topk",
     "multimodal_decoded_stats",
+    "multimodal_audio_stats",
     "incremental_near_dup_persisted_index",
     "exact_distinct_users",
     # Graph family: green in r1 only, two rounds stale — re-attest.

@@ -25,8 +25,10 @@ from data_algorithms_with_pyspark_spark.operators.dedup import (
 )
 from data_algorithms_with_pyspark_spark.operators.multimodal import (
     binary_metadata,
+    decode_audio_batch,
     decode_image_batch,
     synthetic_bmp_media,
+    synthetic_wav_media,
     with_binary_payload,
 )
 from data_algorithms_with_pyspark_spark.operators.similarity import (
@@ -479,6 +481,52 @@ def multimodal_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = synthetic_bmp_media(docs)
     return decode_image_batch(media, fake=False)
+
+
+@register(
+    "multimodal_audio_stats",
+    tags=("multimodal", "pandas-udf"),
+    description="REAL audio decode over a corpus of valid RIFF/WAVE PCM16 "
+    "files (chunk-walking pure-numpy parser in Arrow mapInPandas batches): "
+    "rate/channels/frames/duration + sample checksum per clip; the "
+    "closed-form sample rule lets the oracle compute expected decode "
+    "outputs in pure SQL without a codec",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   200 + doc_id % 57 AS n,
+                   1 + doc_id % 2 AS ch,
+                   8000 + (doc_id % 3) * 4000 AS rate
+            FROM documents
+        ),
+        s AS (
+            SELECT media_id, n, ch, rate,
+                   (k // ch * 37 + k % ch * 11 + media_id * 7) % 4001 - 2000
+                       AS sample
+            FROM (SELECT media_id, n, ch, rate,
+                         unnest(range(n * ch)) AS k
+                  FROM m)
+        )
+        SELECT media_id,
+               CAST(rate AS INT) AS sample_rate,
+               CAST(ch AS INT) AS n_channels,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+               CAST(sum(sample) AS BIGINT) AS sample_sum,
+               CAST(max(abs(sample)) AS INT) AS abs_peak
+        FROM s GROUP BY media_id, n, ch, rate
+    """,
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end real-bytes audio pass: synthesize a corpus of actual
+    PCM16 WAV files (real RIFF headers, interleaved little-endian
+    frames), then DECODE them with the chunk-walking pure-numpy parser
+    and report rate, channels, frame count, floor-ms duration, the sum of
+    every decoded sample, and the absolute peak. Decode runs in the Arrow
+    mapInPandas batches; nothing is faked."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_wav_media(docs)
+    return decode_audio_batch(media)
 
 
 @register(

@@ -137,3 +137,74 @@ def test_resize_real_decodes_and_reencodes(spark, bmp_media):
     src[:, :, 2] = (x + y + mid) % 256
     got = decode_image(bytes(out[0]["resized"]))
     assert (got == src[yi][:, xi]).all()
+
+
+# --- audio: RIFF/WAVE PCM ---------------------------------------------------
+
+
+def test_wav_roundtrip_local():
+    from data_algorithms_with_pyspark_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    for n, ch, rate in [(1, 1, 8000), (240, 2, 44100), (97, 3, 16000)]:
+        samples = rng.integers(-32768, 32768, (n, ch)).astype(np.int16)
+        rate_out, decoded = decode_wav(encode_wav(samples, rate))
+        assert rate_out == rate
+        assert (decoded == samples).all()
+
+
+def test_wav_chunk_walk_and_8bit():
+    """Files with extra chunks (LIST before data, odd-sized, padded) and
+    8-bit PCM must parse — the parser walks chunks, it doesn't assume our
+    encoder's canonical layout."""
+    import struct
+
+    from data_algorithms_with_pyspark_spark.operators.multimodal import decode_wav
+
+    pcm8 = bytes([0, 128, 255])  # -> centered int16: -32768, 0, 32512
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 8000, 1, 8)
+    info = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"  # odd + pad
+    data = struct.pack("<4sI", b"data", len(pcm8)) + pcm8 + b"\x00"
+    body = b"WAVE" + fmt + info + data
+    raw = struct.pack("<4sI", b"RIFF", len(body)) + body
+    rate, samples = decode_wav(raw)
+    assert rate == 8000
+    assert samples[:, 0].tolist() == [-32768, 0, 32512]
+
+
+def test_wav_rejects_garbage_and_nonpcm():
+    import struct
+
+    from data_algorithms_with_pyspark_spark.operators.multimodal import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"not audio")
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 3, 1, 8000, 32000, 4, 32)
+    body = b"WAVE" + fmt + struct.pack("<4sI", b"data", 0)
+    with pytest.raises(ValueError):
+        decode_wav(struct.pack("<4sI", b"RIFF", len(body)) + body)
+
+
+def test_real_audio_decode_distributed(spark):
+    from data_algorithms_with_pyspark_spark.operators.multimodal import (
+        decode_audio_batch,
+        synthetic_wav_media,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    decoded = decode_audio_batch(synthetic_wav_media(docs))
+    rows = {r["media_id"]: r for r in decoded.collect()}
+    assert len(rows) == 20
+    for mid, r in rows.items():
+        n, ch = 200 + mid % 57, 1 + mid % 2
+        rate = 8000 + (mid % 3) * 4000
+        assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == (rate, ch, n)
+        assert r["duration_ms"] == n * 1000 // rate
+        i = np.arange(n, dtype=np.int64)[:, None]
+        c = np.arange(ch, dtype=np.int64)[None, :]
+        samples = (i * 37 + c * 11 + mid * 7) % 4001 - 2000
+        assert r["sample_sum"] == int(samples.sum())
+        assert r["abs_peak"] == int(np.abs(samples).max())
