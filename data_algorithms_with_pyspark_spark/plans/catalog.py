@@ -106,6 +106,8 @@ _SAMPLE_PRIORITY = (
     "rerank_topk",
     "multimodal_decoded_stats",
     "multimodal_audio_stats",
+    "multimodal_video_stats",
+    "multimodal_frame_pipeline",
     "incremental_near_dup_persisted_index",
     "exact_distinct_users",
     # Graph family: green in r1 only, two rounds stale — re-attest.

@@ -27,8 +27,11 @@ from data_algorithms_with_pyspark_spark.operators.multimodal import (
     binary_metadata,
     decode_audio_batch,
     decode_image_batch,
+    decode_video_batch,
+    sample_video_frames,
     synthetic_bmp_media,
     synthetic_wav_media,
+    synthetic_y4m_media,
     with_binary_payload,
 )
 from data_algorithms_with_pyspark_spark.operators.similarity import (
@@ -527,6 +530,109 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = synthetic_wav_media(docs)
     return decode_audio_batch(media)
+
+
+@register(
+    "multimodal_video_stats",
+    tags=("multimodal", "pandas-udf"),
+    description="REAL video decode over a corpus of valid YUV4MPEG2 C444 "
+    "clips (FRAME-walking pure-numpy parser in Arrow mapInPandas batches): "
+    "frame count/dims/fps/duration + full and luma-plane checksums per "
+    "clip; the closed-form plane rule lets the oracle compute expected "
+    "decode outputs in pure SQL without a video parser",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   4 + doc_id % 9 AS w, 4 + doc_id % 7 AS h,
+                   2 + doc_id % 5 AS n, 24 + (doc_id % 2) * 6 AS fps
+            FROM documents
+        ),
+        px AS (
+            SELECT media_id, w, h, n, fps,
+                   i % w AS x, (i // w) % h AS y,
+                   (i // (w * h)) % 3 AS p, i // (w * h * 3) AS t
+            FROM (SELECT media_id, w, h, n, fps,
+                         unnest(range(w * h * 3 * n)) AS i
+                  FROM m)
+        )
+        SELECT media_id,
+               CAST(n AS INT) AS n_frames,
+               CAST(h AS INT) AS height,
+               CAST(w AS INT) AS width,
+               CAST(fps AS INT) AS fps_num,
+               CAST(n * 1000 // fps AS BIGINT) AS duration_ms,
+               CAST(sum((x*3 + y*5 + t*17 + p*29 + media_id) % 256)
+                    AS BIGINT) AS pixel_sum,
+               CAST(sum(CASE WHEN p = 0
+                             THEN (x*3 + y*5 + t*17 + media_id) % 256
+                             ELSE 0 END) AS BIGINT) AS y_sum
+        FROM px GROUP BY media_id, w, h, n, fps
+    """,
+)
+def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end real-bytes video pass: synthesize a corpus of actual
+    Y4M C444 clips (real stream headers, FRAME markers, raw planes), then
+    DECODE them with the FRAME-walking pure-numpy parser and report frame
+    count, dimensions, fps, floor-ms duration, the sum of every decoded
+    plane byte, and the luma-plane-only sum. Decode runs in the Arrow
+    mapInPandas batches; nothing is faked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_video_batch(synthetic_y4m_media(docs))
+
+
+@register(
+    "multimodal_frame_pipeline",
+    tags=("multimodal", "pandas-udf"),
+    description="Video -> image pipeline composition, all real bytes: "
+    "Y4M clips -> stride-2 frame sampling (each sampled frame re-emitted "
+    "as a standalone P6 PPM) -> REAL image decode -> per-clip sampled-"
+    "frame count + pixel checksum; proves sampled frames are valid "
+    "images the image operators consume unchanged",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   4 + doc_id % 9 AS w, 4 + doc_id % 7 AS h,
+                   2 + doc_id % 5 AS n
+            FROM documents
+        ),
+        f AS (  -- stride-2 sampling, capped at 4 (n <= 6 never hits the cap)
+            SELECT media_id, w, h, unnest(range(0, n, 2)) AS t FROM m
+        ),
+        px AS (
+            SELECT media_id, t,
+                   i % w AS x, (i // w) % h AS y, i // (w * h) AS p
+            FROM (SELECT media_id, w, h, t, unnest(range(w * h * 3)) AS i
+                  FROM f)
+        ),
+        per_frame AS (
+            SELECT media_id, t,
+                   sum((x*3 + y*5 + t*17 + p*29 + media_id) % 256) AS fsum
+            FROM px GROUP BY media_id, t
+        )
+        SELECT media_id,
+               CAST(count(*) AS BIGINT) AS n_sampled,
+               CAST(sum(fsum) AS BIGINT) AS sampled_pixel_sum
+        FROM per_frame GROUP BY media_id
+    """,
+)
+def multimodal_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compose the video and image surfaces end-to-end: decode real Y4M,
+    sample every 2nd frame, re-encode each as a P6 PPM, push those
+    through the REAL image decoder, and aggregate per clip. A frame
+    sampled from video is — verifiably, by value — an image the rest of
+    the pipeline can process."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_video_frames(
+        synthetic_y4m_media(docs), stride=2, max_frames=4
+    )
+    imgs = decode_image_batch(
+        frames.select("media_id", F.col("frame_bytes").alias("payload")),
+        fake=False,
+    )
+    return imgs.groupBy("media_id").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("pixel_sum").alias("sampled_pixel_sum"),
+    )
 
 
 @register(

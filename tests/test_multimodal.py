@@ -188,6 +188,108 @@ def test_wav_rejects_garbage_and_nonpcm():
         decode_wav(struct.pack("<4sI", b"RIFF", len(body)) + body)
 
 
+# --- video: YUV4MPEG2 -------------------------------------------------------
+
+
+def test_y4m_roundtrip_local():
+    from data_algorithms_with_pyspark_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(13)
+    for n, p, h, w in [(1, 3, 2, 2), (4, 3, 5, 7), (3, 1, 6, 4)]:
+        frames = rng.integers(0, 256, (n, p, h, w), dtype=np.uint8)
+        num, den, decoded = decode_y4m(encode_y4m(frames, 25, 2))
+        assert (num, den) == (25, 2)
+        assert decoded.shape == (n, p, h, w)
+        assert (decoded == frames).all()
+
+
+def test_y4m_frame_params_and_unknown_tags():
+    """Per-frame parameter lines (FRAME Ixyz\\n) and unknown stream tags
+    (Xfoo) must parse — the parser follows the spec, not just our own
+    encoder's canonical output."""
+    from data_algorithms_with_pyspark_spark.operators.multimodal import decode_y4m
+
+    plane = bytes(range(6))  # 3x2 mono frame
+    raw = (
+        b"YUV4MPEG2 W3 H2 F30000:1001 Ip A1:1 Cmono Xcustom\n"
+        + b"FRAME Ixyz\n" + plane
+        + b"FRAME\n" + plane[::-1]
+    )
+    num, den, frames = decode_y4m(raw)
+    assert (num, den) == (30000, 1001)
+    assert frames.shape == (2, 1, 2, 3)
+    assert frames[0].flatten().tolist() == list(range(6))
+    assert frames[1].flatten().tolist() == list(range(5, -1, -1))
+
+
+def test_y4m_rejects_garbage_and_subsampled():
+    from data_algorithms_with_pyspark_spark.operators.multimodal import decode_y4m
+
+    with pytest.raises(ValueError):
+        decode_y4m(b"not a video")
+    with pytest.raises(ValueError):  # C420 default needs subsample support
+        decode_y4m(b"YUV4MPEG2 W4 H4 F30:1\nFRAME\n" + bytes(24))
+
+
+def test_real_video_decode_distributed(spark):
+    from data_algorithms_with_pyspark_spark.operators.multimodal import (
+        decode_video_batch,
+        synthetic_y4m_media,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    decoded = decode_video_batch(synthetic_y4m_media(docs))
+    rows = {r["media_id"]: r for r in decoded.collect()}
+    assert len(rows) == 20
+    for mid, r in rows.items():
+        w, h, n = 4 + mid % 9, 4 + mid % 7, 2 + mid % 5
+        fps = 24 + (mid % 2) * 6
+        assert (r["n_frames"], r["height"], r["width"], r["fps_num"]) == (
+            n, h, w, fps,
+        )
+        assert r["duration_ms"] == n * 1000 // fps
+        t = np.arange(n, dtype=np.int64)[:, None, None, None]
+        p = np.arange(3, dtype=np.int64)[None, :, None, None]
+        y = np.arange(h, dtype=np.int64)[None, None, :, None]
+        x = np.arange(w, dtype=np.int64)[None, None, None, :]
+        vals = (x * 3 + y * 5 + t * 17 + p * 29 + mid) % 256
+        assert r["pixel_sum"] == int(vals.sum())
+        assert r["y_sum"] == int(vals[:, 0].sum())
+
+
+def test_video_frames_feed_image_pipeline(spark):
+    """Sampled frames are REAL P6 images: stride/max caps hold, and the
+    image decoder reproduces the frame planes exactly (video -> frame ->
+    image-pipeline composition, all real bytes)."""
+    from data_algorithms_with_pyspark_spark.operators.multimodal import (
+        sample_video_frames,
+        synthetic_y4m_media,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    frames = sample_video_frames(
+        synthetic_y4m_media(docs), stride=2, max_frames=2
+    ).collect()
+    by_media: dict[int, list] = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert len(by_media) == 20
+    for mid, rs in by_media.items():
+        n = 2 + mid % 5
+        assert sorted(r["frame_idx"] for r in rs) == list(range(0, n, 2))[:2]
+        for r in rs:
+            px = decode_image(bytes(r["frame_bytes"]))  # (h, w, 3) = Y/U/V
+            w, h, t = 4 + mid % 9, 4 + mid % 7, r["frame_idx"]
+            assert px.shape == (h, w, 3)
+            p = np.arange(3, dtype=np.int64)[None, None, :]
+            y = np.arange(h, dtype=np.int64)[:, None, None]
+            x = np.arange(w, dtype=np.int64)[None, :, None]
+            assert (px == (x * 3 + y * 5 + t * 17 + p * 29 + mid) % 256).all()
+
+
 def test_real_audio_decode_distributed(spark):
     from data_algorithms_with_pyspark_spark.operators.multimodal import (
         decode_audio_batch,
