@@ -110,6 +110,8 @@ _SAMPLE_PRIORITY = (
     "multimodal_frame_pipeline",
     "incremental_near_dup_persisted_index",
     "exact_distinct_users",
+    "bpe_learned_merges",
+    "bpe_vocab_segmentation",
     # Graph family: green in r1 only, two rounds stale — re-attest.
     "graph_degrees",
     "graph_bidirectional_edges",

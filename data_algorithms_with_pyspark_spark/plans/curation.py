@@ -1314,6 +1314,159 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle_cte(n_merges: int) -> str:
+    """Shared WITH-chain replaying ``operators/bpe.bpe_train`` in DuckDB.
+
+    Words are wrapped one symbol at a time ('cat' -> '|c||a||t|'), so a
+    merge of (a, b) is the non-overlapping left-to-right string
+    replacement of '|a||b|' by '|ab|' — ``replace()``'s exact semantics,
+    and exactly the greedy fold the Spark side runs (each symbol carries
+    its own delimiters, so adjacent merges never share a separator).
+    One (p, b, w) stage triple per merge round; b{{k}} is the round's
+    winning pair under the identical (count DESC, pair ASC) total order.
+    Every CTE is MATERIALIZED: w{{k}} references b{{k}} three times, and
+    with default CTE inlining the chain re-expands ~3^k copies of the
+    whole replay (observed: minutes instead of seconds at sf0.01).
+    """
+    stages = [
+        f"""w0 AS MATERIALIZED (
+            SELECT term, n, regexp_replace(term, '(.)', '|\\1|', 'g') AS s
+            FROM (
+                SELECT term, CAST(count(*) AS BIGINT) AS n
+                FROM (SELECT unnest({_TOKENS}) AS term FROM documents)
+                GROUP BY term
+            ) WHERE regexp_matches(term, '^[a-z]+$')
+        )"""
+    ]
+    for k in range(1, n_merges + 1):
+        prev = k - 1
+        stages.append(
+            f"""p{k} AS MATERIALIZED (
+            SELECT pr, CAST(sum(n) AS BIGINT) AS cnt
+            FROM (
+                SELECT n, unnest(list_transform(
+                           range(1, len(l)),
+                           i -> l[i] || ' ' || l[i + 1])) AS pr
+                FROM (SELECT n, string_split(
+                                 substr(s, 2, length(s) - 2), '||') AS l
+                      FROM w{prev})
+            ) GROUP BY pr
+        ),
+        b{k} AS MATERIALIZED (
+            SELECT pr, cnt FROM p{k} ORDER BY cnt DESC, pr LIMIT 1
+        ),
+        w{k} AS MATERIALIZED (
+            SELECT term, n,
+                   replace(s,
+                           '|' || split_part((SELECT pr FROM b{k}), ' ', 1)
+                               || '||'
+                               || split_part((SELECT pr FROM b{k}), ' ', 2)
+                               || '|',
+                           '|' || replace((SELECT pr FROM b{k}), ' ', '')
+                               || '|') AS s
+            FROM w{prev}
+        )"""
+        )
+    return "WITH " + ",\n".join(stages)
+
+
+_BPE_MERGES = 6
+
+
+def _bpe_merges_sql(n_merges: int) -> str:
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS merge_idx, pr AS pair, "
+        f"cnt AS pair_count FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"{_bpe_oracle_cte(n_merges)}\n{rows}"
+
+
+def _bpe_segmentation_sql(n_merges: int, top_n: int) -> str:
+    return f"""{_bpe_oracle_cte(n_merges)}
+        SELECT term, n,
+               CAST(len(string_split(substr(s, 2, length(s) - 2), '||'))
+                    AS INT) AS n_tokens,
+               array_to_string(
+                   string_split(substr(s, 2, length(s) - 2), '||'),
+                   ' ') AS tokens
+        FROM w{n_merges}
+        ORDER BY n DESC, term LIMIT {top_n}
+    """
+
+
+@register(
+    "bpe_learned_merges",
+    bench=True,
+    tags=("text", "tokenizer", "iterative"),
+    description=f"Full BPE vocabulary training, {_BPE_MERGES} merge rounds "
+    "(operators/bpe.py): corpus collapses once to (word, freq); each round "
+    "is a vocab-sized pair count + one-row argmax to the driver + a greedy "
+    "Catalyst fold rewrite; the oracle replays every round via "
+    "non-overlapping string replacement",
+    oracle=_bpe_merges_sql(_BPE_MERGES),
+)
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-training artifact itself: the learned merge table, in
+    order. Driver state is n_merges rows — what BPE training exists to
+    produce; the corpus-scale work happened once in the word count."""
+    from data_algorithms_with_pyspark_spark.functions.text_functions import words
+    from data_algorithms_with_pyspark_spark.operators.bpe import (
+        bpe_train,
+        char_vocab,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(words("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    merges, _ = bpe_train(char_vocab(wc), n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        [(k, f"{left} {right}", cnt) for k, left, right, cnt in merges],
+        schema="merge_idx int, pair string, pair_count bigint",
+    )
+
+
+@register(
+    "bpe_vocab_segmentation",
+    tags=("text", "tokenizer", "iterative"),
+    description="Segmentations produced by the trained BPE tokenizer: the "
+    f"{_BPE_MERGES}-merge vocabulary's top-50 words by frequency with their "
+    "merged symbol sequences — train + apply, value-verified end to end",
+    oracle=_bpe_segmentation_sql(_BPE_MERGES, top_n=50),
+)
+def bpe_vocab_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the trained tokenizer DOES to words: train the same
+    6-merge BPE, keep the vocabulary with all merges applied, and report
+    the 50 most frequent words' symbol sequences. (term, n) is a total
+    order — term is unique — so the LIMIT is deterministic."""
+    from data_algorithms_with_pyspark_spark.functions.text_functions import words
+    from data_algorithms_with_pyspark_spark.operators.bpe import (
+        bpe_train,
+        char_vocab,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(words("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    _, vocab = bpe_train(char_vocab(wc), n_merges=_BPE_MERGES)
+    return (
+        vocab.orderBy(F.col("n").desc(), "term")
+        .limit(50)
+        .select(
+            "term",
+            "n",
+            F.size("syms").alias("n_tokens"),
+            F.concat_ws(" ", "syms").alias("tokens"),
+        )
+    )
+
+
 _SPLIT_TEST_NUM = 1
 _SPLIT_TEST_DEN = 5  # test fraction = 1/5
 
