@@ -35,6 +35,7 @@ from data_algorithms_with_pyspark_spark.functions.vectors import (
 
 __all__ = [
     "cosine_topk",
+    "hard_negatives",
     "knn_join",
     "knn_join_srp",
     "rerank_topk",
@@ -422,6 +423,61 @@ def knn_join(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+def hard_negatives(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-``k`` most-similar corpus vectors whose label DIFFERS from
+    the anchor's — the negatives that actually teach a model, as opposed
+    to random negatives a margin loss ignores.
+
+    Same scale shape as ``knn_join``: the anchor batch broadcasts, the
+    corpus streams through the broadcast product once and never shuffles
+    at full width (rank<=k plans as WindowGroupLimit with a PARTIAL pass
+    before the exchange, so each task forwards at most k rows per
+    anchor). The label-mismatch predicate drops same-label pairs BEFORE
+    ranking, inside the codegen stage — no post-filter re-rank.
+    Ranking is on the rounded cosine with the neighbor id as tiebreaker
+    (the catalog's total-order-over-rounded-values rule).
+    """
+    a = anchors.select(
+        F.col(id_col).alias("q_id"),
+        F.col(label_col).alias("q_label"),
+        to_double_array(vec_col).alias("q_vec"),
+    ).withColumn("_qn", l2_norm(F.col("q_vec")))
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(label_col).alias("n_label"),
+        to_double_array(vec_col).alias("n_vec"),
+    ).withColumn("_nn", l2_norm(F.col("n_vec")))
+    cos = cosine_with_norms(
+        F.col("n_vec"), F.col("q_vec"), F.col("_nn"), F.col("_qn")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .where(F.col("n_label") != F.col("q_label"))
+        .select(
+            "q_id", "q_label", "n_id", "n_label",
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("n_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "q_label", "n_id", "n_label", "cosine", "rank")
     )
 
 

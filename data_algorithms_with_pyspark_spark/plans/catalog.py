@@ -112,6 +112,7 @@ _SAMPLE_PRIORITY = (
     "exact_distinct_users",
     "bpe_learned_merges",
     "bpe_vocab_segmentation",
+    "embedding_hard_negatives",
     # Graph family: green in r1 only, two rounds stale — re-attest.
     "graph_degrees",
     "graph_bidirectional_edges",

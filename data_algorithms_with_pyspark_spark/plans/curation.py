@@ -1695,6 +1695,57 @@ def ann_knn_join_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@register(
+    "embedding_hard_negatives",
+    tags=("similarity", "knn", "training"),
+    description=f"Hard-negative mining: top-{_KNN_K} most-similar OTHER-"
+    f"label vectors for each of {_KNN_QUERIES} anchors — the contrastive-"
+    "training negatives pass; same broadcast/WindowGroupLimit shape as the "
+    "k-NN join with the label-mismatch predicate applied before ranking "
+    "(operators/similarity.py:hard_negatives)",
+    oracle=f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+        ),
+        a AS (SELECT vec_id AS q_id, label AS q_label, vec AS q_vec
+              FROM v WHERE vec_id < {_KNN_QUERIES}),
+        c AS (SELECT vec_id AS n_id, label AS n_label, vec AS n_vec
+              FROM v WHERE vec_id >= {_KNN_QUERIES}),
+        scored AS (
+            SELECT a.q_id, a.q_label, c.n_id, c.n_label,
+                   round(list_cosine_similarity(c.n_vec, a.q_vec), 6)
+                       AS cosine
+            FROM c CROSS JOIN a
+            WHERE c.n_label <> a.q_label
+        )
+        SELECT q_id, q_label, n_id, n_label, cosine,
+               CAST(rank AS BIGINT) AS rank FROM (
+            SELECT q_id, q_label, n_id, n_label, cosine,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY cosine DESC, n_id
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= {_KNN_K}
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mining the negatives that move a contrastive loss: nearest
+    neighbors under a DIFFERENT label. Anchors = the {_KNN_QUERIES}
+    lowest vec_ids, corpus = the rest (disjoint slices of one table, so
+    the shared-namespace id contract holds trivially)."""
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = hard_negatives(
+        emb.where(F.col("vec_id") < _KNN_QUERIES),
+        emb.where(F.col("vec_id") >= _KNN_QUERIES),
+        k=_KNN_K,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 _RERANK_CAND = 20
 _RERANK_K = 5
 

@@ -335,6 +335,41 @@ def test_knn_join_plans_window_group_limit(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_hard_negatives_labels_differ_and_plan_shape(spark):
+    """Every mined negative carries a label different from its anchor's;
+    a planted same-label twin of the anchor (cosine 1.0) must NOT appear,
+    while a planted other-label twin must be rank 1. Plan keeps the
+    knn_join shape: broadcast anchors + WindowGroupLimit."""
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        hard_negatives,
+    )
+    from data_algorithms_with_pyspark_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 4)
+    # corpus = rest + for anchor 0: a same-label twin and an other-label twin
+    twin_same = anchors.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding", "label"
+    )
+    twin_other = anchors.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 9001).alias("vec_id"),
+        "embedding",
+        (F.col("label") + 1).alias("label"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 4).union(twin_same).union(twin_other)
+    df = hard_negatives(anchors, corpus, k=3)
+    rows = df.collect()
+    assert all(r["q_label"] != r["n_label"] for r in rows)
+    assert 9000 not in {r["n_id"] for r in rows}
+    mined0 = {r["rank"]: r for r in rows if r["q_id"] == 0}
+    assert (mined0[1]["n_id"], mined0[1]["cosine"]) == (9001, 1.0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_global_ranked_prefix_sum_matches_single_window(spark):
     from pyspark.sql.window import Window
 
