@@ -197,3 +197,47 @@ def test_similarity_join_matches_bruteforce_model(spark, names, threshold):
         ).collect()
     }
     assert got == expected
+
+
+def _py_bpe_merge(syms: list[str], left: str, right: str) -> list[str]:
+    """Reference greedy left-to-right non-overlapping BPE merge."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@given(
+    words_=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8), min_size=1, max_size=8
+    ),
+    pair=st.tuples(st.sampled_from("ab"), st.sampled_from("ab")),
+)
+@_SETTINGS
+def test_bpe_fold_matches_python_reference_merge(spark, words_, pair):
+    """The Catalyst aggregate-fold merge must equal the textbook greedy
+    scan on EVERY input — including overlapping runs (aaa + (a,a)),
+    back-to-back merges (abab + (a,b)), and merged-symbol collisions —
+    over a 2-letter alphabet that maximizes those collisions."""
+    from pyspark.sql import functions as F
+
+    from data_algorithms_with_pyspark_spark.operators.bpe import (
+        merge_pair_expr,
+    )
+
+    left, right = pair
+    df = spark.createDataFrame([(w, list(w)) for w in words_], ["w", "syms"])
+    got = {
+        r["w"]: r["m"]
+        for r in df.select(
+            "w", merge_pair_expr(F.col("syms"), left, right).alias("m")
+        ).collect()
+    }
+    for w in words_:
+        assert got[w] == _py_bpe_merge(list(w), left, right), (w, left, right)
