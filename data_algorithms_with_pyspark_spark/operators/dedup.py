@@ -54,6 +54,7 @@ __all__ = [
     "minhash_bands",
     "minhash_candidate_pairs",
     "incremental_minhash_candidates",
+    "duplicated_window_spans",
     "simhash",
     "simhash_candidate_pairs",
     "ngram_jaccard_pairs",
@@ -744,6 +745,119 @@ def repeated_segment_dedup(
             ),
             " ",
         ).alias("redacted"),
+    )
+
+
+def duplicated_window_spans(
+    docs: DataFrame,
+    window: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication report — the "dedup at the span level"
+    pass of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499), re-expressed over token windows.
+
+    The suffix-array construction the paper uses is a single-machine
+    algorithm; the distributed equivalent indexes every OVERLAPPING
+    ``window``-token span by content hash and marks a span duplicated
+    when its hash occurs ``min_count``+ times corpus-wide (within one
+    document or across documents — verbatim self-repetition is exactly
+    what the pass exists to catch). Duplicated spans are then merged into
+    maximal token intervals per document (two windows at start positions
+    p, q overlap in token coverage iff |p - q| < ``window``), yielding
+    the per-document duplication profile a curation pipeline filters on.
+
+    Scale shape (100 TB):
+      * windows explode from a materialized token array (the
+        ``word_ngrams`` contract) — the text column itself never fans out;
+        each occurrence row is (id, pos, 32-byte md5);
+      * duplicated hashes come from one partial+final count aggregate on
+        the hash — the same shuffle a word count pays, over ~tokens rows;
+      * occurrences re-join the duplicated set with a LEFT SEMI hash join
+        keyed on the same hash (after the ``min_count`` filter the right
+        side is the duplicated subset only, typically a small fraction);
+      * interval merge is a per-document sort (one hash-partition window
+        on ``id_col``) over duplicated positions only — non-duplicated
+        occurrences are dropped before the window operator.
+
+    Returns one row per input document:
+    ``(id_col, n_tokens, n_windows, n_dup_windows, n_spans,
+    covered_tokens, dup_ratio)`` where ``covered_tokens`` is the exact
+    size of the union of duplicated span token-intervals and
+    ``dup_ratio = covered_tokens / n_tokens`` (floor-rounded to 4dp —
+    a small-integer ratio, see ``floor_round``).
+    """
+    from pyspark.sql import Window as W
+
+    from data_algorithms_with_pyspark_spark.functions.text_functions import (
+        word_ngrams,
+    )
+
+    if window < 2:
+        raise ValueError("window must be >= 2 tokens")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2 (1 marks everything)")
+    toks = docs.select(F.col(id_col), words(text_col).alias("_toks"))
+    base = toks.select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.greatest(
+            F.size("_toks") - F.lit(window - 1), F.lit(0)
+        ).cast("long").alias("n_windows"),
+        F.col("_toks"),
+    )
+    occ = base.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(F.col("_toks"), window)).alias("pos", "_g"),
+    ).select(F.col(id_col), "pos", F.md5("_g").alias("_h"))
+    dup_hashes = (
+        occ.groupBy("_h")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= min_count)
+        .select("_h")
+    )
+    dup_occ = occ.join(dup_hashes, on="_h", how="left_semi")
+    by_doc = W.partitionBy(id_col).orderBy("pos")
+    # gaps-and-islands interval merge: a new span starts when this window
+    # no longer overlaps the previous one's token coverage (gap >= window)
+    spans = (
+        dup_occ.withColumn("_prev", F.lag("pos").over(by_doc))
+        .withColumn(
+            "_new_span",
+            (F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") >= window))
+            .cast("int"),
+        )
+        .withColumn("_span_id", F.sum("_new_span").over(by_doc))
+        .groupBy(id_col, "_span_id")
+        .agg(
+            F.min("pos").alias("_lo"),
+            F.max("pos").alias("_hi"),
+            F.count("*").alias("_n_win"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n_win").cast("long").alias("n_dup_windows"),
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.col("_hi") - F.col("_lo") + F.lit(window))
+            .cast("long")
+            .alias("covered_tokens"),
+        )
+    )
+    joined = base.drop("_toks").join(spans, on=id_col, how="left")
+    covered = F.coalesce("covered_tokens", F.lit(0)).cast("long")
+    ratio = F.when(
+        F.col("n_tokens") > 0, covered.cast("double") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        id_col,
+        "n_tokens",
+        "n_windows",
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        covered.alias("covered_tokens"),
+        floor_round(ratio, 4).alias("dup_ratio"),
     )
 
 

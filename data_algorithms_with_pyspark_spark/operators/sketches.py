@@ -16,11 +16,11 @@ k longs per group per partition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["kmv_distinct"]
+__all__ = ["kmv_distinct", "bloom_positions", "bloom_build", "bloom_probe"]
 
 _HASH_SPACE = 16**6  # first 6 md5 hex digits -> uniform on [0, 16^6)
 
@@ -70,4 +70,78 @@ def kmv_distinct(
             )
             .alias("kmv_estimate"),
         )
+    )
+
+
+# --- Bloom filter (md5-derived, engine-portable) -----------------------------
+
+_BLOOM_MAX_K = 4  # one md5 = 128 bits = four independent 32-bit draws
+
+
+def bloom_positions(col: Column | str, m: int, k: int = 3) -> Column:
+    """Array of ``k`` bit positions in [0, m) for a key — the classic
+    k-hash Bloom insertion/probe set, with every hash carved from ONE md5
+    (four disjoint 32-bit lanes), so any engine reproduces it bit-for-bit.
+    """
+    if not 1 <= k <= _BLOOM_MAX_K:
+        raise ValueError(f"k must be in [1, {_BLOOM_MAX_K}] (one md5 = 4 lanes)")
+    if m < 2:
+        raise ValueError("m must be >= 2 bits")
+    c = col if isinstance(col, Column) else F.col(col)
+    h = F.md5(c.cast("string"))
+    lanes = [
+        F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % m
+        for i in range(k)
+    ]
+    return F.array(*lanes)
+
+
+def bloom_build(df: DataFrame, key_col: str, m: int, k: int = 3) -> DataFrame:
+    """Build a Bloom filter over the distinct keys of ``key_col``.
+
+    Returned as its set-bit POSITIONS table ``(pos)`` — at most ``m``
+    rows regardless of input size, produced by one explode + distinct
+    (a partial+final hash aggregate; map-side combine collapses repeats
+    before the shuffle). The relational form joins directly in
+    ``bloom_probe`` and unions across builds by plain ``DISTINCT``; a
+    dense-bitmap encoding (array_agg into m/64 longs) is a departitioned
+    fold of exactly this table if a caller needs the O(m/8)-byte export.
+    """
+    return (
+        df.select(
+            F.explode(bloom_positions(F.col(key_col), m, k)).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    df: DataFrame, key_col: str, bloom: DataFrame, m: int, k: int = 3
+) -> DataFrame:
+    """Probe keys against a built Bloom positions table.
+
+    One row per distinct probe key: ``(key_col, in_bloom)`` with
+    ``in_bloom`` true iff ALL k positions are set — i.e. "possibly in
+    the build set" (false positives possible at the standard
+    ``(1 - e^(-kn/m))^k`` rate, never false negatives).
+
+    Plan shape: explode the k probe positions, one equi-join against the
+    (<= m row) positions table — broadcast by AQE for any practical m —
+    and a count-matches-vs-k aggregate keyed on the probe key.
+    """
+    probes = (
+        df.select(F.col(key_col))
+        .distinct()
+        .select(
+            F.col(key_col),
+            F.posexplode(bloom_positions(F.col(key_col), m, k)).alias(
+                "_i", "pos"
+            ),
+        )
+    )
+    hits = probes.join(
+        bloom.select("pos", F.lit(1).alias("_hit")), on="pos", how="left"
+    )
+    return hits.groupBy(key_col).agg(
+        (F.count("_hit") == F.lit(k)).alias("in_bloom")
     )

@@ -1989,3 +1989,190 @@ def documents_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("ids_head"),
     )
+
+
+_DUPSPAN_W = 8  # window tokens; shared literal with the oracle SQL below
+
+
+@register(
+    "doc_duplicated_spans",
+    bench=True,
+    tags=("dedup", "curation", "text"),
+    description="Exact-substring duplication profile (Lee et al. 2022 "
+    "arXiv:2107.06499 shape): every overlapping 8-token window hashed "
+    "corpus-wide, windows occurring 2+ times merged into maximal per-doc "
+    "spans; per-doc duplicated-token coverage and ratio",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        base AS (
+            SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(greatest(len(t) - {_DUPSPAN_W} + 1, 0) AS BIGINT)
+                       AS n_windows,
+                   t
+            FROM toks
+        ),
+        occ AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   md5(array_to_string(
+                       list_slice(t, i + 1, i + {_DUPSPAN_W}), ' ')) AS h
+            FROM (SELECT doc_id, t, unnest(range(n_windows)) AS i
+                  FROM base WHERE n_windows > 0)
+        ),
+        dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+        docc AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (h)),
+        sp AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                          OR pos - lag(pos) OVER w >= {_DUPSPAN_W}
+                        THEN 1 ELSE 0 END AS new_span
+            FROM docc WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS span_id
+            FROM sp
+        ),
+        spans AS (
+            SELECT doc_id, span_id, min(pos) AS lo, max(pos) AS hi,
+                   count(*) AS n_win
+            FROM isl GROUP BY doc_id, span_id
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(sum(n_win) AS BIGINT) AS n_dup_windows,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(hi - lo + {_DUPSPAN_W}) AS BIGINT)
+                       AS covered_tokens
+            FROM spans GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_tokens, b.n_windows,
+               CAST(COALESCE(a.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+               CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(COALESCE(a.covered_tokens, 0) AS BIGINT)
+                   AS covered_tokens,
+               floor(CASE WHEN b.n_tokens > 0
+                          THEN CAST(COALESCE(a.covered_tokens, 0) AS DOUBLE)
+                               / b.n_tokens
+                          ELSE 0.0 END * 10000 + 0.5) / 10000 AS dup_ratio
+        FROM base b LEFT JOIN agg a USING (doc_id)
+        ORDER BY b.doc_id
+    """,
+)
+def doc_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup profile over ``documents`` —
+    ``operators.dedup.duplicated_window_spans`` (window hash index +
+    count aggregate + semi join + gaps-and-islands interval merge; no
+    all-pairs stage anywhere). The curation decision this feeds: drop or
+    trim documents whose ``dup_ratio`` exceeds a policy threshold."""
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        duplicated_window_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_window_spans(docs, window=_DUPSPAN_W).orderBy("doc_id")
+
+
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+def _bloom_pos_sql(expr: str) -> str:
+    """DuckDB twin of operators/sketches.bloom_positions (k 32-bit md5 lanes)."""
+    lanes = ", ".join(
+        f"('0x' || substring(md5({expr}), {1 + 8 * i}, 8))::BIGINT % {_BLOOM_M}"
+        for i in range(_BLOOM_K)
+    )
+    return f"[{lanes}]"
+
+
+@register(
+    "bloom_term_membership",
+    bench=True,
+    tags=("sketch", "curation"),
+    description="Bloom-filter membership audit: filter built over the "
+    "benchmark slice's distinct word bigrams (md5-lane bit positions), "
+    "probed by the FULL corpus bigram vocabulary; per-bigram "
+    "maybe-present verdict vs exact truth exposes the false-positive "
+    "rate at the (1-e^(-kn/m))^k theory point",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        w AS (
+            SELECT doc_id, unnest(list_transform(
+                range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS term
+            FROM toks
+        ),
+        bench_terms AS (
+            SELECT DISTINCT term FROM w WHERE doc_id % 10 = 0
+        ),
+        bloom AS (
+            SELECT DISTINCT pos FROM (
+                SELECT unnest({_bloom_pos_sql('term')}) AS pos
+                FROM bench_terms
+            )
+        ),
+        vocab AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS freq
+            FROM w GROUP BY term
+        ),
+        probe AS (
+            SELECT term, unnest({_bloom_pos_sql('term')}) AS pos
+            FROM vocab
+        ),
+        hits AS (
+            SELECT p.term, count(b.pos) AS nhit
+            FROM probe p LEFT JOIN bloom b USING (pos)
+            GROUP BY p.term
+        )
+        SELECT v.term, v.freq,
+               (h.nhit = {_BLOOM_K}) AS in_bloom,
+               (b.term IS NOT NULL) AS in_benchmark
+        FROM vocab v
+        JOIN hits h USING (term)
+        LEFT JOIN bench_terms b USING (term)
+        ORDER BY v.freq DESC, v.term
+    """,
+)
+def bloom_term_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter as a relational sketch (``operators/sketches.py``):
+    built once over the benchmark slice's bigrams (``doc_id % 10 = 0``
+    stand-in), probed by the corpus's full bigram vocabulary. The
+    positions table is <= m rows, so AQE broadcasts the membership join
+    — at 100 TB the probe side streams, the filter never shuffles, and
+    the exact-truth column (computable here, impossible at real scale)
+    audits the FP rate the sketch theory predicts (~10% at the
+    n=862, m=4096, k=3 operating point of the test corpus)."""
+    from data_algorithms_with_pyspark_spark.functions.text_functions import (
+        word_ngrams,
+        words,
+    )
+    from data_algorithms_with_pyspark_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", words("text").alias("_t"))
+    grams = toks.select(
+        "doc_id", F.explode(word_ngrams(F.col("_t"), 2)).alias("term")
+    )
+    bench = (
+        grams.where(F.col("doc_id") % 10 == 0).select("term").distinct()
+    )
+    bloom = bloom_build(bench, "term", m=_BLOOM_M, k=_BLOOM_K)
+    vocab = grams.groupBy("term").agg(F.count("*").alias("freq"))
+    probed = bloom_probe(vocab, "term", bloom, m=_BLOOM_M, k=_BLOOM_K)
+    return (
+        vocab.join(probed, on="term")
+        .join(
+            bench.select("term", F.lit(True).alias("_bm")), on="term", how="left"
+        )
+        .select(
+            "term",
+            "freq",
+            "in_bloom",
+            F.coalesce("_bm", F.lit(False)).alias("in_benchmark"),
+        )
+        .orderBy(F.col("freq").desc(), "term")
+    )

@@ -335,3 +335,120 @@ def test_repeated_segment_dedup_planted(spark):
 
     with _pytest.raises(ValueError):
         repeated_segment_dedup(df, k=0)
+
+
+def test_duplicated_window_spans_known_answers(spark):
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        duplicated_window_spans,
+    )
+
+    rows = [
+        # "a b c d" (window 4) appears in docs 0 and 1 -> one span each
+        (0, "a b c d e f g h"),
+        (1, "z z a b c d q r"),
+        # pure self-repetition: every window repeats -> one span, ratio 1.0
+        (2, "p q r s p q r s p q r s"),
+        # two duplicated copies of "a b c d" inside one doc, far apart
+        # (positions 0 and 10, gap >= window) -> two spans, covered 8
+        (3, "a b c d m n o1 p1 q1 r1 a b c d"),
+        # shorter than the window -> 0 windows, 0 spans
+        (4, "x y"),
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in duplicated_window_spans(
+            spark.createDataFrame(rows, ["doc_id", "text"]), window=4
+        ).collect()
+    }
+    assert out[0]["n_tokens"] == 8 and out[0]["n_windows"] == 5
+    assert out[0]["n_dup_windows"] == 1 and out[0]["n_spans"] == 1
+    assert out[0]["covered_tokens"] == 4 and out[0]["dup_ratio"] == 0.5
+    assert out[1]["n_spans"] == 1 and out[1]["covered_tokens"] == 4
+    assert out[2]["n_dup_windows"] == out[2]["n_windows"] == 9
+    assert out[2]["n_spans"] == 1 and out[2]["covered_tokens"] == 12
+    assert out[2]["dup_ratio"] == 1.0
+    assert out[3]["n_spans"] == 2 and out[3]["covered_tokens"] == 8
+    assert out[3]["n_dup_windows"] == 2
+    assert out[4] == {
+        "doc_id": 4,
+        "n_tokens": 2,
+        "n_windows": 0,
+        "n_dup_windows": 0,
+        "n_spans": 0,
+        "covered_tokens": 0,
+        "dup_ratio": 0.0,
+    }
+
+
+def test_duplicated_window_spans_overlap_merge(spark):
+    """Adjacent duplicated windows (gap < window) merge into ONE span whose
+    token coverage is counted without double-counting the overlap."""
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        duplicated_window_spans,
+    )
+
+    # "a b c d e" repeated in both docs -> windows at positions 0 and 1
+    # ("a b c d", "b c d e") both duplicated; coverage = tokens 0..4 = 5
+    rows = [(0, "a b c d e x1 y1"), (1, "q1 a b c d e z1")]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in duplicated_window_spans(
+            spark.createDataFrame(rows, ["doc_id", "text"]), window=4
+        ).collect()
+    }
+    for d in (0, 1):
+        assert out[d]["n_dup_windows"] == 2
+        assert out[d]["n_spans"] == 1
+        assert out[d]["covered_tokens"] == 5
+
+
+def test_bloom_filter_no_false_negatives_and_known_positions(spark):
+    from data_algorithms_with_pyspark_spark.operators.sketches import (
+        bloom_build,
+        bloom_positions,
+        bloom_probe,
+    )
+
+    build = spark.createDataFrame(
+        [(f"key{i}",) for i in range(50)], ["term"]
+    )
+    bloom = bloom_build(build, "term", m=256, k=3)
+    # probe = every built key (must ALL hit) + 200 unseen keys (some may
+    # false-positive, none may be forced true)
+    probe = spark.createDataFrame(
+        [(f"key{i}",) for i in range(50)]
+        + [(f"other{i}",) for i in range(200)],
+        ["term"],
+    )
+    out = {
+        r["term"]: r["in_bloom"]
+        for r in bloom_probe(probe, "term", bloom, m=256, k=3).collect()
+    }
+    assert all(out[f"key{i}"] for i in range(50)), "Bloom false negative"
+    fp = sum(out[f"other{i}"] for i in range(200))
+    # n=50, m=256, k=3 -> theoretical fp ~ (1-e^(-150/256))^3 ~ 0.086;
+    # deterministic md5 draw, so this is a fixed number, bounded loosely
+    assert fp < 60
+
+    # positions replicate the documented md5-lane construction exactly
+    import hashlib
+
+    row = spark.range(1).select(
+        bloom_positions(F.lit("key7"), m=256, k=3).alias("p")
+    ).collect()[0]["p"]
+    h = hashlib.md5(b"key7").hexdigest()
+    expected = [int(h[8 * i : 8 * i + 8], 16) % 256 for i in range(3)]
+    assert list(row) == expected
+
+
+def test_bloom_positions_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from data_algorithms_with_pyspark_spark.operators.sketches import (
+        bloom_positions,
+    )
+
+    with _pytest.raises(ValueError):
+        bloom_positions(F.lit("x"), m=256, k=5)
+    with _pytest.raises(ValueError):
+        bloom_positions(F.lit("x"), m=1, k=2)
