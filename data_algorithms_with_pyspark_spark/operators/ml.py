@@ -1,0 +1,151 @@
+"""Distributed logistic-regression training (hashed-feature classifier).
+
+The fasttext-style quality-classifier shape of LLM data pipelines (e.g.
+the CCNet/GPT-3 "quality filter": a linear model over hashed bag-of-words
+features scores every document, and the corpus is filtered on the score).
+Training is full-batch gradient descent with the MODEL on the driver and
+the DATA distributed — per iteration the corpus computes one score pass
+and one gradient aggregate; only ``dims + 1`` gradient cells ever reach
+the driver. The same topology as ``clustering.kmeans_train`` /
+``bpe.bpe_train``: broadcast tiny state out, aggregate tiny state back,
+never collect the corpus.
+
+Cross-engine replay (the catalog-oracle discipline): all corpus-side
+arithmetic is INTEGER — weights and sigmoid outputs live in micro-units
+(1e6), features are token counts — so every aggregate is exact under any
+accumulation order and a DuckDB oracle replays the whole training loop as
+an unrolled CTE chain. The only float step is the sigmoid itself, whose
+output is floor-quantized to the micro grid; engines' ``exp`` may differ
+in the last ulp, which flips a quantized value only when the true sigmoid
+sits within ~1e-16 of a grid boundary (measure-zero in practice — the
+same accepted risk as the kmeans cosine grid, plans/curation.py).
+
+Scale note (100 TB): gradients are exact int64 sums here; at corpus scale
+``sum((s - y) * x)`` can exceed 2^53 micro-units, so the production
+variant aggregates per-partition means (double) instead — the quantized
+replay is what makes the TEST-scale oracle possible, not a requirement of
+the operator shape.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "MICRO",
+    "hashed_token_features",
+    "logistic_regression_train",
+    "logistic_scores",
+]
+
+MICRO = 1_000_000  # fixed-point scale for weights / sigmoid outputs
+
+
+def hashed_token_features(
+    toks: DataFrame,
+    dims: int,
+    tokens_col: str = "_t",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse hashed bag-of-words: ``(id_col, j, x)`` — bucket j in
+    [0, dims) via an md5 lane (engine-portable, same construction as
+    ``sketches.bloom_positions``), x = token count in the bucket, plus a
+    constant bias feature at ``j = dims`` (x = 1) for every document.
+    One explode + one partial+final count aggregate."""
+    tok = toks.select(F.col(id_col), F.explode(tokens_col).alias("_tok"))
+    j = (
+        F.conv(F.substring(F.md5("_tok"), 1, 8), 16, 10).cast("long")
+        % F.lit(dims)
+    )
+    tf = (
+        tok.select(F.col(id_col), j.alias("j"))
+        .groupBy(id_col, "j")
+        .agg(F.count("*").alias("x"))
+    )
+    bias = toks.select(
+        F.col(id_col),
+        F.lit(dims).cast("long").alias("j"),
+        F.lit(1).cast("long").alias("x"),
+    )
+    return tf.unionByName(bias)
+
+
+def _score_expr(weights: list[int]) -> Column:
+    """Per-feature-row weighted contribution ``w[j] * x`` with the
+    weights inlined as an array literal — broadcast-by-construction,
+    no join, stays in whole-stage codegen."""
+    w_lit = F.array(*[F.lit(int(w)) for w in weights])
+    return F.element_at(w_lit, (F.col("j") + 1).cast("int")) * F.col("x")
+
+
+def logistic_scores(
+    feats: DataFrame, weights: list[int], id_col: str = "doc_id"
+) -> DataFrame:
+    """Score documents under micro-unit weights: ``(id_col, s_micro)``
+    with ``s_micro = floor(MICRO * sigmoid(z) + 0.5)``, z accumulated
+    exactly in integer micro-units. One groupBy(id) aggregate."""
+    z_micro = F.sum(_score_expr(weights)).alias("_z")
+    z = F.col("_z").cast("double") / F.lit(float(MICRO))
+    s = F.lit(float(MICRO)) / (F.lit(1.0) + F.exp(-z))
+    return (
+        feats.groupBy(id_col)
+        .agg(z_micro)
+        .select(
+            F.col(id_col),
+            F.floor(s + F.lit(0.5)).cast("long").alias("s_micro"),
+        )
+    )
+
+
+def logistic_regression_train(
+    feats: DataFrame,
+    labels: DataFrame,
+    dims: int,
+    iters: int = 3,
+    lr_num: int = 1,
+    lr_den: int = 2,
+    id_col: str = "doc_id",
+) -> list[int]:
+    """Full-batch gradient descent; returns micro-unit weights
+    (length ``dims + 1``, bias last).
+
+    ``feats``: (id_col, j, x) sparse rows incl. the bias feature;
+    ``labels``: (id_col, y_micro) with y in {0, MICRO}.
+
+    Per iteration: one score aggregate (groupBy id), one gradient
+    aggregate (groupBy j -> ``dims + 1`` rows to the driver), and the
+    exact integer update
+    ``w_j -= floor(lr_num * g_j / (lr_den * n) + 0.5)`` — every term
+    replayable bit-for-bit by the unrolled SQL oracle
+    (plans/curation.doc_quality_classifier). The feature table should be
+    persisted by the caller; the loop never widens it.
+    """
+    if dims < 1 or iters < 1:
+        raise ValueError("dims and iters must be >= 1")
+    n = labels.count()
+    if n == 0:
+        raise ValueError("empty training set")
+    w = [0] * (dims + 1)
+    for _ in range(iters):
+        scores = logistic_scores(feats, w, id_col=id_col).join(
+            labels, on=id_col
+        )
+        grad_rows = (
+            feats.join(scores, on=id_col)
+            .groupBy("j")
+            .agg(
+                F.sum(
+                    (F.col("s_micro") - F.col("y_micro")) * F.col("x")
+                ).alias("g")
+            )
+            .collect()  # dims + 1 rows — driver state is the weights only
+        )
+        grad = {int(r["j"]): int(r["g"]) for r in grad_rows}
+        w = [
+            wj - math.floor((lr_num * grad.get(j, 0)) / (lr_den * n) + 0.5)
+            for j, wj in enumerate(w)
+        ]
+    return w

@@ -2176,3 +2176,158 @@ def bloom_term_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("freq").desc(), "term")
     )
+
+
+_LR_DIMS = 32
+_LR_ITERS = 3
+_LR_MIN_TOKENS = 40  # label rule: y = 1 iff the doc has >= this many tokens
+
+
+def _lr_oracle_sql() -> str:
+    """Unrolled-CTE replay of the FULL logistic-regression training loop
+    (operators/ml.py) — same discipline as the kmeans / BPE oracles: the
+    oracle retrains, it does not trust the engine's weights."""
+    d1 = _LR_DIMS + 1
+    ctes = [
+        f"toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents)",
+        "base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t"
+        " FROM toks)",
+        f"""y AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN n_tokens >= {_LR_MIN_TOKENS}
+                             THEN 1000000 ELSE 0 END AS BIGINT) AS y_micro
+            FROM base
+        )""",
+        f"""tf AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(tok), 1, 8))::BIGINT % {_LR_DIMS}
+                       AS j,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+            GROUP BY doc_id, j
+        )""",
+        f"""feats AS (
+            SELECT * FROM tf
+            UNION ALL
+            SELECT doc_id, CAST({_LR_DIMS} AS BIGINT) AS j,
+                   CAST(1 AS BIGINT) AS x
+            FROM base
+        )""",
+        "nn AS (SELECT count(*) AS n FROM base)",
+        f"w0 AS (SELECT j, CAST(0 AS BIGINT) AS w FROM range({d1}) r(j))",
+    ]
+    for i in range(1, _LR_ITERS + 1):
+        p = i - 1
+        ctes.append(
+            f"""z{i} AS (
+            SELECT f.doc_id, sum(w.w * f.x) AS z
+            FROM feats f JOIN w{p} w USING (j) GROUP BY f.doc_id
+        )"""
+        )
+        ctes.append(
+            f"""s{i} AS (
+            SELECT z.doc_id,
+                   CAST(floor(1000000.0 / (1.0 + exp(-(z.z / 1000000.0)))
+                              + 0.5) AS BIGINT) AS s,
+                   y.y_micro
+            FROM z{i} z JOIN y USING (doc_id)
+        )"""
+        )
+        ctes.append(
+            f"""g{i} AS (
+            SELECT f.j, sum((s.s - s.y_micro) * f.x) AS g
+            FROM feats f JOIN s{i} s USING (doc_id) GROUP BY f.j
+        )"""
+        )
+        ctes.append(
+            f"""w{i} AS (
+            SELECT w.j,
+                   CAST(w.w - floor((1 * COALESCE(g.g, 0)) / (2.0 * nn.n)
+                                    + 0.5) AS BIGINT) AS w
+            FROM w{p} w LEFT JOIN g{i} g USING (j) CROSS JOIN nn
+        )"""
+        )
+    t = _LR_ITERS
+    return f"""
+        WITH {','.join(ctes)},
+        zf AS (
+            SELECT f.doc_id, sum(w.w * f.x) AS z
+            FROM feats f JOIN w{t} w USING (j) GROUP BY f.doc_id
+        ),
+        sf AS (
+            SELECT doc_id,
+                   CAST(floor(1000000.0 / (1.0 + exp(-(z / 1000000.0)))
+                              + 0.5) AS BIGINT) AS s_micro
+            FROM zf
+        )
+        SELECT b.doc_id, b.n_tokens,
+               CAST(y.y_micro / 1000000 AS BIGINT) AS label,
+               s.s_micro,
+               (s.s_micro >= 500000) AS pred
+        FROM base b
+        JOIN y USING (doc_id)
+        JOIN sf s USING (doc_id)
+        ORDER BY b.doc_id
+    """
+
+
+@register(
+    "doc_quality_classifier",
+    bench=True,
+    tags=("ml", "curation", "iterative"),
+    description="Trains a hashed-feature logistic-regression quality "
+    "classifier (fasttext-filter shape) by full-batch gradient descent — "
+    "model on the driver, data distributed, integer micro-unit "
+    "quantization — and scores every document; oracle RETRAINS via an "
+    "unrolled CTE chain",
+    oracle=_lr_oracle_sql(),
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet/GPT-3 quality-filter loop on Spark: hashed bag-of-words
+    features (md5 lane % dims + bias), label = deterministic length rule
+    (a stand-in for human/LM labels, chosen so the oracle can replay it),
+    3 gradient-descent iterations via ``ml.logistic_regression_train``
+    (per iteration: one score aggregate, one (dims+1)-row gradient
+    aggregate to the driver — the corpus never collects), then one final
+    scoring pass. Output: per-doc label, micro-unit sigmoid score, and
+    the >= 0.5 prediction."""
+    from data_algorithms_with_pyspark_spark.functions.text_functions import words
+    from data_algorithms_with_pyspark_spark.operators.ml import (
+        hashed_token_features,
+        logistic_regression_train,
+        logistic_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", words("text").alias("_t"))
+    base = toks.select(
+        "doc_id", F.size("_t").cast("long").alias("n_tokens"), "_t"
+    )
+    labels = base.select(
+        "doc_id",
+        (
+            (F.col("n_tokens") >= _LR_MIN_TOKENS).cast("long")
+            * F.lit(1_000_000)
+        ).alias("y_micro"),
+    )
+    feats = hashed_token_features(toks, _LR_DIMS).persist()
+    try:
+        w = logistic_regression_train(
+            feats, labels, dims=_LR_DIMS, iters=_LR_ITERS
+        )
+        scored = logistic_scores(feats, w)
+    finally:
+        feats.unpersist()
+    return (
+        base.drop("_t")
+        .join(labels, on="doc_id")
+        .join(scored, on="doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("y_micro") / F.lit(1_000_000)).cast("long").alias("label"),
+            "s_micro",
+            (F.col("s_micro") >= F.lit(500_000)).alias("pred"),
+        )
+        .orderBy("doc_id")
+    )

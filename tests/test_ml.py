@@ -1,0 +1,72 @@
+"""Known-answer and learning-behavior tests for the logistic-regression
+trainer (operators/ml.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from data_algorithms_with_pyspark_spark.functions.text_functions import words
+from data_algorithms_with_pyspark_spark.operators.ml import (
+    MICRO,
+    hashed_token_features,
+    logistic_regression_train,
+    logistic_scores,
+)
+
+
+def test_hashed_token_features_buckets_and_bias(spark):
+    toks = spark.createDataFrame(
+        [(0, "apple apple banana"), (1, "")], ["doc_id", "text"]
+    ).select("doc_id", words("text").alias("_t"))
+    rows = hashed_token_features(toks, dims=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["j"]] = r["x"]
+    j_apple = int(hashlib.md5(b"apple").hexdigest()[:8], 16) % 8
+    j_banana = int(hashlib.md5(b"banana").hexdigest()[:8], 16) % 8
+    assert by_doc[0][j_apple] == 2
+    assert by_doc[0][j_banana] == 1
+    assert by_doc[0][8] == 1  # bias feature
+    assert by_doc[1] == {8: 1}  # empty doc: bias only
+
+
+def test_logistic_regression_learns_separable_labels(spark):
+    # label == presence of the token "good"; 40 docs, perfectly separable
+    rows = [
+        (i, "good stuff here" if i % 2 == 0 else "bad stuff here")
+        for i in range(40)
+    ]
+    toks = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        "doc_id", words("text").alias("_t")
+    )
+    labels = spark.createDataFrame(
+        [(i, MICRO if i % 2 == 0 else 0) for i in range(40)],
+        ["doc_id", "y_micro"],
+    )
+    feats = hashed_token_features(toks, dims=16).persist()
+    w = logistic_regression_train(
+        feats, labels, dims=16, iters=8, lr_num=2, lr_den=1
+    )
+    scored = {
+        r["doc_id"]: r["s_micro"]
+        for r in logistic_scores(feats, w).collect()
+    }
+    feats.unpersist()
+    pos = [scored[i] for i in range(0, 40, 2)]
+    neg = [scored[i] for i in range(1, 40, 2)]
+    # every positive scores above every negative after training
+    assert min(pos) > max(neg)
+    assert min(pos) > MICRO // 2 > max(neg)
+
+
+def test_logistic_regression_zero_iter_rejected(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(0, 0, 1)], ["doc_id", "j", "x"])
+    lab = spark.createDataFrame([(0, 0)], ["doc_id", "y_micro"])
+    with _pytest.raises(ValueError):
+        logistic_regression_train(df, lab, dims=0)
+    with _pytest.raises(ValueError):
+        logistic_regression_train(df, lab, dims=4, iters=0)
