@@ -36,6 +36,7 @@ __all__ = [
     "read_parquet",
     "read_orc",
     "read_text",
+    "read_binary_files",
     "load_table",
     "load_tables",
     "register_views",
@@ -144,6 +145,30 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 def read_text(spark: SparkSession, path: str) -> DataFrame:
     """Line-oriented scan -> DataFrame[value: string]."""
     return spark.read.text(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Whole-file binary scan -> (path, modificationTime, length, content).
+
+    Spark's ``binaryFile`` source: one row per file with the raw bytes in
+    ``content`` — the ingestion point for the multimodal pipeline
+    (operators/multimodal.py decodes ``content`` exactly like its
+    synthetic ``data`` column). Pushdown applies to the METADATA columns
+    (a filter on ``length``/``path`` prunes files before any bytes are
+    read); the content column itself is whole-file, so cap file size per
+    task via ``spark.sql.files.maxPartitionBytes``-sized media shards at
+    ingest time rather than scanning multi-GB blobs into single rows."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

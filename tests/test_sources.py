@@ -261,3 +261,43 @@ def test_synthetic_source_zero_rows_is_empty_relation(spark):
         .load()
     )
     assert df.count() == 0
+
+
+def test_binary_files_ingest_to_image_decode(spark, tmp_path):
+    """binaryFile scan -> multimodal decode: files on disk become the
+    (media_id, payload) shape the decoders consume, and the REAL BMP
+    decoder recovers each file's dimensions and checksum."""
+    import numpy as np
+
+    from data_algorithms_with_pyspark_spark.operators.multimodal import (
+        decode_image_batch,
+        encode_bmp,
+    )
+    from data_algorithms_with_pyspark_spark.sources.readers import (
+        read_binary_files,
+    )
+
+    media_dir = tmp_path / "media"
+    media_dir.mkdir()
+    expected = {}
+    for i, (h, w) in enumerate([(5, 7), (9, 3), (4, 4)]):
+        px = (
+            np.arange(h * w * 3, dtype=np.int64) * (i + 1) % 256
+        ).astype(np.uint8).reshape(h, w, 3)
+        (media_dir / f"img{i}.bmp").write_bytes(encode_bmp(px))
+        expected[i] = (h, w, int(px.sum(dtype=np.int64)))
+    (media_dir / "notes.txt").write_text("not an image")
+
+    files = read_binary_files(spark, str(media_dir), glob="*.bmp")
+    assert files.count() == 3  # pathGlobFilter pruned the .txt
+    media = files.select(
+        F.regexp_extract(F.col("path"), r"img(\d+)\.bmp$", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+    out = {
+        r["media_id"]: (r["height"], r["width"], r["pixel_sum"])
+        for r in decode_image_batch(media).collect()
+    }
+    assert out == expected
