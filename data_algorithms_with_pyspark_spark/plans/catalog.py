@@ -113,7 +113,11 @@ _SAMPLE_PRIORITY = (
     "bpe_learned_merges",
     "bpe_vocab_segmentation",
     "embedding_hard_negatives",
-    # Graph family: green in r1 only, two rounds stale — re-attest.
+    "doc_duplicated_spans",
+    "bloom_term_membership",
+    "doc_quality_classifier",
+    # Graph family: green in r1 only, two rounds stale — re-attest with
+    # whatever sample-window room remains (unchanged code, r1-green).
     "graph_degrees",
     "graph_bidirectional_edges",
     "graph_two_hop_paths",

@@ -36,6 +36,7 @@ __all__ = [
     "streaming_enriched_events",
     "run_to_memory_sink",
     "stream_upsert_sink",
+    "streaming_ttl_dedup",
 ]
 
 
@@ -310,3 +311,73 @@ def stream_upsert_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_ttl_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ttl_minutes: int = 60,
+) -> DataFrame:
+    """First-seen dedup with TTL-BOUNDED state — the Spark 4
+    ``transformWithStateInPandas`` API (StatefulProcessor + ValueState).
+
+    ``dropDuplicates`` on a stream keeps every key it has ever seen
+    (unbounded state unless watermark-windowed); this operator emits the
+    first occurrence of each key and suppresses repeats, with the state
+    store evicting each key ``ttl_minutes`` after its last write — the
+    bounded-memory contract a 100 TB ingest stream needs (a key recurring
+    after TTL re-emits: dedup horizon, not dedup forever; pair with the
+    batch anti-join vs history, ``streaming_dedup_vs_history``, for the
+    beyond-horizon layer).
+
+    Output: one row per first-seen key — the key columns plus
+    ``n_suppressed`` (how many same-key rows arrived with it in that
+    batch). Requires the RocksDB state store provider (TTL column
+    families), e.g.
+    ``spark.sql.streaming.stateStore.providerClass =
+    ...state.RocksDBStateStoreProvider``.
+
+    Environment note: Spark's transformWithState protocol speaks
+    protobuf between the JVM state server and the Python worker, so the
+    ``protobuf`` pip package must be installed cluster-side (it is a
+    standard PySpark extra, absent from this repo's test container —
+    tests/test_streaming.py gates on its presence; the plan construction
+    itself is exercised unconditionally).
+    """
+    import pandas as pd  # worker-side
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in events.select(*key_cols).schema.fields
+    )
+    out_schema = f"{key_schema}, n_suppressed long"
+    ttl_ms = ttl_minutes * 60_000
+
+    class _FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen", "seen boolean", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = sum(len(pdf) for pdf in rows)
+            if self._seen.exists():
+                return iter([])  # duplicate within the TTL horizon
+            self._seen.update((True,))
+            row = dict(zip(key_cols, key))
+            row["n_suppressed"] = n - 1
+            return iter([pd.DataFrame([row])])
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(*key_cols).transformWithStateInPandas(
+        _FirstSeen(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="processingTime",
+    )

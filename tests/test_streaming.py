@@ -340,3 +340,88 @@ def test_synthetic_stream_source_micro_batches(spark):
         assert rows["n"] % 40 == 0     # whole micro-batches only
     finally:
         q.stop()
+
+
+def test_streaming_ttl_dedup_plan_construction(spark):
+    """The transformWithStateInPandas plan builds and is streaming-marked
+    even without the worker-side protobuf dependency (plan construction
+    is JVM/py4j only; the protocol import happens at query start)."""
+    from data_algorithms_with_pyspark_spark.streaming.events import (
+        streaming_ttl_dedup,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS user_id", "CAST(value AS STRING) AS event_type")
+    )
+    out = streaming_ttl_dedup(stream, ["user_id", "event_type"], ttl_minutes=5)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id",
+        "event_type",
+        "n_suppressed",
+    ]
+
+
+def test_streaming_ttl_dedup_first_seen(spark, tmp_path):
+    """transformWithStateInPandas first-seen dedup: duplicates within a
+    batch are suppressed-and-counted, keys seen in an earlier batch are
+    suppressed entirely, unseen keys emit. (TTL is configured state —
+    expiry timing isn't exercised in an availableNow run.)"""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="Spark's transformWithState state protocol needs protobuf",
+    )
+    from pyspark.sql import Row
+
+    from data_algorithms_with_pyspark_spark.streaming.events import (
+        run_to_memory_sink,
+        streaming_ttl_dedup,
+    )
+
+    src = tmp_path / "dedup_src"
+    b1 = spark.createDataFrame(
+        [Row(user_id=1, event_type="a"), Row(user_id=1, event_type="a"),
+         Row(user_id=2, event_type="b")]
+    )
+    b2 = spark.createDataFrame(
+        [Row(user_id=1, event_type="a"), Row(user_id=3, event_type="c")]
+    )
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema("user_id bigint, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        out = streaming_ttl_dedup(
+            stream, ["user_id", "event_type"], ttl_minutes=120
+        )
+        run_to_memory_sink(out, "ttl_dedup_out", output_mode="append")
+        rows = {
+            (r.user_id, r.event_type): r.n_suppressed
+            for r in spark.sql("SELECT * FROM ttl_dedup_out").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    # each key exactly once across all batches
+    assert set(rows) == {(1, "a"), (2, "b"), (3, "c")}
+    # the duplicate-rich key counted its in-batch repeats; later-batch
+    # repeat of (1, a) emitted nothing at all
+    assert rows[(2, "b")] == 0
+    assert rows[(3, "c")] == 0
+    assert rows[(1, "a")] in (0, 1)  # file order within availableNow varies
