@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bucketed_range_join"]
+__all__ = ["bucketed_range_join", "interval_overlap_join"]
 
 
 def bucketed_range_join(
@@ -67,3 +67,52 @@ def bucketed_range_join(
         & (F.col(point_col) < F.col(hi_col))
     )
     return p.join(r, cond, how).drop("__p_bucket", "__r_bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Join interval tables where ``[l_lo, l_hi]`` overlaps ``[r_lo, r_hi]``
+    (closed intervals: touching endpoints match).
+
+    Same bucketize-to-equi-join rewrite as ``bucketed_range_join``, with
+    the interval x interval twist that an overlapping pair shares EVERY
+    bucket in the overlap — so each pair is emitted only in its FIRST
+    shared bucket (``bucket == max(floor(l_lo/w), floor(r_lo/w))``),
+    which every overlapping pair covers exactly once. That makes the
+    output duplicate-free by construction — no ``distinct`` shuffle.
+
+    Catalyst extracts the bucket equality as the hash-join key; the exact
+    overlap predicate and the first-bucket guard evaluate post-join
+    inside the same codegen stage. Work is |rows| x (interval_width /
+    bucket_width) exploded rows on each side, hash-partitioned by bucket
+    — no cross product at any scale.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"column names must be disjoint; shared: {sorted(overlap)}")
+
+    def bucket(col: str) -> Column:
+        return F.floor(F.col(col) / F.lit(float(bucket_width))).cast("long")
+
+    lb = left.withColumn(
+        "__l_b", F.explode(F.sequence(bucket(l_lo), bucket(l_hi)))
+    )
+    rb = right.withColumn(
+        "__r_b", F.explode(F.sequence(bucket(r_lo), bucket(r_hi)))
+    )
+    cond = (
+        (F.col("__l_b") == F.col("__r_b"))
+        & (F.col(l_lo) <= F.col(r_hi))
+        & (F.col(r_lo) <= F.col(l_hi))
+        & (F.col("__l_b") == F.greatest(bucket(l_lo), bucket(r_lo)))
+    )
+    return lb.join(rb, cond, "inner").drop("__l_b", "__r_b")

@@ -701,3 +701,89 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             abs_z.alias("abs_z"),
         )
     )
+
+
+@register(
+    "concurrent_session_pairs",
+    bench=True,
+    tags=("events", "join", "range"),
+    description="Cross-user session concurrency: gap-based sessions as "
+    "[start, end] micro-intervals, interval-overlap self-joined via the "
+    "bucketed equi-join rewrite (first-shared-bucket emission, no "
+    "distinct, no cross product)",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess0 AS (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS sid
+            FROM marked
+        ),
+        sess AS (
+            SELECT user_id, sid,
+                   CAST(epoch_us(min(ts)) AS BIGINT) AS st,
+                   CAST(epoch_us(max(ts)) AS BIGINT) AS en,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM sess0 GROUP BY user_id, sid
+        )
+        SELECT a.user_id AS u1, a.st AS st1,
+               b.user_id AS u2, b.st AS st2,
+               least(a.en, b.en) - greatest(a.st, b.st) AS overlap_us
+        FROM sess a JOIN sess b
+          ON a.user_id < b.user_id
+         AND a.st <= b.en AND b.st <= a.en
+        ORDER BY u1, st1, u2, st2
+    """,
+)
+def concurrent_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which user sessions were on the system at the same time — the
+    interval-overlap join every observability / capacity analysis runs.
+    Sessions come from the same gap-based sessionization as
+    ``events_sessionization``; the pairing uses
+    ``operators.ranges.interval_overlap_join`` with 1-hour buckets
+    (equi-join on bucket; the naive form is an un-shuffleable cross
+    join). Same-user pairs are excluded (gap sessions of one user cannot
+    overlap by construction)."""
+    from data_algorithms_with_pyspark_spark.operators.ranges import (
+        interval_overlap_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    sess = (
+        sessionize(events, gap_minutes=30)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("st"),
+            F.max(F.unix_micros("ts")).alias("en"),
+        )
+    )
+    left = sess.select(
+        F.col("user_id").alias("u1"),
+        F.col("st").alias("st1"),
+        F.col("en").alias("en1"),
+    )
+    right = sess.select(
+        F.col("user_id").alias("u2"),
+        F.col("st").alias("st2"),
+        F.col("en").alias("en2"),
+    )
+    paired = interval_overlap_join(
+        left, right, "st1", "en1", "st2", "en2", bucket_width=3_600_000_000
+    ).where(F.col("u1") < F.col("u2"))
+    return paired.select(
+        "u1",
+        "st1",
+        "u2",
+        "st2",
+        (
+            F.least("en1", "en2") - F.greatest("st1", "st2")
+        ).alias("overlap_us"),
+    ).orderBy("u1", "st1", "u2", "st2")

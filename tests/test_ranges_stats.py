@@ -97,3 +97,41 @@ def test_global_row_index_cache_registry_releases(spark):
     assert len(caches) == 1 and caches[0].is_cached
     caches[0].unpersist()
     assert not caches[0].is_cached
+
+
+def test_interval_overlap_join_known_answers(spark):
+    from data_algorithms_with_pyspark_spark.operators.ranges import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [("a", 0, 10), ("b", 20, 30), ("c", 50, 55)], ["lid", "l_lo", "l_hi"]
+    )
+    right = spark.createDataFrame(
+        [("x", 5, 25),   # overlaps a and b
+         ("y", 30, 40),  # touches b at 30 (closed intervals -> match)
+         ("z", 41, 49)], # overlaps nothing
+        ["rid", "r_lo", "r_hi"],
+    )
+    out = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "l_lo", "l_hi", "r_lo", "r_hi", bucket_width=7
+        ).collect()
+    )
+    assert out == [("a", "x"), ("b", "x"), ("b", "y")]
+
+
+def test_interval_overlap_join_no_duplicates_across_shared_buckets(spark):
+    """A pair sharing MANY buckets (long overlap, small bucket) must
+    still emit exactly once (first-shared-bucket guard)."""
+    from data_algorithms_with_pyspark_spark.operators.ranges import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame([(1, 0, 1000)], ["lid", "l_lo", "l_hi"])
+    right = spark.createDataFrame([(2, 100, 900)], ["rid", "r_lo", "r_hi"])
+    rows = interval_overlap_join(
+        left, right, "l_lo", "l_hi", "r_lo", "r_hi", bucket_width=10
+    ).collect()
+    assert len(rows) == 1
