@@ -46,6 +46,9 @@ __all__ = [
     "srp_banded_near_dup_pairs",
     "ivf_assign",
     "ivf_topk",
+    "pq_codebook",
+    "pq_encode",
+    "pq_adc_topk",
 ]
 
 
@@ -620,4 +623,153 @@ def rerank_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", "score", "rank")
+    )
+
+
+# --- product quantization (PQ): the ANN memory-compression tier -------------
+
+
+def pq_codebook(
+    vecs: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebook: ``codebook[s][c]`` = subvector ``s`` of
+    the vector with the c-th lowest id (Jegou et al. 2011's codebooks are
+    per-subspace k-means; the first-k-ids stand-in is the same
+    deterministic substitution the IVF/SemDeDup queries use so the
+    catalog oracle can replay it — swap in ``clustering.kmeans_train``
+    per subspace for trained codebooks). Driver state: m * ksub * (d/m)
+    doubles = k*d, independent of corpus size."""
+    rows = (
+        vecs.select(F.col(id_col), to_double_array(vec_col).alias("v"))
+        .orderBy(id_col)
+        .limit(ksub)
+        .collect()
+    )
+    if len(rows) < ksub:
+        raise ValueError(f"need at least ksub={ksub} vectors, got {len(rows)}")
+    dim = len(rows[0]["v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    w = dim // m
+    return [
+        [list(r["v"][s * w : (s + 1) * w]) for r in rows] for s in range(m)
+    ]
+
+
+def _sub_d2(vec_col: Column, start: int, centroid: list[float]) -> Column:
+    """Exact squared L2 distance between ``vec[start:start+w]`` and a
+    centroid literal — unrolled index-order sum, so Spark, the Python
+    LUT builder, and the DuckDB oracle all execute the identical IEEE
+    operation sequence."""
+    terms = None
+    for i, cval in enumerate(centroid):
+        d = F.element_at(vec_col, start + i + 1) - F.lit(float(cval))
+        t = d * d
+        terms = t if terms is None else terms + t
+    return terms
+
+
+def pq_encode(
+    vecs: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Encode vectors to packed PQ codes: ``(id_col, pq_code)``.
+
+    Per subspace the nearest codeword index (squared-L2 argmin, ties to
+    the lower code via the floor-grid packing trick the kmeans argmax
+    uses) occupies ``log2(ksub)`` bits of one BIGINT — at the default
+    8 x 16 geometry a 64-float vector (256 B) compresses to 32 bits, the
+    64x shrink that lets a 100 TB embedding corpus fit hot storage.
+
+    The whole encode is ONE projection (no joins, no aggregates): every
+    candidate distance is an unrolled codegen expression and the argmin
+    is ``least(...)`` over the ksub packed values.
+    """
+    m = len(codebook)
+    ksub = len(codebook[0])
+    nbits = max(1, (ksub - 1).bit_length())
+    w = len(codebook[0][0])
+    v = to_double_array(vec_col)
+    code_terms = []
+    for s in range(m):
+        packed = [
+            F.floor(_sub_d2(v, s * w, codebook[s][c]) * F.lit(1e12) + F.lit(0.5))
+            .cast("long")
+            * F.lit(ksub)
+            + F.lit(c)
+            for c in range(ksub)
+        ]
+        code_s = F.least(*packed) % F.lit(ksub)
+        code_terms.append(code_s * F.lit(1 << (s * nbits)))
+    pq_code = code_terms[0]
+    for t in code_terms[1:]:
+        pq_code = pq_code + t
+    return vecs.select(F.col(id_col), pq_code.cast("long").alias("pq_code"))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebook: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes.
+
+    The query is NOT quantized: a lookup table ``lut[s][c] =
+    d2(query_sub_s, codebook[s][c])`` (m * ksub cells) is built on the
+    driver, floor-quantized to integer NANO units (1e9 grid — so the
+    per-vector distance is a SUM OF LONGS: exact under any accumulation
+    order, integer-total-ordered, and replayable bit-for-bit by the
+    DuckDB oracle), and inlined as array literals. Scanning the corpus
+    costs m lookups + integer adds per vector — over the 64x-compressed
+    codes table, never the raw vectors. Output: ``(id_col, pq_code,
+    adc_nano)`` for the k nearest by quantized distance (ascending, ties
+    by id).
+    """
+    import math
+
+    m = len(codebook)
+    ksub = len(codebook[0])
+    nbits = max(1, (ksub - 1).bit_length())
+    w = len(codebook[0][0])
+    if len(query_vec) != m * w:
+        raise ValueError(f"query dim {len(query_vec)} != {m * w}")
+    lut = [
+        [
+            math.floor(
+                sum(
+                    (float(query_vec[s * w + i]) - float(codebook[s][c][i]))
+                    * (float(query_vec[s * w + i]) - float(codebook[s][c][i]))
+                    for i in range(w)
+                )
+                * 1e9
+                + 0.5
+            )
+            for c in range(ksub)
+        ]
+        for s in range(m)
+    ]
+    adc = None
+    for s in range(m):
+        lut_s = F.array(*[F.lit(int(x)).cast("long") for x in lut[s]])
+        code_s = (
+            F.shiftright(F.col("pq_code"), s * nbits)
+            .bitwiseAND(F.lit(ksub - 1).cast("long"))
+            .cast("int")
+        )
+        t = F.element_at(lut_s, code_s + F.lit(1))
+        adc = t if adc is None else adc + t
+    return (
+        encoded.select(
+            F.col(id_col), "pq_code", adc.cast("long").alias("adc_nano")
+        )
+        .orderBy(F.col("adc_nano").asc(), F.col(id_col))
+        .limit(k)
     )

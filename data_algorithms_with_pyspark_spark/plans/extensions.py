@@ -719,3 +719,123 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, k=5)
+
+
+_PQ_M = 8       # subspaces
+_PQ_KSUB = 16   # codewords per subspace -> 4-bit codes, 32-bit pq_code
+_PQ_W = 8       # dims per subspace (embeddings are 64-d)
+
+
+@register(
+    "pq_ann_topk",
+    bench=True,
+    tags=("similarity", "ann", "sketch"),
+    description=f"Product-quantization ANN top-{_ANN_K} (Jegou et al. 2011): "
+    "64-float vectors compressed to 32-bit PQ codes (64x), asymmetric-"
+    "distance scan via an integer nano-unit LUT; true squared-L2 rides "
+    "along as the audit column",
+    oracle=f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        ),
+        cb AS MATERIALIZED (
+            SELECT s.s, c.code, c.vec AS cfull
+            FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec
+                  FROM v ORDER BY vec_id LIMIT {_PQ_KSUB}) c
+            CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) s
+        ),
+        dist AS (
+            SELECT v.vec_id, cb.s, cb.code,
+                   list_aggregate(list_transform(range(1, {_PQ_W} + 1),
+                       i -> (v.vec[cb.s * {_PQ_W} + i] - cb.cfull[cb.s * {_PQ_W} + i])
+                          * (v.vec[cb.s * {_PQ_W} + i] - cb.cfull[cb.s * {_PQ_W} + i])),
+                       'sum') AS d2
+            FROM v CROSS JOIN cb
+        ),
+        enc0 AS (
+            SELECT vec_id, s,
+                   min(CAST(floor(d2 * 1e12 + 0.5) AS BIGINT) * {_PQ_KSUB}
+                       + code) % {_PQ_KSUB} AS code_s
+            FROM dist GROUP BY vec_id, s
+        ),
+        enc AS MATERIALIZED (
+            SELECT vec_id,
+                   CAST(sum(code_s * (1::BIGINT << (4 * s))) AS BIGINT)
+                       AS pq_code
+            FROM enc0 GROUP BY vec_id
+        ),
+        q AS MATERIALIZED (
+            SELECT vec AS qvec FROM v WHERE vec_id = {_ANN_QUERY_ID}
+        ),
+        lut AS MATERIALIZED (
+            SELECT cb.s, cb.code,
+                   CAST(floor(list_aggregate(list_transform(range(1, {_PQ_W} + 1),
+                       i -> (q.qvec[cb.s * {_PQ_W} + i] - cb.cfull[cb.s * {_PQ_W} + i])
+                          * (q.qvec[cb.s * {_PQ_W} + i] - cb.cfull[cb.s * {_PQ_W} + i])),
+                       'sum') * 1e9 + 0.5) AS BIGINT) AS d2n
+            FROM cb, q
+        ),
+        adc AS (
+            SELECT c.vec_id, any_value(c.pq_code) AS pq_code,
+                   CAST(sum(l.d2n) AS BIGINT) AS adc_nano
+            FROM (
+                SELECT e.vec_id, e.pq_code, s.s,
+                       (e.pq_code >> (4 * s.s)) & {_PQ_KSUB - 1} AS code_s
+                FROM enc e
+                CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) s
+            ) c
+            JOIN lut l ON l.s = c.s AND l.code = c.code_s
+            GROUP BY c.vec_id
+        ),
+        topk AS (
+            SELECT vec_id, pq_code, adc_nano
+            FROM adc WHERE vec_id <> {_ANN_QUERY_ID}
+            ORDER BY adc_nano, vec_id LIMIT {_ANN_K}
+        )
+        SELECT t.vec_id, t.pq_code, t.adc_nano,
+               CAST(floor(list_aggregate(list_transform(range(1, {_PQ_M * _PQ_W} + 1),
+                   i -> (v.vec[i] - q.qvec[i]) * (v.vec[i] - q.qvec[i])),
+                   'sum') * 1e9 + 0.5) AS BIGINT) AS true_nano
+        FROM topk t JOIN v USING (vec_id), q
+        ORDER BY t.adc_nano, t.vec_id
+    """,
+)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN memory tier: PQ codes are 64x smaller than the vectors, so
+    the 100 TB corpus's search structure fits hot storage; the ADC scan
+    touches only (vec_id, pq_code) — one projection, integer adds — and
+    the true distance joins back for the k winners only (a broadcast of
+    k ids). Codebook + query + LUT are driver state (k*d doubles),
+    exactly like the kmeans centroid loop."""
+    from data_algorithms_with_pyspark_spark.functions.vectors import (
+        to_double_array,
+    )
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        _sub_d2,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", to_double_array("embedding").alias("vec"))
+    cb = pq_codebook(vecs, m=_PQ_M, ksub=_PQ_KSUB, vec_col="vec")
+    qv = [
+        float(x)
+        for x in vecs.where(F.col("vec_id") == _ANN_QUERY_ID)
+        .collect()[0]["vec"]
+    ]
+    enc = pq_encode(vecs, cb, vec_col="vec")
+    topk = pq_adc_topk(
+        enc.where(F.col("vec_id") != _ANN_QUERY_ID), cb, qv, k=_ANN_K
+    )
+    true_nano = (
+        F.floor(_sub_d2(F.col("vec"), 0, qv) * F.lit(1e9) + F.lit(0.5))
+        .cast("long")
+        .alias("true_nano")
+    )
+    return (
+        topk.join(vecs, on="vec_id")
+        .select("vec_id", "pq_code", "adc_nano", true_nano)
+        .orderBy("adc_nano", "vec_id")
+    )

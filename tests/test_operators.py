@@ -495,3 +495,45 @@ def test_minhash_bucket_cap_drops_exact_dup_floods(spark):
         for r in minhash_candidate_pairs(sigs).collect()
     }
     assert (100, 101) in uncapped  # the flood IS quadratic without the cap
+
+
+def test_pq_encode_codebook_vectors_self_code(spark):
+    """Each codebook-source vector must encode to its own codeword in
+    every subspace (distance 0 to itself), and ADC from such a vector as
+    the query must rank itself (distance 0) first."""
+    import numpy as np
+
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(20)]
+    vecs = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    cb = pq_codebook(vecs, m=4, ksub=8, vec_col="vec")
+    enc = pq_encode(vecs, cb, vec_col="vec")
+    codes = {r["vec_id"]: r["pq_code"] for r in enc.collect()}
+    for c in range(8):
+        expect = sum(c << (3 * s) for s in range(4))
+        assert codes[c] == expect  # codeword c in all 4 subspaces
+    top = pq_adc_topk(enc, cb, rows[3][1], k=1).collect()[0]
+    assert top["vec_id"] == 3 and top["adc_nano"] == 0
+
+
+def test_pq_codebook_validates_geometry(spark):
+    import pytest as _pytest
+
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        pq_codebook,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i)] * 6) for i in range(4)],
+        "vec_id long, vec array<double>",
+    )
+    with _pytest.raises(ValueError):
+        pq_codebook(vecs, m=4, ksub=2, vec_col="vec")  # 6 % 4 != 0
+    with _pytest.raises(ValueError):
+        pq_codebook(vecs, m=2, ksub=16, vec_col="vec")  # only 4 vectors
