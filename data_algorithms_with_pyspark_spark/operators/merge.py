@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["upsert", "apply_cdc", "scd2_apply", "latest_change_per_key"]
+__all__ = ["upsert", "apply_cdc", "scd2_apply", "latest_change_per_key", "merge_partial_aggs"]
 
 
 def latest_change_per_key(
@@ -128,3 +128,30 @@ def scd2_apply(
     return history.unionByName(still_open).unionByName(closed_now).unionByName(
         new_versions
     )
+
+
+def merge_partial_aggs(
+    stored: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    max_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incremental-view-maintenance merge of two partial-aggregate
+    relations sharing a mergeable schema (counts/sums/maxes/mins — the
+    algebraic-aggregate classes whose merge is the same function).
+
+    The continuous-aggregate refresh shape: a stored aggregate table and
+    the new batch's partial aggregate union, then re-aggregate on the
+    group keys — the raw history is NEVER rescanned; cost is
+    O(|stored| + |delta|) with one hash-partition shuffle on the keys.
+    Non-mergeable measures (avg, distinct) must be stored in mergeable
+    form (sum+count; a sketch) — which is exactly how the callers here
+    model them (fixed-point value sums ride as exact integers).
+    """
+    merged = stored.unionByName(delta)
+    aggs = [F.sum(c).alias(c) for c in sum_cols]
+    aggs += [F.max(c).alias(c) for c in (max_cols or [])]
+    aggs += [F.min(c).alias(c) for c in (min_cols or [])]
+    return merged.groupBy(*keys).agg(*aggs)

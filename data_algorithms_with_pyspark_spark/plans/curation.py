@@ -2331,3 +2331,66 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "incremental_hourly_agg_merge",
+    bench=True,
+    tags=("events", "rollup", "incremental", "scale"),
+    description="Incremental view maintenance: stored hourly aggregate "
+    "(7/8 history) merged with the new batch's partial aggregate (1/8 "
+    "increment) via mergeable sums/counts/maxes — the oracle proves "
+    "merged == full recompute without the history ever being rescanned",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS value_fp,
+               CAST(max(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS max_fp
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY hour, event_type
+    """,
+)
+def incremental_hourly_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate REFRESH (the other half of
+    ``events_hourly_daily_rollup``'s story): history's hourly aggregate is
+    stored; when a batch arrives, only the batch is aggregated and the two
+    partials merge with ``operators.merge.merge_partial_aggs``. The
+    deterministic ``event_id % 8`` split stands in for the batch boundary
+    so the DuckDB oracle — a FULL recompute over all events — proves the
+    incremental path bit-identical: the IVM correctness property itself
+    is the test. Measures are chosen mergeable: count, exact fixed-point
+    sum, max."""
+    from data_algorithms_with_pyspark_spark.operators.merge import (
+        merge_partial_aggs,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    leaf = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("fp"),
+        (F.col("event_id") % 8 == 0).alias("_is_new"),
+    )
+
+    def hourly(df: DataFrame) -> DataFrame:
+        return df.groupBy("hour", "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum("fp").alias("value_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+
+    stored = hourly(leaf.where(~F.col("_is_new")))
+    delta = hourly(leaf.where(F.col("_is_new")))
+    merged = merge_partial_aggs(
+        stored,
+        delta,
+        keys=["hour", "event_type"],
+        sum_cols=["n_events", "value_fp"],
+        max_cols=["max_fp"],
+    )
+    return merged.orderBy("hour", "event_type")

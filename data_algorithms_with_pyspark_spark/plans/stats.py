@@ -401,3 +401,122 @@ def customer_balance_window_bounds(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.last(balance).over(full), 2).alias("poorest_balance"),
         cume.alias("balance_cume_dist"),
     )
+
+
+@register(
+    "event_value_sampled_quantiles",
+    bench=True,
+    tags=("stats", "sketch", "events"),
+    description="Bounded-memory quantile estimation: deterministic 1/8 "
+    "md5 sample's nearest-rank p50/p95 vs the exact full-data quantiles "
+    "riding along as truth — all-integer cents + rank arithmetic, "
+    "engine-exact",
+    oracle="""
+        WITH base AS (
+            SELECT event_id, event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+        ),
+        f AS (
+            SELECT event_type, cents,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cents) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM base
+        ),
+        fq AS (
+            SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                   max(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+                       AS p50_cents,
+                   max(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END)
+                       AS p95_cents
+            FROM f GROUP BY event_type
+        ),
+        s AS (
+            SELECT event_type, cents,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cents) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM base
+            WHERE ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 6))
+                      ::BIGINT * 8 < 16777216
+        ),
+        sq AS (
+            SELECT event_type, CAST(max(n) AS BIGINT) AS n_sample,
+                   max(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+                       AS p50_est_cents,
+                   max(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END)
+                       AS p95_est_cents
+            FROM s GROUP BY event_type
+        )
+        SELECT f.event_type, f.n, s.n_sample,
+               f.p50_cents, s.p50_est_cents,
+               f.p95_cents, s.p95_est_cents
+        FROM fq f JOIN sq s USING (event_type)
+        ORDER BY f.event_type
+    """,
+)
+def event_value_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a bounded sample — the streaming/low-memory path
+    when exact per-group sorting is too expensive: a deterministic
+    1/8 md5-bucket sample (``sampling.rational_hash_sample_predicate``,
+    a scan-stage integer filter) estimates p50/p95 by nearest rank
+    (``k = ceil(q*n)``, pure integer arithmetic), and the exact full-data
+    quantiles ride along as the audit columns, KMV-style. At 100 TB the
+    truth side is dropped and the sample rate tuned to the epsilon the
+    report needs (sampling theory: error ~ 1/sqrt(rate * n) quantile
+    deviation)."""
+    from pyspark.sql import Window
+
+    from data_algorithms_with_pyspark_spark.operators.sampling import (
+        rational_hash_sample_predicate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+
+    def ranked_quantiles(df: DataFrame, n_name: str, p50: str, p95: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy("cents")
+        wn = Window.partitionBy("event_type")
+        r = df.select(
+            "event_type",
+            "cents",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        k50 = F.expr("(n + 1) div 2")
+        k95 = F.expr("(19 * n + 19) div 20")
+        return r.groupBy("event_type").agg(
+            F.max("n").alias(n_name),
+            F.max(F.when(F.col("rn") == k50, F.col("cents"))).alias(p50),
+            F.max(F.when(F.col("rn") == k95, F.col("cents"))).alias(p95),
+        )
+
+    full = ranked_quantiles(base, "n", "p50_cents", "p95_cents")
+    samp = ranked_quantiles(
+        base.where(
+            rational_hash_sample_predicate(
+                F.col("event_id"), F.lit(1), F.lit(8)
+            )
+        ),
+        "n_sample",
+        "p50_est_cents",
+        "p95_est_cents",
+    )
+    return (
+        full.join(samp, on="event_type")
+        .select(
+            "event_type",
+            "n",
+            "n_sample",
+            "p50_cents",
+            "p50_est_cents",
+            "p95_cents",
+            "p95_est_cents",
+        )
+        .orderBy("event_type")
+    )

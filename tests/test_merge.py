@@ -5,6 +5,7 @@ from __future__ import annotations
 from datetime import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_algorithms_with_pyspark_spark.operators.merge import (
     apply_cdc,
@@ -101,3 +102,34 @@ def test_scd2_closes_and_appends_versions(spark):
         out.where(out.valid_to.isNull()).groupBy("id").count().collect()
     )
     assert all(r["count"] == 1 for r in open_counts)
+
+
+def test_merge_partial_aggs_equals_full_recompute(spark):
+    from data_algorithms_with_pyspark_spark.operators.merge import (
+        merge_partial_aggs,
+    )
+
+    rows = [(i % 3, i % 2, i, 10 * i) for i in range(40)]
+    df = spark.createDataFrame(rows, ["g1", "g2", "a", "b"])
+
+    def agg(d):
+        return d.groupBy("g1", "g2").agg(
+            F.count("*").alias("n"),
+            F.sum("a").alias("sum_a"),
+            F.max("b").alias("max_b"),
+            F.min("b").alias("min_b"),
+        )
+
+    stored = agg(df.where(F.col("a") % 5 != 0))
+    delta = agg(df.where(F.col("a") % 5 == 0))
+    merged = merge_partial_aggs(
+        stored, delta, ["g1", "g2"],
+        sum_cols=["n", "sum_a"], max_cols=["max_b"], min_cols=["min_b"],
+    )
+    full = agg(df)
+    key = lambda r: (r["g1"], r["g2"])  # noqa: E731
+    got = {key(r): (r["n"], r["sum_a"], r["max_b"], r["min_b"])
+           for r in merged.collect()}
+    want = {key(r): (r["n"], r["sum_a"], r["max_b"], r["min_b"])
+            for r in full.collect()}
+    assert got == want
