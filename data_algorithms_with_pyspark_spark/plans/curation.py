@@ -2183,10 +2183,10 @@ _LR_ITERS = 3
 _LR_MIN_TOKENS = 40  # label rule: y = 1 iff the doc has >= this many tokens
 
 
-def _lr_oracle_sql() -> str:
-    """Unrolled-CTE replay of the FULL logistic-regression training loop
-    (operators/ml.py) — same discipline as the kmeans / BPE oracles: the
-    oracle retrains, it does not trust the engine's weights."""
+def _lr_train_ctes(train_where: str) -> list:
+    """Shared CTE chain for the logistic-regression oracles: features/
+    labels over ALL documents, gradient-descent replay restricted to
+    ``train_where`` docs (the oracle RETRAINS — kmeans/BPE discipline)."""
     d1 = _LR_DIMS + 1
     ctes = [
         f"toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents)",
@@ -2213,7 +2213,8 @@ def _lr_oracle_sql() -> str:
                    CAST(1 AS BIGINT) AS x
             FROM base
         )""",
-        "nn AS (SELECT count(*) AS n FROM base)",
+        f"trainf AS (SELECT * FROM feats WHERE {train_where})",
+        f"nn AS (SELECT count(*) AS n FROM base WHERE {train_where})",
         f"w0 AS (SELECT j, CAST(0 AS BIGINT) AS w FROM range({d1}) r(j))",
     ]
     for i in range(1, _LR_ITERS + 1):
@@ -2221,7 +2222,7 @@ def _lr_oracle_sql() -> str:
         ctes.append(
             f"""z{i} AS (
             SELECT f.doc_id, sum(w.w * f.x) AS z
-            FROM feats f JOIN w{p} w USING (j) GROUP BY f.doc_id
+            FROM trainf f JOIN w{p} w USING (j) GROUP BY f.doc_id
         )"""
         )
         ctes.append(
@@ -2236,7 +2237,7 @@ def _lr_oracle_sql() -> str:
         ctes.append(
             f"""g{i} AS (
             SELECT f.j, sum((s.s - s.y_micro) * f.x) AS g
-            FROM feats f JOIN s{i} s USING (doc_id) GROUP BY f.j
+            FROM trainf f JOIN s{i} s USING (doc_id) GROUP BY f.j
         )"""
         )
         ctes.append(
@@ -2247,10 +2248,11 @@ def _lr_oracle_sql() -> str:
             FROM w{p} w LEFT JOIN g{i} g USING (j) CROSS JOIN nn
         )"""
         )
-    t = _LR_ITERS
-    return f"""
-        WITH {','.join(ctes)},
-        zf AS (
+    return ctes
+
+
+def _lr_final_score_ctes(t: int) -> str:
+    return f"""zf AS (
             SELECT f.doc_id, sum(w.w * f.x) AS z
             FROM feats f JOIN w{t} w USING (j) GROUP BY f.doc_id
         ),
@@ -2259,7 +2261,16 @@ def _lr_oracle_sql() -> str:
                    CAST(floor(1000000.0 / (1.0 + exp(-(z / 1000000.0)))
                               + 0.5) AS BIGINT) AS s_micro
             FROM zf
-        )
+        )"""
+
+
+def _lr_oracle_sql() -> str:
+    """Unrolled-CTE replay of the FULL logistic-regression training loop
+    (operators/ml.py), trained on every document."""
+    ctes = _lr_train_ctes("TRUE")
+    return f"""
+        WITH {','.join(ctes)},
+        {_lr_final_score_ctes(_LR_ITERS)}
         SELECT b.doc_id, b.n_tokens,
                CAST(y.y_micro / 1000000 AS BIGINT) AS label,
                s.s_micro,
@@ -2268,6 +2279,29 @@ def _lr_oracle_sql() -> str:
         JOIN y USING (doc_id)
         JOIN sf s USING (doc_id)
         ORDER BY b.doc_id
+    """
+
+
+def _lr_eval_oracle_sql() -> str:
+    """Same retraining replay, restricted to the 7/8 train split, then a
+    confusion-matrix report over the held-out 1/8."""
+    ctes = _lr_train_ctes("doc_id % 8 <> 0")
+    return f"""
+        WITH {','.join(ctes)},
+        {_lr_final_score_ctes(_LR_ITERS)}
+        SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_train,
+               CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(sum(CASE WHEN s.s_micro >= 500000 AND y.y_micro = 1000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN s.s_micro >= 500000 AND y.y_micro = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN s.s_micro < 500000 AND y.y_micro = 1000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN s.s_micro < 500000 AND y.y_micro = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM sf s
+        JOIN y USING (doc_id)
+        WHERE doc_id % 8 = 0
     """
 
 
@@ -2394,3 +2428,73 @@ def incremental_hourly_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_cols=["max_fp"],
     )
     return merged.orderBy("hour", "event_type")
+
+
+@register(
+    "doc_quality_classifier_eval",
+    tags=("ml", "curation", "iterative"),
+    description="Held-out evaluation of the quality classifier: train on "
+    "the 7/8 split, score the unseen 1/8, report the confusion matrix "
+    "(tp/fp/fn/tn) — the oracle retrains on the same split and must "
+    "reproduce every count",
+    oracle=_lr_eval_oracle_sql(),
+)
+def doc_quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train/test discipline the production quality filter needs:
+    ``doc_id % 8`` holds out an eval slice (deterministic so the oracle
+    replays it), training sees only the rest, and the report is the
+    held-out confusion matrix — generalization measured on documents the
+    gradient never touched. Same engine pieces as
+    ``doc_quality_classifier``; only the feats/labels feeding the train
+    loop are filtered.
+
+    Honest-eval note: at this corpus + 3 full-batch iterations the model
+    is still in the majority-class regime (all-positive predictions —
+    non-negative count features cannot cross the 0.5 boundary until the
+    bias descends, which full-batch GD does slowly), and the confusion
+    matrix REPORTS that — which is exactly the failure an eval harness
+    exists to surface before a filter ships. The learner itself is
+    proven on separable data in tests/test_ml.py (every positive
+    outscores every negative after 8 iterations)."""
+    from data_algorithms_with_pyspark_spark.functions.text_functions import words
+    from data_algorithms_with_pyspark_spark.operators.ml import (
+        hashed_token_features,
+        logistic_regression_train,
+        logistic_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", words("text").alias("_t"))
+    labels = toks.select(
+        "doc_id",
+        (
+            (F.size("_t") >= _LR_MIN_TOKENS).cast("long") * F.lit(1_000_000)
+        ).alias("y_micro"),
+    )
+    is_eval = F.col("doc_id") % 8 == 0
+    feats = hashed_token_features(toks, _LR_DIMS).persist()
+    try:
+        w = logistic_regression_train(
+            feats.where(~is_eval),
+            labels.where(~is_eval),
+            dims=_LR_DIMS,
+            iters=_LR_ITERS,
+        )
+        scored = logistic_scores(feats, w)
+    finally:
+        feats.unpersist()
+    n_train = labels.where(~is_eval).count()
+    pred = F.col("s_micro") >= 500_000
+    truth = F.col("y_micro") == 1_000_000
+    return (
+        scored.join(labels, on="doc_id")
+        .where(is_eval)
+        .agg(
+            F.lit(n_train).cast("long").alias("n_train"),
+            F.count("*").alias("n_eval"),
+            F.sum((pred & truth).cast("long")).alias("tp"),
+            F.sum((pred & ~truth).cast("long")).alias("fp"),
+            F.sum((~pred & truth).cast("long")).alias("fn"),
+            F.sum((~pred & ~truth).cast("long")).alias("tn"),
+        )
+    )
