@@ -839,3 +839,132 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "pq_code", "adc_nano", true_nano)
         .orderBy("adc_nano", "vec_id")
     )
+
+
+@register(
+    "pq_recall_report",
+    tags=("similarity", "ann", "quality"),
+    description=f"ANN quality audit: recall@{_ANN_K} of the PQ/ADC index "
+    "against exact squared-L2 search for the standard query — the "
+    "accuracy-vs-64x-compression trade-off as a single-row report",
+    oracle=f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        ),
+        cb AS MATERIALIZED (
+            SELECT s.s, c.code, c.vec AS cfull
+            FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec
+                  FROM v ORDER BY vec_id LIMIT {_PQ_KSUB}) c
+            CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) s
+        ),
+        dist AS (
+            SELECT v.vec_id, cb.s, cb.code,
+                   list_aggregate(list_transform(range(1, {_PQ_W} + 1),
+                       i -> (v.vec[cb.s * {_PQ_W} + i] - cb.cfull[cb.s * {_PQ_W} + i])
+                          * (v.vec[cb.s * {_PQ_W} + i] - cb.cfull[cb.s * {_PQ_W} + i])),
+                       'sum') AS d2
+            FROM v CROSS JOIN cb
+        ),
+        enc0 AS (
+            SELECT vec_id, s,
+                   min(CAST(floor(d2 * 1e12 + 0.5) AS BIGINT) * {_PQ_KSUB}
+                       + code) % {_PQ_KSUB} AS code_s
+            FROM dist GROUP BY vec_id, s
+        ),
+        enc AS MATERIALIZED (
+            SELECT vec_id,
+                   CAST(sum(code_s * (1::BIGINT << (4 * s))) AS BIGINT)
+                       AS pq_code
+            FROM enc0 GROUP BY vec_id
+        ),
+        q AS MATERIALIZED (
+            SELECT vec AS qvec FROM v WHERE vec_id = {_ANN_QUERY_ID}
+        ),
+        lut AS MATERIALIZED (
+            SELECT cb.s, cb.code,
+                   CAST(floor(list_aggregate(list_transform(range(1, {_PQ_W} + 1),
+                       i -> (q.qvec[cb.s * {_PQ_W} + i] - cb.cfull[cb.s * {_PQ_W} + i])
+                          * (q.qvec[cb.s * {_PQ_W} + i] - cb.cfull[cb.s * {_PQ_W} + i])),
+                       'sum') * 1e9 + 0.5) AS BIGINT) AS d2n
+            FROM cb, q
+        ),
+        adc_topk AS (
+            SELECT c.vec_id, CAST(sum(l.d2n) AS BIGINT) AS adc_nano
+            FROM (
+                SELECT e.vec_id, (e.pq_code >> (4 * s.s)) & {_PQ_KSUB - 1}
+                           AS code_s, s.s
+                FROM enc e
+                CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) s
+                WHERE e.vec_id <> {_ANN_QUERY_ID}
+            ) c
+            JOIN lut l ON l.s = c.s AND l.code = c.code_s
+            GROUP BY c.vec_id
+            ORDER BY adc_nano, c.vec_id LIMIT {_ANN_K}
+        ),
+        exact_topk AS (
+            SELECT v.vec_id,
+                   CAST(floor(list_aggregate(list_transform(
+                       range(1, {_PQ_M * _PQ_W} + 1),
+                       i -> (v.vec[i] - q.qvec[i]) * (v.vec[i] - q.qvec[i])),
+                       'sum') * 1e9 + 0.5) AS BIGINT) AS true_nano
+            FROM v, q WHERE v.vec_id <> {_ANN_QUERY_ID}
+            ORDER BY true_nano, v.vec_id LIMIT {_ANN_K}
+        )
+        SELECT CAST({_ANN_K} AS BIGINT) AS k,
+               CAST(count(*) AS BIGINT) AS n_overlap,
+               floor(CAST(count(*) AS DOUBLE) / {_ANN_K} * 10000 + 0.5)
+                   / 10000 AS recall
+        FROM adc_topk a JOIN exact_topk e USING (vec_id)
+    """,
+)
+def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k is THE acceptance metric for an ANN index — computable
+    exactly at test scale (the exact top-k is affordable), sampled on a
+    query panel at corpus scale. Both rankings order by integer nano
+    distances (ties by id), so the set intersection is engine-exact; the
+    ratio uses floor-rounding (small-integer ratio class).
+
+    Expected values here are LOW (0.1-0.4): the synthetic embeddings are
+    uniform-random — PQ's pathological case, since nothing clusters and
+    the 16 first-id codewords tile the space badly. That is the finding
+    the report exists to surface: on this data you ship IVF/SRP (whose
+    recall tests pass planted-neighbor checks), or train real codebooks
+    per subspace (``clustering.kmeans_train``) on clustered embeddings."""
+    from data_algorithms_with_pyspark_spark.functions.vectors import (
+        to_double_array,
+    )
+    from data_algorithms_with_pyspark_spark.operators.dedup import floor_round
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        _sub_d2,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", to_double_array("embedding").alias("vec"))
+    cb = pq_codebook(vecs, m=_PQ_M, ksub=_PQ_KSUB, vec_col="vec")
+    qv = [
+        float(x)
+        for x in vecs.where(F.col("vec_id") == _ANN_QUERY_ID)
+        .collect()[0]["vec"]
+    ]
+    corpus = vecs.where(F.col("vec_id") != _ANN_QUERY_ID)
+    pq10 = pq_adc_topk(pq_encode(corpus, cb, vec_col="vec"), cb, qv, k=_ANN_K)
+    exact10 = (
+        corpus.select(
+            "vec_id",
+            F.floor(_sub_d2(F.col("vec"), 0, qv) * F.lit(1e9) + F.lit(0.5))
+            .cast("long")
+            .alias("true_nano"),
+        )
+        .orderBy("true_nano", "vec_id")
+        .limit(_ANN_K)
+    )
+    return pq10.join(exact10, on="vec_id").agg(
+        F.lit(_ANN_K).cast("long").alias("k"),
+        F.count("*").alias("n_overlap"),
+        floor_round(F.count("*").cast("double") / F.lit(_ANN_K), 4).alias(
+            "recall"
+        ),
+    )
