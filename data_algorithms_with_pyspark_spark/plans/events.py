@@ -787,3 +787,88 @@ def concurrent_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("en1", "en2") - F.greatest("st1", "st2")
         ).alias("overlap_us"),
     ).orderBy("u1", "st1", "u2", "st2")
+
+
+_PATH_N = 3
+_PATH_TOP = 20
+
+
+@register(
+    "user_journey_path_ngrams",
+    bench=True,
+    tags=("events", "window", "text"),
+    description=f"User-journey mining: top-{_PATH_TOP} {_PATH_N}-step "
+    "event-type paths within per-(user, day) journeys (ordered collect "
+    "per journey -> sliding n-grams -> count). Journey unit is the day — "
+    "30-min gap sessions on this sparse stream are 95% singletons, which "
+    "the sessionization query itself reports",
+    oracle=f"""
+        WITH seqs AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   list_transform(
+                       list_sort(list_zip(
+                           list(epoch_us(ts)), list(event_id),
+                           list(event_type))),
+                       z -> z[3]) AS types
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ),
+        paths AS (
+            SELECT unnest(CASE WHEN len(types) >= {_PATH_N}
+                   THEN list_transform(range(1, len(types) - {_PATH_N} + 2),
+                        i -> array_to_string(
+                            list_slice(types, i, i + {_PATH_N} - 1), ' > '))
+                   ELSE [] END) AS path
+            FROM seqs
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n_hits
+        FROM paths GROUP BY path
+        ORDER BY n_hits DESC, path
+        LIMIT {_PATH_TOP}
+    """,
+)
+def user_journey_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which {click > view > purchase}-style journeys dominate — the
+    path-mining query product analytics runs on every event stream. One
+    per-journey ordered collect (array_sort over (ts, event_id, type)
+    structs inside the aggregate — no separate window pass), then
+    expression-level sliding n-grams (``word_ngrams`` contract: the
+    array is materialized before the lambda) and a count aggregate. At
+    100 TB: journeys shuffle once on (user, day) — a bounded group (one
+    user-day of events fits any executor), then paths shuffle as
+    (string, partial count) rows — both map-side combined; nothing
+    quadratic anywhere."""
+    from data_algorithms_with_pyspark_spark.functions.text_functions import (
+        word_ngrams,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    seqs = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("t"),
+                        F.col("event_id").alias("e"),
+                        F.col("event_type").alias("y"),
+                    )
+                )
+            ),
+            lambda s: s["y"],
+        ).alias("types")
+    )
+    paths = seqs.select(
+        F.explode(
+            F.transform(
+                word_ngrams(F.col("types"), _PATH_N),
+                lambda g: F.regexp_replace(g, " ", " > "),
+            )
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_hits"))
+        .orderBy(F.col("n_hits").desc(), "path")
+        .limit(_PATH_TOP)
+    )
