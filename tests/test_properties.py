@@ -241,3 +241,68 @@ def test_bpe_fold_matches_python_reference_merge(spark, words_, pair):
     }
     for w in words_:
         assert got[w] == _py_bpe_merge(list(w), left, right), (w, left, right)
+
+
+def _dup_spans_model(docs, window):
+    """Pure-Python reference for duplicated_window_spans: count window
+    hashes, mark duplicated positions, union their token intervals."""
+    occ = {}
+    toks = {d: t.lower().split() for d, t in docs}
+    for d, t in toks.items():
+        for p in range(max(len(t) - window + 1, 0)):
+            g = " ".join(t[p : p + window])
+            occ.setdefault(g, []).append((d, p))
+    dup_pos = {}
+    for g, places in occ.items():
+        if len(places) >= 2:
+            for d, p in places:
+                dup_pos.setdefault(d, set()).add(p)
+    out = {}
+    for d, t in toks.items():
+        ps = sorted(dup_pos.get(d, ()))
+        spans = []
+        for p in ps:
+            # merge only true token-coverage OVERLAP (gap < window);
+            # adjacent-but-disjoint intervals stay separate spans
+            if spans and p - spans[-1][1] < window:
+                spans[-1] = (spans[-1][0], p)
+            else:
+                spans.append((p, p))
+        covered = sum(hi - lo + window for lo, hi in spans)
+        out[d] = (len(t), max(len(t) - window + 1, 0), len(ps), len(spans), covered)
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=12).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    window=st.integers(2, 4),
+)
+@_SETTINGS
+def test_duplicated_window_spans_matches_python_model(spark, docs, window):
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        duplicated_window_spans,
+    )
+
+    rows = list(enumerate(docs))
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_windows"],
+            r["n_dup_windows"],
+            r["n_spans"],
+            r["covered_tokens"],
+        )
+        for r in duplicated_window_spans(
+            spark.createDataFrame(rows, ["doc_id", "text"]), window=window
+        ).collect()
+    }
+    want = _dup_spans_model(rows, window)
+    assert got == want
+    for d, (n_tok, _, _, _, covered) in got.items():
+        assert covered <= n_tok  # union of intervals can't exceed the doc
