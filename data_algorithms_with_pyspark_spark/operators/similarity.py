@@ -643,6 +643,11 @@ def pq_codebook(
     catalog oracle can replay it — swap in ``clustering.kmeans_train``
     per subspace for trained codebooks). Driver state: m * ksub * (d/m)
     doubles = k*d, independent of corpus size."""
+    if ksub < 2 or ksub & (ksub - 1):
+        raise ValueError(
+            f"ksub={ksub} must be a power of two >= 2: codes are packed "
+            "into log2(ksub)-bit lanes and decoded with a ksub-1 bitmask"
+        )
     rows = (
         vecs.select(F.col(id_col), to_double_array(vec_col).alias("v"))
         .orderBy(id_col)

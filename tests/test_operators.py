@@ -537,3 +537,18 @@ def test_pq_codebook_validates_geometry(spark):
         pq_codebook(vecs, m=4, ksub=2, vec_col="vec")  # 6 % 4 != 0
     with _pytest.raises(ValueError):
         pq_codebook(vecs, m=2, ksub=16, vec_col="vec")  # only 4 vectors
+
+
+def test_pq_codebook_rejects_non_power_of_two_ksub(spark):
+    import pytest as _pytest
+
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        pq_codebook,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(20)],
+        "vec_id long, vec array<double>",
+    )
+    with _pytest.raises(ValueError, match="power of two"):
+        pq_codebook(vecs, m=2, ksub=12, vec_col="vec")
