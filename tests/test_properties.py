@@ -306,3 +306,39 @@ def test_duplicated_window_spans_matches_python_model(spark, docs, window):
     assert got == want
     for d, (n_tok, _, _, _, covered) in got.items():
         assert covered <= n_tok  # union of intervals can't exceed the doc
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 15)),
+        min_size=1, max_size=8,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 15)),
+        min_size=1, max_size=8,
+    ),
+    width=st.integers(1, 12),
+)
+@_SETTINGS
+def test_interval_overlap_join_matches_brute_force(spark, left, right, width):
+    from data_algorithms_with_pyspark_spark.operators.ranges import (
+        interval_overlap_join,
+    )
+
+    l_rows = [(i, lo, lo + ln) for i, (lo, ln) in enumerate(left)]
+    r_rows = [(i, lo, lo + ln) for i, (lo, ln) in enumerate(right)]
+    ldf = spark.createDataFrame(l_rows, ["lid", "l_lo", "l_hi"])
+    rdf = spark.createDataFrame(r_rows, ["rid", "r_lo", "r_hi"])
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, rdf, "l_lo", "l_hi", "r_lo", "r_hi", bucket_width=width
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, llo, lhi in l_rows
+        for ri, rlo, rhi in r_rows
+        if llo <= rhi and rlo <= lhi  # closed-interval overlap
+    )
+    assert got == want  # every pair exactly once, none missed
