@@ -452,3 +452,22 @@ def test_bloom_positions_rejects_bad_params(spark):
         bloom_positions(F.lit("x"), m=256, k=5)
     with _pytest.raises(ValueError):
         bloom_positions(F.lit("x"), m=1, k=2)
+
+
+def test_bloom_filters_union_by_distinct(spark):
+    """Bloom mergeability: the union of two filters' position tables IS
+    the filter of the union of their build sets — the property that lets
+    per-partition/per-day blooms combine without rebuilds."""
+    from data_algorithms_with_pyspark_spark.operators.sketches import bloom_build
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(30)], ["term"])
+    b = spark.createDataFrame([(f"b{i}",) for i in range(30)], ["term"])
+    merged = (
+        bloom_build(a, "term", m=512, k=3)
+        .unionByName(bloom_build(b, "term", m=512, k=3))
+        .distinct()
+    )
+    direct = bloom_build(a.unionByName(b), "term", m=512, k=3)
+    assert {r["pos"] for r in merged.collect()} == {
+        r["pos"] for r in direct.collect()
+    }
