@@ -2345,6 +2345,7 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("y_micro"),
     )
     feats = hashed_token_features(toks, _LR_DIMS).persist()
+    labels = labels.persist()  # joined once per iteration + final output
     try:
         w = logistic_regression_train(
             feats, labels, dims=_LR_DIMS, iters=_LR_ITERS
@@ -2352,6 +2353,7 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = logistic_scores(feats, w)
     finally:
         feats.unpersist()
+        labels.unpersist()
     return (
         base.drop("_t")
         .join(labels, on="doc_id")
@@ -2473,6 +2475,7 @@ def doc_quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_eval = F.col("doc_id") % 8 == 0
     feats = hashed_token_features(toks, _LR_DIMS).persist()
+    labels = labels.persist()  # joined once per iteration + final report
     try:
         w = logistic_regression_train(
             feats.where(~is_eval),
@@ -2483,6 +2486,7 @@ def doc_quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = logistic_scores(feats, w)
     finally:
         feats.unpersist()
+        labels.unpersist()
     n_train = labels.where(~is_eval).count()
     pred = F.col("s_micro") >= 500_000
     truth = F.col("y_micro") == 1_000_000
