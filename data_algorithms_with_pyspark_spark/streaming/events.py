@@ -36,6 +36,7 @@ __all__ = [
     "streaming_enriched_events",
     "run_to_memory_sink",
     "stream_upsert_sink",
+    "stream_continuous_aggregate",
     "streaming_ttl_dedup",
 ]
 
@@ -381,3 +382,70 @@ def streaming_ttl_dedup(
         outputMode="append",
         timeMode="processingTime",
     )
+
+
+def stream_continuous_aggregate(
+    streaming_events: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """``foreachBatch`` continuous-aggregate sink: the streaming half of
+    ``incremental_hourly_agg_merge`` — each micro-batch reduces to its
+    hourly partial aggregate (count / exact fixed-point value sum / max,
+    all algebraic, so merging partials is the same function as the leaf
+    aggregate) and merges into the stored rollup with
+    ``operators.merge.merge_partial_aggs``. Refresh cost per batch is
+    O(|batch| + |aggregate|); the raw history is never rescanned — the
+    TimescaleDB/Druid continuous-aggregate contract, driven by a stream.
+
+    Checkpointed exactly-once replay + the localCheckpoint-before-
+    overwrite discipline of ``stream_upsert_sink``. NOTE the merge is
+    NOT idempotent under batch replay (sums double-count a re-applied
+    batch, unlike the keyed upsert) — which is exactly why the
+    checkpoint matters here, and why a transactional sink would pair the
+    merge with the batch id (txn versioning) in production.
+    """
+    from data_algorithms_with_pyspark_spark.operators.merge import (
+        merge_partial_aggs,
+    )
+
+    def hourly(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+            ).alias("value_fp"),
+            F.max(
+                F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+            ).alias("max_fp"),
+        )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        session = batch_df.sparkSession
+        delta = hourly(batch_df)
+        jvm_path = session._jvm.org.apache.hadoop.fs.Path(target_path)
+        fs = jvm_path.getFileSystem(session._jsc.hadoopConfiguration())
+        if fs.exists(jvm_path):
+            stored = session.read.parquet(target_path)
+            merged = merge_partial_aggs(
+                stored,
+                delta,
+                keys=["hour", "event_type"],
+                sum_cols=["n_events", "value_fp"],
+                max_cols=["max_fp"],
+            )
+        else:
+            merged = delta
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            target_path
+        )
+
+    q = (
+        streaming_events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

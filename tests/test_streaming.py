@@ -425,3 +425,33 @@ def test_streaming_ttl_dedup_first_seen(spark, tmp_path):
     assert rows[(2, "b")] == 0
     assert rows[(3, "c")] == 0
     assert rows[(1, "a")] in (0, 1)  # file order within availableNow varies
+
+
+def test_stream_continuous_aggregate_matches_batch(spark, events_dir, tmp_path):
+    """Streamed micro-batch rollup maintenance must equal the one-shot
+    batch aggregate over the same events — the IVM equivalence, driven
+    through foreachBatch with maxFilesPerTrigger=1 (multiple merges)."""
+    from data_algorithms_with_pyspark_spark.sources.readers import load_table
+    from data_algorithms_with_pyspark_spark.streaming.events import (
+        read_events_stream,
+        stream_continuous_aggregate,
+    )
+
+    target = str(tmp_path / "rollup_target")
+    ckpt = str(tmp_path / "rollup_ckpt")
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    stream_continuous_aggregate(stream, target, ckpt)
+
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["value_fp"], r["max_fp"])
+        for r in spark.read.parquet(target).collect()
+    }
+    fp = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    want = {
+        (r["hour"], r["event_type"]): (r["n"], r["s"], r["m"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(fp).alias("s"), F.max(fp).alias("m"))
+        .collect()
+    }
+    assert got == want
