@@ -29,8 +29,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL per query; omitted for non-SQL-expressible ops
-    (xxhash64-based MinHash/SimHash/SRP-LSH sketches -> rows-only checks)."""
+    """DuckDB oracle SQL per query. As of round 3 every query has one
+    except ``approx_distinct_users_hll`` (HLL internals are not
+    replayable in another engine; its exact-distinct twin
+    ``exact_distinct_users`` brackets the estimate and IS oracle-checked)."""
     return {
         name: q.oracle for name, q in all_queries().items() if q.oracle is not None
     }
