@@ -968,3 +968,165 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+@register(
+    "ivf_pq_ann_topk",
+    bench=True,
+    tags=("similarity", "ann"),
+    description=f"IVF-PQ ANN top-{_ANN_K}: coarse inverted lists prune the "
+    "corpus to 4-of-16 probed lists, PQ/ADC integer-LUT scoring ranks "
+    "only the candidates — the compute x memory composition production "
+    "ANN (FAISS IVF,PQ) ships; true squared-L2 rides along as audit",
+    oracle=f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        ),
+        cent AS MATERIALIZED (
+            SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < 16
+        ),
+        assign AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT v.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY CAST(floor((list_cosine_similarity(
+                                        v.vec, c.cvec) + 1.0) * 1e15 + 0.5)
+                                        AS BIGINT) DESC,
+                                    c.cid
+                       ) AS rn
+                FROM v CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        q AS MATERIALIZED (
+            SELECT vec AS qvec FROM v WHERE vec_id = {_ANN_QUERY_ID}
+        ),
+        probes AS (
+            SELECT cid FROM cent, q
+            ORDER BY list_cosine_similarity(cvec, qvec) DESC, cid
+            LIMIT 4
+        ),
+        cb AS MATERIALIZED (
+            SELECT s.s, c.code, c.vec AS cfull
+            FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec
+                  FROM v ORDER BY vec_id LIMIT {_PQ_KSUB}) c
+            CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) s
+        ),
+        dist AS (
+            SELECT v.vec_id, cb.s, cb.code,
+                   list_aggregate(list_transform(range(1, {_PQ_W} + 1),
+                       i -> (v.vec[cb.s * {_PQ_W} + i] - cb.cfull[cb.s * {_PQ_W} + i])
+                          * (v.vec[cb.s * {_PQ_W} + i] - cb.cfull[cb.s * {_PQ_W} + i])),
+                       'sum') AS d2
+            FROM v CROSS JOIN cb
+        ),
+        enc0 AS (
+            SELECT vec_id, s,
+                   min(CAST(floor(d2 * 1e12 + 0.5) AS BIGINT) * {_PQ_KSUB}
+                       + code) % {_PQ_KSUB} AS code_s
+            FROM dist GROUP BY vec_id, s
+        ),
+        enc AS MATERIALIZED (
+            SELECT vec_id,
+                   CAST(sum(code_s * (1::BIGINT << (4 * s))) AS BIGINT)
+                       AS pq_code
+            FROM enc0 GROUP BY vec_id
+        ),
+        lut AS MATERIALIZED (
+            SELECT cb.s, cb.code,
+                   CAST(floor(list_aggregate(list_transform(range(1, {_PQ_W} + 1),
+                       i -> (q.qvec[cb.s * {_PQ_W} + i] - cb.cfull[cb.s * {_PQ_W} + i])
+                          * (q.qvec[cb.s * {_PQ_W} + i] - cb.cfull[cb.s * {_PQ_W} + i])),
+                       'sum') * 1e9 + 0.5) AS BIGINT) AS d2n
+            FROM cb, q
+        ),
+        topk AS (
+            SELECT c.vec_id, any_value(c.cid) AS cid,
+                   CAST(sum(l.d2n) AS BIGINT) AS adc_nano
+            FROM (
+                SELECT e.vec_id, a.cid,
+                       (e.pq_code >> (4 * s.s)) & {_PQ_KSUB - 1} AS code_s,
+                       s.s
+                FROM enc e
+                JOIN assign a USING (vec_id)
+                JOIN probes p USING (cid)
+                CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) s
+                WHERE e.vec_id <> {_ANN_QUERY_ID}
+            ) c
+            JOIN lut l ON l.s = c.s AND l.code = c.code_s
+            GROUP BY c.vec_id
+            ORDER BY adc_nano, c.vec_id LIMIT {_ANN_K}
+        )
+        SELECT t.vec_id, t.cid, t.adc_nano,
+               CAST(floor(list_aggregate(list_transform(
+                   range(1, {_PQ_M * _PQ_W} + 1),
+                   i -> (v.vec[i] - q.qvec[i]) * (v.vec[i] - q.qvec[i])),
+                   'sum') * 1e9 + 0.5) AS BIGINT) AS true_nano
+        FROM topk t JOIN v USING (vec_id), q
+        ORDER BY t.adc_nano, t.vec_id
+    """,
+)
+def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composition (FAISS's IVF,PQ index): the coarse
+    quantizer prunes COMPUTE (only ~n_probe/n_lists of the corpus is
+    scored per query) while PQ prunes MEMORY (the scored table is 32-bit
+    codes, 64x under the raw vectors) — at 100 TB the scan is
+    probed-lists x packed-codes, never the full float corpus. Composes
+    ``ivf_assign`` + ``pq_encode`` + ``pq_adc_topk`` unchanged; the
+    oracle replays coarse assignment, probes, codebooks, encoding, and
+    the ADC ranking end-to-end."""
+    from data_algorithms_with_pyspark_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        _sub_d2,
+        ivf_assign,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", to_double_array("embedding").alias("vec"))
+    cb = pq_codebook(vecs, m=_PQ_M, ksub=_PQ_KSUB, vec_col="vec")
+    qrow = vecs.where(F.col("vec_id") == _ANN_QUERY_ID).collect()[0]
+    qv = [float(x) for x in qrow["vec"]]
+    cents = vecs.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    probes = (
+        cents.crossJoin(
+            F.broadcast(
+                vecs.where(F.col("vec_id") == _ANN_QUERY_ID).select(
+                    F.col("vec").alias("qvec")
+                )
+            )
+        )
+        .select(
+            "cid",
+            cosine_similarity(F.col("cvec"), F.col("qvec")).alias("qc"),
+        )
+        .orderBy(F.col("qc").desc(), "cid")
+        .limit(4)
+        .select("cid")
+    )
+    assign = ivf_assign(vecs, 16)
+    cand = (
+        pq_encode(vecs, cb, vec_col="vec")
+        .join(assign, on="vec_id")
+        .join(F.broadcast(probes), on="cid")
+        .where(F.col("vec_id") != _ANN_QUERY_ID)
+    )
+    topk = pq_adc_topk(cand, cb, qv, k=_ANN_K)
+    true_nano = (
+        F.floor(_sub_d2(F.col("vec"), 0, qv) * F.lit(1e9) + F.lit(0.5))
+        .cast("long")
+        .alias("true_nano")
+    )
+    return (
+        topk.join(assign, on="vec_id")
+        .join(vecs, on="vec_id")
+        .select("vec_id", "cid", "adc_nano", true_nano)
+        .orderBy("adc_nano", "vec_id")
+    )
