@@ -47,6 +47,7 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "pq_codebook",
+    "pq_train_codebook",
     "pq_encode",
     "pq_adc_topk",
 ]
@@ -663,6 +664,52 @@ def pq_codebook(
     return [
         [list(r["v"][s * w : (s + 1) * w]) for r in rows] for s in range(m)
     ]
+
+
+def pq_train_codebook(
+    vecs: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> list[list[list[float]]]:
+    """TRAINED PQ codebooks — per-subspace k-means (Jegou et al. 2011's
+    actual construction), built on ``clustering.kmeans_train``: subspace
+    s trains on the corpus's s-th dim-slice, independently of the others.
+    Returns the same ``codebook[s][c]`` shape as ``pq_codebook``, so
+    ``pq_encode``/``pq_adc_topk`` consume it unchanged.
+
+    The catalog queries keep the deterministic first-k-ids codebook
+    because their DuckDB oracles replay it exactly; Lloyd iterations
+    float-drift across engines, so the trained path is verified by
+    recall-improvement tests instead (the production trade: better
+    codebooks, weaker cross-engine replay). Cost: m independent k-means
+    runs, each over an (n x d/m) slice — one slice projection per run,
+    the corpus never shuffles (see kmeans_train's plan notes).
+    """
+    if ksub < 2 or ksub & (ksub - 1):
+        raise ValueError("ksub must be a power of two >= 2 (bit-packed codes)")
+    from data_algorithms_with_pyspark_spark.operators.clustering import (
+        kmeans_train,
+    )
+
+    first = vecs.select(to_double_array(vec_col).alias("v")).first()
+    if first is None:
+        raise ValueError("empty vector table")
+    dim = len(first["v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    w = dim // m
+    codebook = []
+    for s in range(m):
+        sub = vecs.select(
+            F.col(id_col),
+            F.slice(to_double_array(vec_col), s * w + 1, w).alias("vec"),
+        )
+        cents = kmeans_train(sub, k=ksub, max_iter=max_iter, id_col=id_col)
+        codebook.append([list(c) for c in cents])
+    return codebook
 
 
 def _sub_d2(vec_col: Column, start: int, centroid: list[float]) -> Column:
