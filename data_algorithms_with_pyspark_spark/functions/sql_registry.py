@@ -12,6 +12,11 @@ holds — the names registered here are
   never row-at-a-time): ``batch_sigmoid_dot`` — the cross-encoder-stub
   scorer, so SQL pipelines can call the same rerank scorer as
   ``operators.similarity.rerank_topk``.
+* **Python UDTFs** (Spark 4 table functions, usable in FROM / LATERAL):
+  ``chunk_text(text, size, overlap)`` — the SQL face of
+  ``operators.packing.sequence_chunks``. Row-granular Python, so the
+  standing rule applies: fine for exploratory SQL, not for the 100 TB
+  hot path (the DataFrame operator is the vectorized form).
 
     register_sql_functions(spark)
     spark.sql("SELECT cosine_sim(a.vec, b.vec) FROM ...")
@@ -22,7 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import pandas_udf, udtf
 
 __all__ = ["register_sql_functions"]
 
@@ -72,3 +77,25 @@ def register_sql_functions(spark: SparkSession) -> None:
         return pd.Series(1.0 / (1.0 + np.exp(-np.einsum("ij,ij->i", x, y))))
 
     spark.udf.register("batch_sigmoid_dot", _batch_sigmoid_dot)
+
+    @udtf(returnType="chunk: string, start_tok: int, n_toks: int")
+    class _ChunkText:
+        """Overlapping token-window chunker (sequence_chunks semantics):
+        whitespace tokens, windows of ``size`` advancing ``size -
+        overlap`` tokens; the trailing partial window is kept."""
+
+        def eval(self, text: str, size: int, overlap: int = 0):
+            if text is None or size is None or size < 1:
+                return
+            if overlap is None or not 0 <= overlap < size:
+                raise ValueError("need 0 <= overlap < size")
+            toks = [w for w in (text or "").lower().split() if w]
+            step = size - overlap
+            # starts advance by the stride while start < n_tokens — the
+            # same windowing contract as packing.sequence_chunks (the
+            # trailing partial window is kept; empty docs emit nothing)
+            for start in range(0, len(toks), step):
+                window = toks[start : start + size]
+                yield " ".join(window), start, len(window)
+
+    spark.udtf.register("chunk_text", _ChunkText)

@@ -140,3 +140,40 @@ def test_sql_registered_functions_match_dataframe_forms(spark):
     scored.collect()
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_chunk_text_udtf_matches_sequence_chunks(spark):
+    """The SQL table function must agree with the DataFrame operator on
+    windows, positions, and the kept trailing partial chunk — including
+    the LATERAL-join form SQL users write."""
+    from data_algorithms_with_pyspark_spark.functions.sql_registry import (
+        register_sql_functions,
+    )
+
+    register_sql_functions(spark)
+    rows = spark.sql(
+        "SELECT * FROM chunk_text('a b c d e f g', 3, 1)"
+    ).collect()
+    got = [(r["chunk"], r["start_tok"], r["n_toks"]) for r in rows]
+    assert got == [
+        ("a b c", 0, 3),
+        ("c d e", 2, 3),
+        ("e f g", 4, 3),
+        ("g", 6, 1),
+    ]
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five"), (2, "x")], ["doc_id", "text"]
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    lateral = spark.sql(
+        """SELECT d.doc_id, c.chunk, c.start_tok
+           FROM udtf_docs d, LATERAL chunk_text(d.text, 2, 0) c
+           ORDER BY d.doc_id, c.start_tok"""
+    ).collect()
+    assert [(r["doc_id"], r["chunk"]) for r in lateral] == [
+        (1, "one two"),
+        (1, "three four"),
+        (1, "five"),
+        (2, "x"),
+    ]
