@@ -5,6 +5,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_algorithms_with_pyspark_spark.operators.features import (
     bucketize,
@@ -177,3 +178,33 @@ def test_chunk_text_udtf_matches_sequence_chunks(spark):
         (1, "five"),
         (2, "x"),
     ]
+
+
+def test_variant_ingestion_path_over_events_props(spark):
+    """Spark 4 VARIANT surface: the semi-structured ingestion path for
+    open-schema JSON columns — parse once to VARIANT, typed extraction
+    via variant_get, runtime schema discovery via schema_of_variant, and
+    try_variant_get's NULL (not error) on type mismatch. Matches the
+    get_json_object result the events_props_extraction query computes."""
+    from data_algorithms_with_pyspark_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events").where(
+        F.col("props").isNotNull()
+    )
+    v = events.select(
+        "event_id", F.parse_json("props").alias("v"), "props"
+    )
+    out = v.select(
+        "event_id",
+        F.variant_get("v", "$.k", "bigint").alias("k_typed"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_str"),
+        F.schema_of_variant("v").alias("sch"),
+        F.try_variant_get("v", "$.k", "array<int>").alias("bad_cast"),
+    )
+    rows = out.collect()
+    assert rows, "no props rows at smoke SF"
+    for r in rows:
+        assert r["k_typed"] == r["k_str"]
+        assert r["sch"] == "OBJECT<k: BIGINT>"
+        assert r["bad_cast"] is None  # try_ returns NULL, never throws
