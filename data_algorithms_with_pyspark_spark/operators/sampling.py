@@ -35,6 +35,7 @@ __all__ = [
     "hash_sample_predicate",
     "rational_hash_sample_predicate",
     "stratified_sample",
+    "weighted_sample_without_replacement",
 ]
 
 _HEX = "0123456789abcdef"
@@ -110,3 +111,49 @@ def group_hash_topk(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — Efraimidis &
+    Spirakis 2006 (A-ES): give every row the key ``u^(1/w)`` for a
+    uniform draw u and weight w, and the k largest keys are exactly a
+    weight-proportional sample without replacement. This operator ranks
+    by the monotone-equivalent ``ln(u)/w`` (one transcendental instead of
+    pow) and takes the top k — a TakeOrderedAndProject, no shuffle of the
+    corpus, O(k) driver result. The draw u derives from md5(key), so the
+    sample is reproducible across runs, cluster sizes, and engines.
+
+    Cross-engine note: ``ln`` may differ in the last ulp between
+    engines, so the rank key is floor-quantized to a 1e-12 grid with the
+    row key as tiebreak — the same accepted boundary-risk class as the
+    cosine/kmeans grids. Weights must be strictly positive.
+
+    Output: the sampled rows (all input columns) plus ``sample_rank``
+    (1..k in selection order) and the quantized ``es_key_q``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 6), 16, 10
+        ).cast("long")
+        + F.lit(1)
+    ).cast("double") / F.lit(float(_HASH_SPACE))  # u in (0, 1]
+    w = F.col(weight_col).cast("double")
+    es_key = F.ln(u) / w  # monotone in u^(1/w); larger = selected
+    key_q = F.floor(es_key * F.lit(1e12) + F.lit(0.5)).cast("long")
+    ranked = (
+        df.where(w > 0)
+        .withColumn("es_key_q", key_q)
+        .orderBy(F.col("es_key_q").desc(), F.col(key_col))
+        .limit(k)
+    )
+    rank = F.row_number().over(
+        Window.orderBy(F.col("es_key_q").desc(), F.col(key_col))
+    )
+    return ranked.withColumn("sample_rank", rank.cast("long"))

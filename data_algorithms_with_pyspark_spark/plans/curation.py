@@ -2502,3 +2502,56 @@ def doc_quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((~pred & ~truth).cast("long")).alias("tn"),
         )
     )
+
+
+_WSAMPLE_K = 50
+
+
+@register(
+    "documents_weighted_sample",
+    tags=("sampling", "curation"),
+    description=f"Weighted sample without replacement (Efraimidis-"
+    f"Spirakis exponential keys, md5-derived draws): {_WSAMPLE_K} docs "
+    "selected with probability proportional to token count, "
+    "reproducible on any engine/cluster",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        keyed AS (
+            SELECT doc_id, n_tokens,
+                   CAST(floor(
+                       ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 6))::BIGINT + 1)
+                          / 16777216.0)
+                       / n_tokens * 1e12 + 0.5) AS BIGINT) AS es_key_q
+            FROM t WHERE n_tokens > 0
+        )
+        SELECT doc_id, n_tokens, es_key_q,
+               CAST(row_number() OVER (ORDER BY es_key_q DESC, doc_id)
+                    AS BIGINT) AS sample_rank
+        FROM keyed
+        ORDER BY es_key_q DESC, doc_id
+        LIMIT {_WSAMPLE_K}
+    """,
+)
+def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted eval-set selection: pick documents with
+    probability proportional to length, without replacement, and
+    deterministically (A-ES keys over md5 draws) — unlike ``df.sample``,
+    the same set comes back on any run, partitioning, or engine. One
+    TakeOrdered over the corpus; the post-limit ranking window touches k
+    rows only (``operators/sampling.py``)."""
+    from data_algorithms_with_pyspark_spark.functions.text_functions import words
+    from data_algorithms_with_pyspark_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.size(words("text")).cast("long").alias("n_tokens")
+    )
+    return weighted_sample_without_replacement(
+        base, key_col="doc_id", weight_col="n_tokens", k=_WSAMPLE_K
+    ).orderBy("sample_rank")

@@ -471,3 +471,37 @@ def test_bloom_filters_union_by_distinct(spark):
     assert {r["pos"] for r in merged.collect()} == {
         r["pos"] for r in direct.collect()
     }
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """A-ES property (statistical, deterministic given the md5 draws):
+    with weights 100 vs 1, the k=20 sample over 40+40 rows must be
+    dominated by heavy rows; exact k rows return, no duplicates."""
+    from data_algorithms_with_pyspark_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    rows = [(i, 100) for i in range(40)] + [(100 + i, 1) for i in range(40)]
+    df = spark.createDataFrame(rows, ["rid", "w"])
+    out = weighted_sample_without_replacement(
+        df, key_col="rid", weight_col="w", k=20
+    ).collect()
+    ids = [r["rid"] for r in out]
+    assert len(ids) == 20 and len(set(ids)) == 20
+    heavy = sum(1 for i in ids if i < 100)
+    assert heavy >= 16  # E[heavy] ~ 19.8 at 100:1 odds
+    assert sorted(r["sample_rank"] for r in out) == list(range(1, 21))
+
+
+def test_weighted_sample_rejects_nonpositive_weights_rows(spark):
+    from data_algorithms_with_pyspark_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -4)], ["rid", "w"]
+    )
+    out = weighted_sample_without_replacement(
+        df, key_col="rid", weight_col="w", k=10
+    ).collect()
+    assert [r["rid"] for r in out] == [1]  # zero/negative weights dropped
