@@ -2555,3 +2555,87 @@ def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_without_replacement(
         base, key_col="doc_id", weight_col="n_tokens", k=_WSAMPLE_K
     ).orderBy("sample_rank")
+
+
+_LABEL_TOP_TERMS = 5
+
+
+@register(
+    "embedding_cluster_top_terms",
+    tags=("similarity", "text", "clustering"),
+    description=f"Cluster labeling: embeddings grouped by nearest "
+    "coarse centroid, each cluster described by its documents' top-"
+    f"{_LABEL_TOP_TERMS} terms — the embeddings->documents cross-modal "
+    "join every corpus-exploration UI runs",
+    oracle=f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        ),
+        cent AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < 16),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT v.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY CAST(floor((list_cosine_similarity(
+                                        v.vec, c.cvec) + 1.0) * 1e15 + 0.5)
+                                        AS BIGINT) DESC,
+                                    c.cid
+                       ) AS rn
+                FROM v CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        toks AS (
+            SELECT d.doc_id, a.cid, unnest({_TOKENS}) AS term
+            FROM documents d JOIN assign a ON d.doc_id = a.vec_id
+        ),
+        counts AS (
+            SELECT cid, term, CAST(count(*) AS BIGINT) AS n
+            FROM toks GROUP BY cid, term
+        )
+        SELECT cid, term, n,
+               CAST(rnk AS BIGINT) AS term_rank
+        FROM (
+            SELECT cid, term, n,
+                   row_number() OVER (PARTITION BY cid
+                                      ORDER BY n DESC, term) AS rnk
+            FROM counts
+        )
+        WHERE rnk <= {_LABEL_TOP_TERMS}
+        ORDER BY cid, term_rank
+    """,
+)
+def embedding_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What each embedding cluster is ABOUT: vectors group under their
+    nearest coarse centroid (``similarity.ivf_assign`` — broadcast
+    product, corpus never shuffles), the paired documents (shared id
+    space) contribute their tokens, and a per-cluster WindowGroupLimit
+    keeps the top terms. The cross-modal join is one hash join on the
+    id; term counting is the word-count shuffle keyed (cid, term). At
+    100 TB this is the corpus-exploration summary: output is
+    k * top_terms rows regardless of corpus size."""
+    from data_algorithms_with_pyspark_spark.functions.text_functions import words
+    from data_algorithms_with_pyspark_spark.functions.vectors import (
+        to_double_array,
+    )
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        ivf_assign,
+    )
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = emb.select("vec_id", to_double_array("embedding").alias("vec"))
+    assign = ivf_assign(vecs, 16)
+    toks = (
+        docs.join(assign, on=docs["doc_id"] == assign["vec_id"])
+        .select("cid", F.explode(words("text")).alias("term"))
+    )
+    counts = toks.groupBy("cid", "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("cid").orderBy(F.col("n").desc(), "term")
+    return (
+        counts.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("term_rank") <= _LABEL_TOP_TERMS)
+        .select("cid", "term", "n", "term_rank")
+        .orderBy("cid", "term_rank")
+    )
