@@ -208,3 +208,35 @@ def test_global_row_index_no_window_no_global_sort(spark):
     # the tiny offset table broadcasts, so no hash exchange ever appears
     assert "Exchange hashpartitioning" not in plan
     assert "InMemoryTableScan" in plan  # both passes reuse the persisted part
+
+
+def _read_schemas(plan: str) -> list[str]:
+    """Every scan's pruned ReadSchema line from an executed plan."""
+    return [
+        part.splitlines()[0] for part in plan.split("ReadSchema:")[1:]
+    ]
+
+
+def test_round3_scans_are_column_pruned(spark):
+    """The round-3 flagship queries must push column pruning into every
+    parquet scan: reading a column the query never touches is the
+    100 TB-scale bug .explain catches."""
+    cases = {
+        # (query, column that MUST appear, column that must NOT)
+        "doc_duplicated_spans": ("text", "source"),
+        "bloom_term_membership": ("text", "lang"),
+        "pq_ann_topk": ("embedding", "label"),
+        "doc_quality_classifier": ("text", "source"),
+        "user_journey_path_ngrams": ("event_type", "props"),
+        "incremental_hourly_agg_merge": ("value", "props"),
+    }
+    for name, (needed, unneeded) in cases.items():
+        plan = _executed_plan(all_queries()[name].fn(spark, SF_SMOKE))
+        schemas = _read_schemas(plan)
+        assert schemas, f"{name}: no parquet scans found"
+        assert any(needed in s for s in schemas), (
+            f"{name}: no scan reads {needed}: {schemas}"
+        )
+        assert all(unneeded not in s for s in schemas), (
+            f"{name}: a scan reads unused column {unneeded}: {schemas}"
+        )
