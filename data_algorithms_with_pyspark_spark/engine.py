@@ -98,3 +98,38 @@ class Engine:
     def tables(self) -> None:
         """Register every engine table as a temp view for spark.sql use."""
         register_views(self.spark, self.sf_dir)
+
+    # -- verification ------------------------------------------------------
+    def verify(self, name: str) -> dict:
+        """Run this query's cross-engine check right here: execute the
+        Spark DataFrame AND its DuckDB oracle over the same parquet
+        directory and compare row count, column names, and
+        order-insensitive values — the same comparison the external
+        correctness gate applies (scripts/driver_sim.py runs it for the
+        whole catalog). Returns a small report dict; raises AssertionError
+        with the first differing rows on mismatch. Queries without an
+        oracle (``approx_distinct_users_hll``) get a rows-only report.
+        """
+        import os
+
+        import duckdb
+
+        from data_algorithms_with_pyspark_spark.schemas import TABLE_NAMES
+
+        q = self.get(name)
+        df = q.fn(self.spark, self.sf_dir)
+        if q.oracle is None:
+            return {"query": name, "mode": "rows_only", "rows": df.count()}
+        con = duckdb.connect()
+        for t in TABLE_NAMES:
+            path = os.path.join(self.sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+                )
+        from data_algorithms_with_pyspark_spark.verify import (
+            compare_spark_duckdb,
+        )
+
+        compare_spark_duckdb(df, con, q.oracle)
+        return {"query": name, "mode": "oracle", "match": True}

@@ -208,3 +208,22 @@ def test_variant_ingestion_path_over_events_props(spark):
         assert r["k_typed"] == r["k_str"]
         assert r["sch"] == "OBJECT<k: BIGINT>"
         assert r["bad_cast"] is None  # try_ returns NULL, never throws
+
+
+def test_engine_verify_self_service(spark):
+    """Engine.verify runs the same cross-engine gate the driver applies:
+    oracle queries report match=True, the HLL query reports rows-only,
+    and unknown names raise."""
+    from data_algorithms_with_pyspark_spark.engine import Engine
+    from tests.conftest import SF_SMOKE
+
+    eng = Engine(spark, SF_SMOKE)
+    assert eng.verify("q6_forecast_revenue") == {
+        "query": "q6_forecast_revenue",
+        "mode": "oracle",
+        "match": True,
+    }
+    hll = eng.verify("approx_distinct_users_hll")
+    assert hll["mode"] == "rows_only" and hll["rows"] > 0
+    with pytest.raises(KeyError):
+        eng.verify("no_such_query")
