@@ -872,3 +872,57 @@ def user_journey_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_hits").desc(), "path")
         .limit(_PATH_TOP)
     )
+
+
+@register(
+    "event_type_transition_matrix",
+    tags=("events", "window", "stats"),
+    description="First-order Markov view of user behavior: per-user "
+    "chronological event streams reduced to type-to-type transition "
+    "counts and floor-rounded row-conditional probabilities",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS src,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS dst
+            FROM events
+        ),
+        t AS (
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE dst IS NOT NULL
+            GROUP BY src, dst
+        ),
+        tot AS (SELECT src, sum(n) AS n_src FROM t GROUP BY src)
+        SELECT t.src, t.dst, t.n,
+               floor(CAST(t.n AS DOUBLE) / tot.n_src * 10000 + 0.5) / 10000
+                   AS p
+        FROM t JOIN tot USING (src)
+        ORDER BY t.src, t.dst
+    """,
+)
+def event_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which event follows which — the first-order Markov summary behind
+    next-action prediction and anomaly scoring. One per-user window
+    (lead over the chronological stream; the same single shuffle
+    sessionization pays), then the word-count-shaped transition
+    aggregate; output is |types|^2 rows at any corpus size. The
+    conditional probability n/n_src is a small-integer ratio, so it uses
+    the floor-rounding form (``operators/dedup.floor_round`` rationale)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    t = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    tot = t.groupBy("src").agg(F.sum("n").alias("n_src"))
+    p = F.floor(
+        F.col("n").cast("double") / F.col("n_src") * F.lit(10000) + F.lit(0.5)
+    ) / F.lit(10000)
+    return (
+        t.join(tot, on="src")
+        .select("src", "dst", "n", p.alias("p"))
+        .orderBy("src", "dst")
+    )
