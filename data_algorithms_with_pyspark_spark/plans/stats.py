@@ -520,3 +520,133 @@ def event_value_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "customer_rfm_segments",
+    tags=("stats", "tpch", "window"),
+    description="RFM segmentation: per-customer recency / frequency / "
+    "monetary (exact cents) bucketed into quartiles by interpolated "
+    "percentile BOUNDARIES (broadcast 1-row cutoffs, no global-ntile "
+    "single-partition window); segment = concatenated quartile digits",
+    oracle="""
+        WITH maxd AS (SELECT max(o_orderdate) AS d FROM orders),
+        base AS (
+            SELECT o_custkey AS custkey,
+                   CAST(date_diff('day', max(o_orderdate),
+                                  (SELECT d FROM maxd)) AS BIGINT)
+                       AS recency_days,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS monetary_cents
+            FROM orders
+            GROUP BY o_custkey
+        ),
+        cuts AS (
+            SELECT quantile_cont(recency_days, 0.25) AS r25,
+                   quantile_cont(recency_days, 0.5)  AS r50,
+                   quantile_cont(recency_days, 0.75) AS r75,
+                   quantile_cont(frequency, 0.25) AS f25,
+                   quantile_cont(frequency, 0.5)  AS f50,
+                   quantile_cont(frequency, 0.75) AS f75,
+                   quantile_cont(monetary_cents, 0.25) AS m25,
+                   quantile_cont(monetary_cents, 0.5)  AS m50,
+                   quantile_cont(monetary_cents, 0.75) AS m75
+            FROM base
+        )
+        SELECT b.custkey, b.recency_days, b.frequency, b.monetary_cents,
+               CAST(1 + (b.recency_days > c.r25)::INT
+                      + (b.recency_days > c.r50)::INT
+                      + (b.recency_days > c.r75)::INT AS BIGINT) AS r_q,
+               CAST(1 + (b.frequency < c.f75)::INT
+                      + (b.frequency < c.f50)::INT
+                      + (b.frequency < c.f25)::INT AS BIGINT) AS f_q,
+               CAST(1 + (b.monetary_cents < c.m75)::INT
+                      + (b.monetary_cents < c.m50)::INT
+                      + (b.monetary_cents < c.m25)::INT AS BIGINT) AS m_q,
+               CAST(1 + (b.recency_days > c.r25)::INT
+                      + (b.recency_days > c.r50)::INT
+                      + (b.recency_days > c.r75)::INT AS VARCHAR)
+               || CAST(1 + (b.frequency < c.f75)::INT
+                         + (b.frequency < c.f50)::INT
+                         + (b.frequency < c.f25)::INT AS VARCHAR)
+               || CAST(1 + (b.monetary_cents < c.m75)::INT
+                         + (b.monetary_cents < c.m50)::INT
+                         + (b.monetary_cents < c.m25)::INT AS VARCHAR)
+                   AS rfm_segment
+        FROM base b, cuts c
+        ORDER BY b.custkey
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic CRM segmentation, formulated for scale: quartile
+    membership comes from interpolated percentile BOUNDARIES (one 9-cell
+    aggregate row broadcast back over the customers) rather than a
+    global ntile — whose single-partition window the catalog plan lint
+    rightly rejects. Money in exact integer cents; boundary comparisons
+    are integer-vs-interpolated-double, which both engines compute
+    identically (exact when p*(n-1) lands on a datum, strictly between
+    integers otherwise — the same percentile equivalence
+    event_value_percentiles relies on). One orders aggregate + one
+    broadcast join; at 100 TB all window-free."""
+    orders = load_table(spark, sf_dir, "orders")
+    max_d = orders.agg(F.max("o_orderdate").alias("d"))
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count("*").alias("frequency"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(max_d))
+        .select(
+            "custkey",
+            F.datediff(F.col("d"), F.col("_last")).cast("long").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    cuts = base.agg(
+        *[
+            F.percentile(col, F.lit(p)).alias(f"{a}{int(p * 100)}")
+            for col, a in (
+                ("recency_days", "r"),
+                ("frequency", "f"),
+                ("monetary_cents", "m"),
+            )
+            for p in (0.25, 0.5, 0.75)
+        ]
+    )
+    asc = lambda c, a: (  # noqa: E731
+        F.lit(1)
+        + (F.col(c) > F.col(f"{a}25")).cast("int")
+        + (F.col(c) > F.col(f"{a}50")).cast("int")
+        + (F.col(c) > F.col(f"{a}75")).cast("int")
+    ).cast("long")
+    desc = lambda c, a: (  # noqa: E731
+        F.lit(1)
+        + (F.col(c) < F.col(f"{a}75")).cast("int")
+        + (F.col(c) < F.col(f"{a}50")).cast("int")
+        + (F.col(c) < F.col(f"{a}25")).cast("int")
+    ).cast("long")
+    q = base.crossJoin(F.broadcast(cuts)).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        asc("recency_days", "r").alias("r_q"),
+        desc("frequency", "f").alias("f_q"),
+        desc("monetary_cents", "m").alias("m_q"),
+    )
+    return q.select(
+        "*",
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ).alias("rfm_segment"),
+    ).orderBy("custkey")
