@@ -44,6 +44,15 @@ _HEX = "0123456789abcdef"
 # [0, 16^6) — the deterministic "random" draw for rational-rate sampling.
 _HASH_SPACE = 16**6
 
+# A-ES rank-key clamp: |ln u| <= ln(16^6) ~= 16.64 for the 24-bit md5
+# draw, so es_key = ln(u)/w stays above -4e6 for any weight >=
+# _ES_MIN_WEIGHT; beyond that the 1e-12 quantization would leave the
+# int64 grid. Clamping (identically in oracle replays) turns the
+# out-of-range region into a deterministic bottom tie-bucket instead of
+# a silent int64 wrap.
+_ES_KEY_CLAMP = -4.0e6
+_ES_MIN_WEIGHT = 16.64 / -_ES_KEY_CLAMP  # ~4.2e-6
+
 
 def hash_sample_predicate(key: Column | str, sixteenths: int) -> Column:
     """Boolean column: md5(key)'s first hex digit < sixteenths (rate = n/16)."""
@@ -133,6 +142,17 @@ def weighted_sample_without_replacement(
     row key as tiebreak — the same accepted boundary-risk class as the
     cosine/kmeans grids. Weights must be strictly positive.
 
+    Supported weight range: the 1e-12 grid ranks weights down to
+    ``_ES_MIN_WEIGHT`` (~4.2e-6; |ln u| <= 16.64 for the 24-bit md5
+    draw, so smaller weights would push ``es_key * 1e12`` past 2^63 and
+    silently wrap the long grid in Spark while an oracle CAST errors).
+    Below that bound ``es_key`` is clamped to ``_ES_KEY_CLAMP`` on BOTH
+    engines — those rows collapse into one bottom tie-bucket ordered by
+    ``key_col`` (their selection probability is ~0 anyway at that
+    weight). Oracle replays must apply the same
+    ``greatest(ln(u)/w, -4e6)`` before quantizing (no-op for weights in
+    range; see ``documents_weighted_sample``).
+
     Output: the sampled rows (all input columns) plus ``sample_rank``
     (1..k in selection order) and the quantized ``es_key_q``.
     """
@@ -146,7 +166,11 @@ def weighted_sample_without_replacement(
     ).cast("double") / F.lit(float(_HASH_SPACE))  # u in (0, 1]
     w = F.col(weight_col).cast("double")
     es_key = F.ln(u) / w  # monotone in u^(1/w); larger = selected
-    key_q = F.floor(es_key * F.lit(1e12) + F.lit(0.5)).cast("long")
+    # Clamp keeps es_key * 1e12 inside the long grid (ADVICE r3): below
+    # _ES_MIN_WEIGHT the product would exceed 2^63 and wrap.
+    key_q = F.floor(
+        F.greatest(es_key, F.lit(_ES_KEY_CLAMP)) * F.lit(1e12) + F.lit(0.5)
+    ).cast("long")
     ranked = (
         df.where(w > 0)
         .withColumn("es_key_q", key_q)

@@ -746,12 +746,23 @@ def pq_encode(
     ``acc += d*d`` dimension-sequentially (vectorized across rows, never
     BLAS-reduced), so every distance is bit-identical to a left-to-right
     fold — which is what the DuckDB oracle's list sum replays.
+
+    Input bound: each per-subspace squared distance must stay below
+    ``(2^63/ksub - 1) / 1e12`` (~5.8e5 at ksub=16; for unit-normalized
+    embeddings d2 <= 4, five orders of headroom) — beyond it the
+    tie-break packing would wrap int64, so the encoder RAISES instead of
+    silently emitting wrong codes.
     """
     m = len(codebook)
     ksub = len(codebook[0])
     nbits = max(1, (ksub - 1).bit_length())
     w = len(codebook[0][0])
     cb = np.array(codebook, dtype=np.float64)  # (m, ksub, w)
+    # Tie-break packing floor(d2*1e12+0.5)*ksub+c wraps int64 once a
+    # per-subspace squared distance exceeds this bound (~5.8e5 at
+    # ksub=16). numpy wraps SILENTLY where an oracle CAST would raise
+    # (ADVICE r3), so out-of-range inputs must raise here too.
+    max_d2 = ((2**63 - 1 - (ksub - 1)) // ksub - 1) / 1e12
 
     @pandas_udf("long")
     def _enc(vcol: pd.Series) -> pd.Series:
@@ -768,6 +779,14 @@ def pq_encode(
                 for i in range(w):  # dim-sequential: left-fold bit-exact
                     d = sub[:, i] - cent[i]
                     acc = acc + d * d
+                if acc.max(initial=0.0) > max_d2:
+                    raise ValueError(
+                        "pq_encode: per-subspace squared distance "
+                        f"{acc.max():.3e} exceeds the packable bound "
+                        f"{max_d2:.3e} (ksub={ksub}); normalize or "
+                        "scale vectors so the int64 tie-break grid "
+                        "cannot wrap"
+                    )
                 packed = (
                     np.floor(acc * 1e12 + 0.5).astype(np.int64) * ksub + c
                 )

@@ -2521,11 +2521,15 @@ _WSAMPLE_K = 50
         ),
         keyed AS (
             SELECT doc_id, n_tokens,
+                   -- greatest(..., -4e6) replays the operator's
+                   -- _ES_KEY_CLAMP (no-op here: integer weights >= 1)
                    CAST(floor(
-                       ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
-                                              1, 6))::BIGINT + 1)
-                          / 16777216.0)
-                       / n_tokens * 1e12 + 0.5) AS BIGINT) AS es_key_q
+                       greatest(
+                           ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                                  1, 6))::BIGINT + 1)
+                              / 16777216.0)
+                           / n_tokens, -4e6)
+                       * 1e12 + 0.5) AS BIGINT) AS es_key_q
             FROM t WHERE n_tokens > 0
         )
         SELECT doc_id, n_tokens, es_key_q,

@@ -831,16 +831,14 @@ def user_journey_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     path-mining query product analytics runs on every event stream. One
     per-journey ordered collect (array_sort over (ts, event_id, type)
     structs inside the aggregate — no separate window pass), then
-    expression-level sliding n-grams (``word_ngrams`` contract: the
-    array is materialized before the lambda) and a count aggregate. At
-    100 TB: journeys shuffle once on (user, day) — a bounded group (one
+    expression-level sliding n-grams built DIRECTLY with
+    ``concat_ws(' > ', slice(types, i, n))`` over an index sequence —
+    not a space-join-then-regexp rewrite, so multi-word event types
+    survive intact (ADVICE r3) — and a count aggregate. At 100 TB:
+    journeys shuffle once on (user, day) — a bounded group (one
     user-day of events fits any executor), then paths shuffle as
     (string, partial count) rows — both map-side combined; nothing
     quadratic anywhere."""
-    from data_algorithms_with_pyspark_spark.functions.text_functions import (
-        word_ngrams,
-    )
-
     events = load_table(spark, sf_dir, "events")
     seqs = events.groupBy(
         "user_id", F.to_date("ts").alias("day")
@@ -858,14 +856,16 @@ def user_journey_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["y"],
         ).alias("types")
     )
-    paths = seqs.select(
-        F.explode(
-            F.transform(
-                word_ngrams(F.col("types"), _PATH_N),
-                lambda g: F.regexp_replace(g, " ", " > "),
-            )
-        ).alias("path")
-    )
+    grams = F.when(
+        F.size("types") >= _PATH_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size("types") - F.lit(_PATH_N - 1)),
+            lambda i: F.concat_ws(
+                " > ", F.slice(F.col("types"), i, _PATH_N)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    paths = seqs.select(F.explode(grams).alias("path"))
     return (
         paths.groupBy("path")
         .agg(F.count("*").alias("n_hits"))

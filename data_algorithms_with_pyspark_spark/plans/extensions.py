@@ -1002,8 +1002,12 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT vec AS qvec FROM v WHERE vec_id = {_ANN_QUERY_ID}
         ),
         probes AS (
+            -- same 1e15 integer-grid cosine key as ivf_assign: a
+            -- last-ulp engine difference on near-tied centroids must
+            -- not flip which lists are probed (ADVICE r3)
             SELECT cid FROM cent, q
-            ORDER BY list_cosine_similarity(cvec, qvec) DESC, cid
+            ORDER BY CAST(floor((list_cosine_similarity(cvec, qvec) + 1.0)
+                               * 1e15 + 0.5) AS BIGINT) DESC, cid
             LIMIT 4
         ),
         cb AS MATERIALIZED (
@@ -1105,9 +1109,17 @@ def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "cid",
-            cosine_similarity(F.col("cvec"), F.col("qvec")).alias("qc"),
+            # quantized to the same 1e15 grid ivf_assign uses, so probe
+            # selection cannot diverge across engines on near-ties
+            F.floor(
+                (cosine_similarity(F.col("cvec"), F.col("qvec")) + F.lit(1.0))
+                * F.lit(1e15)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("qc_q"),
         )
-        .orderBy(F.col("qc").desc(), "cid")
+        .orderBy(F.col("qc_q").desc(), "cid")
         .limit(4)
         .select("cid")
     )

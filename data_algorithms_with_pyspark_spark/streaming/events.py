@@ -324,12 +324,14 @@ def streaming_ttl_dedup(
 
     ``dropDuplicates`` on a stream keeps every key it has ever seen
     (unbounded state unless watermark-windowed); this operator emits the
-    first occurrence of each key and suppresses repeats, with the state
-    store evicting each key ``ttl_minutes`` after its last write — the
-    bounded-memory contract a 100 TB ingest stream needs (a key recurring
-    after TTL re-emits: dedup horizon, not dedup forever; pair with the
-    batch anti-join vs history, ``streaming_dedup_vs_history``, for the
-    beyond-horizon layer).
+    first occurrence of each key and suppresses repeats, with SLIDING
+    TTL: suppressed duplicates re-write the ValueState, so eviction runs
+    ``ttl_minutes`` after the LAST same-key arrival, not the first
+    (a key is only re-emitted once it has been quiet for a full TTL) —
+    the bounded-memory contract a 100 TB ingest stream needs (a key
+    recurring after the quiet horizon re-emits: dedup horizon, not dedup
+    forever; pair with the batch anti-join vs history,
+    ``streaming_dedup_vs_history``, for the beyond-horizon layer).
 
     Output: one row per first-seen key — the key columns plus
     ``n_suppressed`` (how many same-key rows arrived with it in that
@@ -367,6 +369,9 @@ def streaming_ttl_dedup(
         def handleInputRows(self, key, rows, timerValues):
             n = sum(len(pdf) for pdf in rows)
             if self._seen.exists():
+                # refresh: the TTL slides from the LAST same-key
+                # arrival, per the sliding-horizon contract above
+                self._seen.update((True,))
                 return iter([])  # duplicate within the TTL horizon
             self._seen.update((True,))
             row = dict(zip(key_cols, key))

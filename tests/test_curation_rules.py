@@ -505,3 +505,29 @@ def test_weighted_sample_rejects_nonpositive_weights_rows(spark):
         df, key_col="rid", weight_col="w", k=10
     ).collect()
     assert [r["rid"] for r in out] == [1]  # zero/negative weights dropped
+
+
+def test_weighted_sample_tiny_weights_clamp_not_wrap(spark):
+    """ADVICE r3: weights below ~4.2e-6 used to push es_key*1e12 past
+    2^63 (silent int64 wrap -> mis-ranking). Now they clamp into a
+    bottom tie-bucket: normal-weight rows always outrank them, the
+    clamped keys sit exactly on the _ES_KEY_CLAMP grid, and ties break
+    by key."""
+    from data_algorithms_with_pyspark_spark.operators.sampling import (
+        _ES_KEY_CLAMP,
+        weighted_sample_without_replacement,
+    )
+
+    rows = [(1, 1.0), (2, 1e-9), (3, 1e-12), (4, 2.0)]
+    df = spark.createDataFrame(rows, "rid long, w double")
+    out = weighted_sample_without_replacement(
+        df, key_col="rid", weight_col="w", k=4
+    ).collect()
+    by_id = {r["rid"]: r for r in out}
+    clamp_q = int(_ES_KEY_CLAMP * 1e12)
+    # tiny-weight rows land exactly on the clamp grid (no wrap to +huge)
+    assert by_id[2]["es_key_q"] == clamp_q
+    assert by_id[3]["es_key_q"] == clamp_q
+    # normal rows outrank them; clamped ties break by key ascending
+    assert {by_id[1]["sample_rank"], by_id[4]["sample_rank"]} == {1, 2}
+    assert by_id[2]["sample_rank"] == 3 and by_id[3]["sample_rank"] == 4

@@ -539,6 +539,28 @@ def test_pq_codebook_validates_geometry(spark):
         pq_codebook(vecs, m=2, ksub=16, vec_col="vec")  # only 4 vectors
 
 
+def test_pq_encode_raises_on_unpackable_magnitude(spark):
+    """ADVICE r3: a per-subspace squared distance past ~5.8e5 (ksub=16)
+    used to wrap the int64 tie-break packing silently. The encoder must
+    now raise instead of emitting corrupt codes."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    # codebook of zeros; a vector of 1e3s gives d2 = 4 * 1e6 per
+    # 4-dim subspace >> the ~5.8e5 packable bound
+    cb = [[[0.0] * 4 for _ in range(16)] for _ in range(2)]
+    vecs = spark.createDataFrame(
+        [(1, [1.0e3] * 8)], "vec_id long, vec array<double>"
+    )
+    with _pytest.raises((Py4JJavaError, Exception)) as ei:
+        pq_encode(vecs, cb, vec_col="vec").collect()
+    assert "packable bound" in str(ei.value)
+
+
 def test_pq_codebook_rejects_non_power_of_two_ksub(spark):
     import pytest as _pytest
 
