@@ -177,6 +177,11 @@ def weighted_sample_without_replacement(
         .orderBy(F.col("es_key_q").desc(), F.col(key_col))
         .limit(k)
     )
+    # NOTE: source of the driver-log "WARN WindowExec: No Partition
+    # Defined for Window operation" for weighted-sample queries —
+    # expected and bounded: the window ranks the k-row LIMIT output
+    # above (TakeOrderedAndProject), never the corpus. The plan lint's
+    # bounded-child rule enforces this shape (tests/test_plan_lint.py).
     rank = F.row_number().over(
         Window.orderBy(F.col("es_key_q").desc(), F.col(key_col))
     )
