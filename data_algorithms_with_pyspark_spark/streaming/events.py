@@ -230,6 +230,48 @@ def run_to_memory_sink(
     q.awaitTermination()
 
 
+def drain_to_memory_sink(
+    streaming_df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    min_rows: int = 0,
+    timeout_sec: float = 120.0,
+) -> None:
+    """Like ``run_to_memory_sink`` but for STATEFUL operators whose time
+    mode keeps the query alive: with ``timeMode="processingTime"`` (which
+    state TTL requires), ``TransformWithStateExec.shouldRunAnotherBatch``
+    is always true — processing-time timers/TTL could fire at any
+    wall-clock instant — so an availableNow run never self-terminates; it
+    loops "No new data but cleaning up state" zero-input batches forever,
+    and the constant batch churn also starves ``processAllAvailable()``
+    (observed on Spark 4.1 local mode). The workable batch-drain
+    contract: poll the memory sink until ``min_rows`` rows arrived (the
+    caller knows how many the drained input must produce), then
+    ``stop()`` — the same polling pattern the rate-source tests use."""
+    import time as _time
+
+    q = (
+        streaming_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    spark = streaming_df.sparkSession
+    try:
+        deadline = _time.monotonic() + timeout_sec
+        while _time.monotonic() < deadline:
+            n = spark.sql(
+                f"SELECT count(*) AS c FROM {query_name}"
+            ).collect()[0]["c"]
+            if n >= min_rows:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    q.awaitTermination()
+
+
 def streaming_user_running_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: running
     per-user event count and value total, updated batch-by-batch.
@@ -342,10 +384,14 @@ def streaming_ttl_dedup(
 
     Environment note: Spark's transformWithState protocol speaks
     protobuf between the JVM state server and the Python worker, so the
-    ``protobuf`` pip package must be installed cluster-side (it is a
-    standard PySpark extra, absent from this repo's test container —
-    tests/test_streaming.py gates on its presence; the plan construction
-    itself is exercised unconditionally).
+    ``protobuf`` pip package must be installed cluster-side (a standard
+    PySpark extra). This repo's test container lacks it, so the e2e test
+    runs on a pure-Python runtime shim (tests/pbshim/sitecustomize.py);
+    plan construction is exercised unconditionally. A batch-drain run of
+    this operator must stop via sink polling, not awaitTermination —
+    ``timeMode="processingTime"`` (required for TTL) makes Spark loop
+    state-cleanup batches forever under availableNow (see
+    ``drain_to_memory_sink``).
     """
     import pandas as pd  # worker-side
     from pyspark.sql.streaming.stateful_processor import (

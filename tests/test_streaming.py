@@ -368,14 +368,18 @@ def test_streaming_ttl_dedup_first_seen(spark, tmp_path):
     batch are suppressed-and-counted, keys seen in an earlier batch are
     suppressed entirely, unseen keys emit. (TTL is configured state —
     expiry timing isn't exercised in an availableNow run.)"""
-    pytest.importorskip(
-        "google.protobuf",
-        reason="Spark's transformWithState state protocol needs protobuf",
-    )
+    from tests.pbshim import sitecustomize as pbshim
+
+    if not pbshim.available():
+        pytest.skip(
+            "transformWithState needs a protobuf runtime: neither "
+            "google.protobuf nor the gcloud pure-Python runtime "
+            "(tests/pbshim/sitecustomize.py) is present"
+        )
     from pyspark.sql import Row
 
     from data_algorithms_with_pyspark_spark.streaming.events import (
-        run_to_memory_sink,
+        drain_to_memory_sink,
         streaming_ttl_dedup,
     )
 
@@ -406,7 +410,10 @@ def test_streaming_ttl_dedup_first_seen(spark, tmp_path):
         out = streaming_ttl_dedup(
             stream, ["user_id", "event_type"], ttl_minutes=120
         )
-        run_to_memory_sink(out, "ttl_dedup_out", output_mode="append")
+        # 3 distinct keys across both batches -> 3 emitted rows
+        drain_to_memory_sink(
+            out, "ttl_dedup_out", output_mode="append", min_rows=3
+        )
         rows = {
             (r.user_id, r.event_type): r.n_suppressed
             for r in spark.sql("SELECT * FROM ttl_dedup_out").collect()
