@@ -133,3 +133,30 @@ class Engine:
 
         compare_spark_duckdb(df, con, q.oracle)
         return {"query": name, "mode": "oracle", "match": True}
+
+    def verify_all(
+        self, names: list[str] | None = None, fail_fast: bool = False
+    ) -> dict:
+        """Run the FULL correctness gate the way scripts/driver_sim.py
+        does, as a one-liner: every catalog query (or the given subset)
+        executes on Spark and replays on DuckDB over the same parquet
+        directory, with row-count / column-name / order-insensitive
+        value comparison. Returns ``{"passed": [...], "rows_only":
+        [...], "failed": {name: error}}``; with ``fail_fast`` the first
+        mismatch re-raises instead. Use before shipping an engine or
+        data change:
+
+            Engine.local("/root/testdata/sf0.01").verify_all()
+        """
+        report: dict = {"passed": [], "rows_only": [], "failed": {}}
+        for name in names if names is not None else self.names():
+            try:
+                r = self.verify(name)
+            except Exception as e:  # noqa: BLE001 — collected per query
+                if fail_fast:
+                    raise
+                report["failed"][name] = f"{type(e).__name__}: {e}"
+                continue
+            key = "rows_only" if r.get("mode") == "rows_only" else "passed"
+            report[key].append(name)
+        return report

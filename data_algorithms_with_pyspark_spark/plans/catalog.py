@@ -59,65 +59,51 @@ _QUERY_MODULES = (
 # attestation covers every catalog query (scripts/driver_sim.py always
 # verifies all of them regardless of order).
 _SAMPLE_PRIORITY = (
-    # Round 3: the 35 queries the driver's ~50-query sample window has
-    # never attested (union of CORRECTNESS_r01+r02), so cumulative driver
-    # attestation reaches the whole catalog.
-    "customer_balance_ranks",
-    "customer_balance_window_bounds",
-    "corpus_curation_pipeline",
-    "near_dup_clusters",
-    "corpus_token_stats",
-    "customer_segment_upsert",
-    "documents_hash_sample",
-    "training_shard_packing",
-    "benchmark_contamination",
-    "orders_quality_report",
-    "corpus_curation_v2",
-    "orders_date_functions",
-    "part_string_functions",
-    "embedding_vector_stats",
-    "brand_type_map_roundtrip",
-    "fasta_base_count",
-    "doc_gopher_quality_rules",
-    "doc_repetition_scores",
-    "embedding_int8_quant_error",
-    "orders_salted_join_agg",
-    "events_hourly_daily_rollup",
-    "corpus_weighted_mixture_sample",
-    "corpus_vocabulary_coverage",
-    "kmv_distinct_users",
-    "events_value_ewma",
-    "embedding_semdedup_prune",
-    "doc_char_lm_scores",
-    "doc_length_quantile_filter",
-    "doc_boilerplate_ngrams",
-    "doc_sequence_chunks",
-    "incremental_dedup_new_docs",
-    "doc_pii_scrub_report",
-    "doc_repeated_segment_dedup",
-    "term_posting_lists",
-    "incremental_near_dup_candidates",
-    # MinHash/SimHash family: upgraded this round from rows-only to full
-    # md5-derived DuckDB value oracles — re-attest.
-    "minhash_near_dup_candidates",
-    "simhash_near_dup_candidates",
-    # New round-3 queries (real rerank scorer, real multimodal decode,
-    # persisted band index, HLL bracket twin).
-    "rerank_topk",
-    "multimodal_decoded_stats",
-    "multimodal_audio_stats",
-    "multimodal_video_stats",
-    "multimodal_frame_pipeline",
-    "incremental_near_dup_persisted_index",
-    "exact_distinct_users",
-    "bpe_learned_merges",
-    "bpe_vocab_segmentation",
-    "embedding_hard_negatives",
-    "doc_duplicated_spans",
-    "bloom_term_membership",
+    # Round 4 rotation (VERDICT r3 #1). Slots 1-12: the 12 late-r3
+    # queries the driver has NEVER attested (union of CORRECTNESS_r01-03)
+    # — with these green, cumulative driver attestation covers the whole
+    # r3 catalog.
+    "concurrent_session_pairs",
+    "customer_rfm_segments",
+    "doc_quality_classifier_eval",
+    "documents_weighted_sample",
+    "embedding_cluster_top_terms",
+    "event_type_transition_matrix",
+    "event_value_sampled_quantiles",
+    "incremental_hourly_agg_merge",
+    "user_journey_path_ngrams",
+    "ivf_pq_ann_topk",
+    "pq_ann_topk",
+    "pq_recall_report",
+    # New in r4 / code path changed in r4 (fused classifier trainer,
+    # persisted-signature index, minhash expr-string build) — a changed
+    # query must re-enter the window even if it was green in r3.
+    "ivf_pq_recall_report",
     "doc_quality_classifier",
-    # Graph family: green in r1 only, two rounds stale — re-attest with
-    # whatever sample-window room remains (unchanged code, r1-green).
+    "incremental_near_dup_persisted_index",
+    "incremental_near_dup_candidates",
+    "minhash_near_dup_candidates",
+    "near_dup_clusters",
+    # r1-only-attested queries, two rounds stale (VERDICT r3 #2): the
+    # full TPC-H family ...
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q10_returned_items",
+    "q12_priority_by_linestatus",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_bracket_revenue",
+    "q22_idle_rich_customers",
+    # ... the graph family ...
     "graph_degrees",
     "graph_bidirectional_edges",
     "graph_two_hop_paths",
@@ -125,6 +111,19 @@ _SAMPLE_PRIORITY = (
     "graph_connected_components",
     "graph_pagerank",
     "graph_shortest_paths",
+    # ... and the r1-only reporting/ETL queries that fit the remaining
+    # slots. Deferred to r5 (still r1-green, shapes redundantly covered
+    # by in-window queries): active_nation_keys, char_count,
+    # customers_without_orders, lineitem_cube, part_name_words,
+    # sum_quantity_by_linestatus, top_customers_by_balance, word_count.
+    "avg_quantity_by_returnflag",
+    "customer_balance_etl",
+    "lineitem_rollup",
+    "nation_customer_supplier_setops",
+    "orders_by_year_month",
+    "returnflag_linestatus_pivot",
+    "sql_nation_supplier_analytics",
+    "top_orders_per_priority",
 )
 
 _REGISTRY: dict[str, "CatalogQuery"] = {}

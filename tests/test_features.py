@@ -227,3 +227,23 @@ def test_engine_verify_self_service(spark):
     assert hll["mode"] == "rows_only" and hll["rows"] > 0
     with pytest.raises(KeyError):
         eng.verify("no_such_query")
+
+
+def test_engine_verify_all_subset(spark):
+    """Engine.verify_all is the driver_sim gate as a one-liner: a green
+    subset lands in passed, the HLL sketch in rows_only, and a failure
+    is collected per query (not raised) unless fail_fast."""
+    from data_algorithms_with_pyspark_spark.engine import Engine
+    from tests.conftest import SF_SMOKE
+
+    eng = Engine(spark, SF_SMOKE)
+    rep = eng.verify_all(
+        ["q6_forecast_revenue", "word_count", "approx_distinct_users_hll"]
+    )
+    assert rep["passed"] == ["q6_forecast_revenue", "word_count"]
+    assert rep["rows_only"] == ["approx_distinct_users_hll"]
+    assert rep["failed"] == {}
+    bad = eng.verify_all(["no_such_query"])
+    assert list(bad["failed"]) == ["no_such_query"]
+    with pytest.raises(KeyError):
+        eng.verify_all(["no_such_query"], fail_fast=True)
