@@ -413,28 +413,21 @@ def simhash(
             F.col("_t").isNotNull(), _base_hash(F.col("_t"), hash_fn)
         ).alias("_h"),
     )
-    votes = [
-        F.sum(
-            F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1).cast("long")) * 2
-            - 1
-        ).alias(f"_v{b}")
-        for b in range(n_bits)
-    ]
-    sim = F.lit(0).cast("long")
-    for b in range(n_bits):
-        sim = sim.bitwiseOR(
-            F.when(
-                F.col(f"_v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-            ).otherwise(F.lit(0).cast("long"))
-        )
+    # The n_bits per-bit votes AND the bit-reassembly are ONE SQL string
+    # parsed JVM-side (the minhash_signatures lesson, r4): composing the
+    # 60 vote aggregates plus the 60-term OR chain Column-by-Column cost
+    # ~700 Py4J round trips (~1.2s of driver latency PER INVOCATION),
+    # more than the query's actual execution at sf0.1. Same aggregate
+    # semantics: 60 sum buffers, bit b set iff its vote sum is positive.
     # explode_outer keeps zero-token docs as one NULL token row (sum
     # ignores NULL -> all votes NULL -> no bit set -> simhash 0, matching
-    # the oracle's LEFT JOIN/coalesce(0))
-    return (
-        exploded.groupBy(id_col)
-        .agg(*votes)
-        .select(F.col(id_col), sim.alias("simhash"))
+    # the oracle's LEFT JOIN/coalesce(0)).
+    sim_sql = " | ".join(
+        f"(CASE WHEN sum(((shiftright(_h, {b}) & 1L) * 2) - 1) > 0 "
+        f"THEN shiftleft(1L, {b}) ELSE 0L END)"
+        for b in range(n_bits)
     )
+    return exploded.groupBy(id_col).agg(F.expr(sim_sql).alias("simhash"))
 
 
 def simhash_candidate_pairs(
