@@ -20,7 +20,7 @@ collected to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["upsert", "apply_cdc", "scd2_apply", "latest_change_per_key", "merge_partial_aggs"]
@@ -30,16 +30,24 @@ def latest_change_per_key(
     changes: DataFrame, keys: list[str], order_col: str
 ) -> DataFrame:
     """One row per key: the change with the greatest ``order_col`` (ties
-    broken by the remaining columns' values via struct ordering —
-    deterministic as long as (key, order_col) is unique, the CDC norm)."""
+    broken by the remaining value columns, lexicographically — the same
+    total order a max-by-struct aggregate would use; deterministic as
+    long as (key, order_col) is unique, the CDC norm).
+
+    Planned as a key-partitioned window + ``row_number() = 1`` rather
+    than ``max(struct(...))``: a struct payload cannot ride the hash
+    aggregation buffer, so the struct form degrades to partial+final
+    SortAggregate, while the window form keeps one Exchange on the keys
+    and Spark 4 rewrites the rank-1 filter into WindowGroupLimit (the
+    per-partition top-1 is pre-pruned below the shuffle)."""
     value_cols = [c for c in changes.columns if c not in keys]
     ordered = [order_col] + [c for c in value_cols if c != order_col]
-    packed = changes.groupBy(*keys).agg(
-        F.max(F.struct(*ordered)).alias("_latest")
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in ordered])
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(*changes.columns)
     )
-    return packed.select(
-        *keys, *[F.col(f"_latest.{c}").alias(c) for c in value_cols]
-    ).select(*changes.columns)
 
 
 def upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:

@@ -78,6 +78,8 @@ _SAMPLE_PRIORITY = (
     # New in r4 / code path changed in r4 (fused classifier trainer,
     # persisted-signature index, minhash expr-string build) — a changed
     # query must re-enter the window even if it was green in r3.
+    "orders_cdc_replay",
+    "customer_scd2_history",
     "ivf_pq_recall_report",
     "doc_quality_classifier",
     "incremental_near_dup_persisted_index",
@@ -113,12 +115,12 @@ _SAMPLE_PRIORITY = (
     "graph_shortest_paths",
     # ... and the r1-only reporting/ETL queries that fit the remaining
     # slots. Deferred to r5 (still r1-green, shapes redundantly covered
-    # by in-window queries): active_nation_keys, char_count,
-    # customers_without_orders, lineitem_cube, part_name_words,
+    # by in-window queries): active_nation_keys, avg_quantity_by_returnflag
+    # (group-avg shape = in-window q1_pricing_summary), char_count,
+    # customers_without_orders, lineitem_cube, lineitem_rollup (rollup
+    # shape r3-attested via events_hourly_daily_rollup), part_name_words,
     # sum_quantity_by_linestatus, top_customers_by_balance, word_count.
-    "avg_quantity_by_returnflag",
     "customer_balance_etl",
-    "lineitem_rollup",
     "nation_customer_supplier_setops",
     "orders_by_year_month",
     "returnflag_linestatus_pivot",

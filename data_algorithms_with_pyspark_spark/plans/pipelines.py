@@ -288,6 +288,199 @@ def customer_segment_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_cdc_replay",
+    tags=("pipeline", "merge", "cdc"),
+    description="CDC change-log replay onto an orders snapshot: I/U/D ops, "
+    "latest change per key wins (operators/merge.py:apply_cdc; window "
+    "top-1 pre-reduce + anti join + union — the MERGE INTO lowering)",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+            FROM orders
+        ),
+        target AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+        changelog AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, price_cents,
+                   'I' AS op, CAST(1 AS BIGINT) AS seq
+            FROM base WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, price_cents + 100,
+                   'U', CAST(1 AS BIGINT)
+            FROM base WHERE o_orderkey % 5 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, price_cents + 250,
+                   'U', CAST(2 AS BIGINT)
+            FROM base WHERE o_orderkey % 5 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, price_cents,
+                   'D', CAST(3 AS BIGINT)
+            FROM base WHERE o_orderkey % 11 = 0
+        ),
+        latest AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY o_orderkey ORDER BY seq DESC
+                ) AS rn FROM changelog
+            ) WHERE rn = 1
+        ),
+        merged AS (
+            SELECT t.* FROM target t
+            WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
+            FROM latest WHERE op <> 'D'
+        )
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               sum(price_cents) AS total_cents
+        FROM merged GROUP BY o_orderstatus
+    """,
+)
+def orders_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay a derived I/U/D change-log batch onto a derived orders
+    snapshot and report the merged table per order status.
+
+    The change batch is built deterministically from ``orders`` itself
+    (no synthesized inputs): keys ``%7==0`` are missing from the
+    snapshot and arrive as inserts, keys ``%5==0`` carry TWO update
+    images (seq 1 then seq 2 — the latest must win), keys ``%11==0``
+    are deletes at seq 3 (so a key divisible by 55 or 77 exercises
+    delete-beats-earlier-image). The top seq per key is unique by
+    construction, so the latest-change pre-reduce is deterministic.
+
+    Scale shape (operators/merge.py): one key-partitioned window top-1
+    over the changelog (WindowGroupLimit prunes below the shuffle) +
+    one left-anti equi-join on the merge key + union — the plan
+    MERGE INTO lowers to; both shuffles key-partitioned, AQE handles
+    skew. Prices ride as integer cents (floor(x*100+0.5), the repo
+    rounding grid), so the checksum is order-independent and
+    hash-exact."""
+    from data_algorithms_with_pyspark_spark.operators.merge import apply_cdc
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+    )
+    key = F.col("o_orderkey")
+
+    def image(where, price, op, seq):
+        return base.where(where).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            price.cast("long").alias("price_cents"),
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+
+    price = F.col("price_cents")
+    changelog = (
+        image(key % 7 == 0, price, "I", 1)
+        .unionByName(image(key % 5 == 0, price + 100, "U", 1))
+        .unionByName(image(key % 5 == 0, price + 250, "U", 2))
+        .unionByName(image(key % 11 == 0, price, "D", 3))
+    )
+    target = base.where(key % 7 != 0)
+    merged = apply_cdc(
+        target, changelog, ["o_orderkey"], op_col="op", order_col="seq"
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("price_cents").alias("total_cents"),
+    )
+
+
+@register(
+    "customer_scd2_history",
+    tags=("pipeline", "merge", "scd2"),
+    description="SCD type-2 dimension history: two change batches close "
+    "open versions and append new ones (operators/merge.py:scd2_apply); "
+    "output is the full versioned table, value-checked row by row",
+    oracle="""
+        WITH base AS (
+            SELECT c_custkey, c_mktsegment,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+            FROM customer
+        ),
+        after1 AS (
+            SELECT c_custkey, c_mktsegment, bal_cents,
+                   CAST(0 AS BIGINT) AS valid_from,
+                   CASE WHEN c_custkey % 4 = 0 THEN CAST(100 AS BIGINT)
+                        ELSE CAST(NULL AS BIGINT) END AS valid_to
+            FROM base
+            UNION ALL
+            SELECT c_custkey, 'UPGRADED', bal_cents + 1000,
+                   CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
+            FROM base WHERE c_custkey % 4 = 0
+        ),
+        final AS (
+            SELECT c_custkey, c_mktsegment, bal_cents, valid_from,
+                   CASE WHEN valid_to IS NULL AND c_custkey % 6 = 0
+                        THEN CAST(200 AS BIGINT) ELSE valid_to END AS valid_to
+            FROM after1
+            UNION ALL
+            SELECT c_custkey, 'PREMIER', bal_cents - 500,
+                   CAST(200 AS BIGINT), CAST(NULL AS BIGINT)
+            FROM base WHERE c_custkey % 6 = 0
+        )
+        SELECT * FROM final
+    """,
+)
+def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history for customers by
+    applying two derived change batches in sequence.
+
+    Batch 1 (ts=100): keys ``%4==0`` re-segment to UPGRADED (+1000
+    cents); batch 2 (ts=200): keys ``%6==0`` re-segment to PREMIER
+    (-500 cents vs base). Keys divisible by 12 therefore carry three
+    versions ([0,100), [100,200), [200,open)), exercising close-then-
+    close-again; keys hit by only one batch carry two; the rest stay
+    single open versions. The FULL versioned table is returned — every
+    valid_from/valid_to boundary and balance is value-verified against
+    the oracle's replay, not just aggregates.
+
+    Scale shape (operators/merge.py:scd2_apply): per batch, one inner
+    equi-join (close) + one left-anti (pass-through) on the key, then
+    unions — the change side is small and broadcasts under AQE; the
+    dimension is never rescanned beyond those joins and nothing hits
+    the driver."""
+    from data_algorithms_with_pyspark_spark.operators.merge import scd2_apply
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    current = base.select(
+        "*",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    key = F.col("c_custkey")
+    batch1 = base.where(key % 4 == 0).select(
+        "c_custkey",
+        F.lit("UPGRADED").alias("c_mktsegment"),
+        (F.col("bal_cents") + 1000).alias("bal_cents"),
+        F.lit(100).cast("long").alias("ts"),
+    )
+    batch2 = base.where(key % 6 == 0).select(
+        "c_custkey",
+        F.lit("PREMIER").alias("c_mktsegment"),
+        (F.col("bal_cents") - 500).alias("bal_cents"),
+        F.lit(200).cast("long").alias("ts"),
+    )
+    after1 = scd2_apply(current, batch1, ["c_custkey"], change_ts_col="ts")
+    return scd2_apply(after1, batch2, ["c_custkey"], change_ts_col="ts")
+
+
+@register(
     "documents_hash_sample",
     tags=("pipeline", "sampling"),
     description=f"Deterministic md5-bucket {_SAMPLE_SIXTEENTHS}/16 corpus sample "

@@ -104,6 +104,68 @@ def test_scd2_closes_and_appends_versions(spark):
     assert all(r["count"] == 1 for r in open_counts)
 
 
+def test_orders_cdc_replay_counts_and_checksum(spark):
+    """Independent invariants (not the oracle's replay): after the I/U/D
+    merge, the surviving key set is exactly {k : k % 11 != 0} and the
+    checksum equals base price + 250 cents for every %5 key — both
+    computable in one pass over the raw table without any merge logic."""
+    from data_algorithms_with_pyspark_spark.plans.pipelines import (
+        orders_cdc_replay,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r["o_orderstatus"]: (r["n_orders"], r["total_cents"])
+        for r in orders_cdc_replay(spark, SF_SMOKE).collect()
+    }
+    base = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_cents"),
+        )
+        .where(F.col("o_orderkey") % 11 != 0)
+        .withColumn(
+            "expected_cents",
+            F.col("price_cents")
+            + F.when(F.col("o_orderkey") % 5 == 0, F.lit(250)).otherwise(0),
+        )
+    )
+    want = {
+        r["o_orderstatus"]: (r["n"], r["cents"])
+        for r in base.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.sum("expected_cents").alias("cents"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_customer_scd2_history_version_chains(spark):
+    """Structural invariants over the full history: per-key version count
+    is 1 + [k%4==0] + [k%6==0], exactly one open version per key, and
+    each closed version's valid_to equals its successor's valid_from."""
+    from data_algorithms_with_pyspark_spark.plans.pipelines import (
+        customer_scd2_history,
+    )
+    from tests.conftest import SF_SMOKE
+
+    hist = customer_scd2_history(spark, SF_SMOKE).collect()
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r["c_custkey"], []).append(r)
+    for k, rows in by_key.items():
+        expect = 1 + (k % 4 == 0) + (k % 6 == 0)
+        assert len(rows) == expect, (k, rows)
+        rows.sort(key=lambda r: r["valid_from"])
+        opens = [r for r in rows if r["valid_to"] is None]
+        assert len(opens) == 1 and opens[0] is rows[-1]
+        for prev, nxt in zip(rows, rows[1:]):
+            assert prev["valid_to"] == nxt["valid_from"], (k, rows)
+
+
 def test_merge_partial_aggs_equals_full_recompute(spark):
     from data_algorithms_with_pyspark_spark.operators.merge import (
         merge_partial_aggs,
