@@ -119,7 +119,11 @@ _SAMPLE_PRIORITY = (
     # (group-avg shape = in-window q1_pricing_summary), char_count,
     # customers_without_orders, lineitem_cube, lineitem_rollup (rollup
     # shape r3-attested via events_hourly_daily_rollup), part_name_words,
-    # sum_quantity_by_linestatus, top_customers_by_balance, word_count.
+    # sum_quantity_by_linestatus, top_customers_by_balance, word_count;
+    # plus whatever the ~50-query sample cuts from the tail below (the
+    # tail is ordered most-redundant-last: top_orders_per_priority's
+    # window top-k shape is also covered in-window by
+    # training_shard_packing).
     "customer_balance_etl",
     "nation_customer_supplier_setops",
     "orders_by_year_month",

@@ -163,10 +163,21 @@ def lineitem_price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max(struct(ts, event_id, ...)) is the scale-preferred argmax: a
-    regular hash aggregate with map-side partials, vs the window-function
-    form which sorts every group. event_id makes the order total, so the
-    result is deterministic under any partitioning."""
+    """Per-user argmax via ``max(struct(ts, event_id, event_type))``.
+
+    The struct buffer cannot ride HashAggregateExec, so this plans as
+    partial+final SortAggregate — a shape the plan lint normally forbids
+    and therefore allowlists HERE with a measured justification: the
+    rank-1-window alternative (row_number over user_id, which plans as
+    WindowGroupLimit) was built and benchmarked in round 4 at sf0.1 —
+    struct 0.33s vs window 0.43s warm (~1.3x) — because BOTH forms sort
+    each task by the key (partial SortAggregate and partial
+    WindowGroupLimit do the same pre-shuffle one-row-per-key pruning);
+    the struct form just skips the window machinery. event_id makes the
+    order total, so the result is deterministic under any partitioning.
+    (Contrast operators/merge.py:latest_change_per_key, which uses the
+    window form: its input is the small changelog side, where lint
+    cleanliness is worth more than the constant factor.)"""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy("user_id")

@@ -36,13 +36,21 @@ _ALLOWED: dict[str, set[str]] = {
     # keep-min-representative dedup aggregates a STRUCT payload (the
     # surviving row's columns ride the aggregation buffer), which
     # HashAggregateExec cannot hold -> partial+final SortAggregate. The
-    # trade is deliberate: ONE shuffle with features computed once; the
-    # alternatives either rescan the corpus (min-id + join-back) or let
+    # trade is deliberate AND measured: the rank-1-window alternative
+    # (row_number -> WindowGroupLimit, the same single Exchange and the
+    # same pre-shuffle one-row-per-key pruning) was built in round 4 and
+    # benchmarked warm at sf0.1 — struct 0.68s vs window 0.95s — both
+    # forms sort each task by the key, and the struct form's smaller
+    # constant wins. The join-back alternatives rescan the corpus or let
     # Catalyst substitute the expensive text expressions into a pushed
     # filter. Partial mode still pre-combines per task.
     "corpus_curation_pipeline": {"SortAggregate"},
     # struct-max argmax (latest event PER USER): same struct-buffer
-    # rationale; the payload (event_type, value) must ride the buffer.
+    # rationale and the same round-4 measurement (struct 0.33s vs
+    # window 0.43s at sf0.1). The small-changelog pre-reduce in
+    # operators/merge.py:latest_change_per_key uses the window form
+    # instead — there the input is the small side and lint cleanliness
+    # costs nothing material.
     "latest_event_per_user": {"SortAggregate"},
 }
 
