@@ -145,12 +145,16 @@ def pred_lang_expr(text_col: str = "text") -> Column:
     return F.when(best > 0, expr.otherwise(F.lit("und"))).otherwise(F.lit("und"))
 
 
-def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def language_id(
+    docs: DataFrame, text_col: str = "text", keep_cols: tuple = ()
+) -> DataFrame:
     """Stopword-vote language ID over the marker vocabularies.
 
     Argmax with a fixed tie-break order (de < en < es < fr < zh by code,
     first-wins on equal score) so the result is deterministic and exactly
-    reproducible by an external oracle.
+    reproducible by an external oracle. ``keep_cols`` passes named input
+    columns through the projection (e.g. a ground-truth label for a
+    confusion matrix) so audits stay one-scan instead of joining back.
     """
     tokens = words(text_col)
     scores = {
@@ -167,6 +171,7 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     pred = F.when(best > 0, expr.otherwise(F.lit("und"))).otherwise(F.lit("und"))
     sel = [F.col("doc_id"), pred.alias("pred_lang")]
     sel += [scores[lang].alias(f"score_{lang}") for lang in order]
+    sel += [F.col(c) for c in keep_cols]
     return docs.select(*sel)
 
 

@@ -80,6 +80,7 @@ _SAMPLE_PRIORITY = (
     # query must re-enter the window even if it was green in r3.
     "orders_cdc_replay",
     "customer_scd2_history",
+    "language_id_confusion",
     "ivf_pq_recall_report",
     "doc_quality_classifier",
     "incremental_near_dup_persisted_index",

@@ -426,6 +426,36 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "language_id_confusion",
+    tags=("text", "quality"),
+    description="Language-ID audit: confusion matrix of the stopword-vote "
+    "predictor against the corpus's ground-truth lang column (one scan, "
+    "|langs|^2-bounded integer output)",
+    oracle=f"""
+        WITH pred AS ({_lang_id_oracle()})
+        SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM pred p JOIN documents d USING (doc_id)
+        GROUP BY d.lang, p.pred_lang
+    """,
+)
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-audit shape every heuristic classifier in a curation
+    pipeline needs: predictions against ground truth, aggregated to a
+    confusion matrix. One corpus scan (the truth label rides the
+    language-ID projection via ``keep_cols`` — no join-back), one hash
+    aggregate on (lang, pred_lang); output is bounded by |langs|^2
+    regardless of corpus size, and all-integer so the cross-engine hash
+    is exact. (The oracle joins its per-doc prediction replay back to
+    documents instead — same relation, independently derived.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        language_id(docs, keep_cols=("lang",))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 # --- multimodal plumbing ----------------------------------------------------
 
 

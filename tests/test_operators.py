@@ -162,6 +162,35 @@ def test_language_id_markers(spark):
     assert langs == {1: "en", 2: "es", 3: "de", 4: "und"}
 
 
+def test_language_id_confusion_planted(spark):
+    """keep_cols carries the truth label through the one-scan projection;
+    the confusion counts must match the planted (truth, pred) pairs."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in a house", "en"),     # en -> en
+            (2, "el perro y la casa de los gatos", "en"),    # en -> es (miss)
+            (3, "der hund und die katze ist nicht", "de"),   # de -> de
+            (4, "xyzzy plugh qwerty", "zh"),                 # zh -> und (miss)
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    got = {
+        (r["lang"], r["pred_lang"]): r["n_docs"]
+        for r in language_id(docs, keep_cols=("lang",))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .collect()
+    }
+    assert got == {
+        ("en", "en"): 1,
+        ("en", "es"): 1,
+        ("de", "de"): 1,
+        ("zh", "und"): 1,
+    }
+
+
 def test_funnel_stage_times_planted(spark):
     import datetime as dt
 
