@@ -81,6 +81,9 @@ _SAMPLE_PRIORITY = (
     "orders_cdc_replay",
     "customer_scd2_history",
     "language_id_confusion",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_promotable_suppliers",
     "ivf_pq_recall_report",
     "doc_quality_classifier",
     "incremental_near_dup_persisted_index",
@@ -121,10 +124,14 @@ _SAMPLE_PRIORITY = (
     # customers_without_orders, lineitem_cube, lineitem_rollup (rollup
     # shape r3-attested via events_hourly_daily_rollup), part_name_words,
     # sum_quantity_by_linestatus, top_customers_by_balance, word_count;
-    # plus whatever the ~50-query sample cuts from the tail below (the
-    # tail is ordered most-redundant-last: top_orders_per_priority's
+    # plus whatever the ~50-query sample cuts from the tail below. The
+    # tail is ordered most-redundant-last (top_orders_per_priority's
     # window top-k shape is also covered in-window by
-    # training_shard_packing).
+    # training_shard_packing; sql_nation_supplier_analytics' join+agg
+    # content is the fabric of the in-window TPC-H family). Never-
+    # attested NEW queries outrank stale re-attestation, so the late-r4
+    # additions push the most-redundant stale entries past the cut; r5
+    # MUST lead its stale block with whatever fell out here.
     "customer_balance_etl",
     "nation_customer_supplier_setops",
     "orders_by_year_month",

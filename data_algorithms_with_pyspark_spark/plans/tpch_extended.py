@@ -2,8 +2,12 @@
 
 Widens the relational surface beyond plans/tpch.py with the join/agg shapes
 of TPC-H Q7/Q8/Q9/Q12/Q14/Q15/Q16/Q17/Q18/Q19/Q22, adapted to the columns
-that exist (no partsupp table, no l_receiptdate/l_shipmode; money stays
-DOUBLE per the reference's type policy — SURVEY.md §1.3). These exercise:
+that exist (no l_receiptdate/l_shipmode; money stays DOUBLE per the
+reference's type policy — SURVEY.md §1.3). The testdata also has no
+partsupp table, which blocked Q2/Q11/Q20 through round 3 — those three now
+run against ``derived_partsupp`` (end of this file), a deterministic
+4-suppliers-per-part relation both engines materialize identically
+in-query, closing the TPC-H shape set. These exercise:
 fact-fact self-aggregation joins, conditional aggregation, disjunctive
 pushable predicates, correlated-subquery decorrelation (re-expressed as
 aggregate+join), distinct aggregation, scalar subqueries, and
@@ -59,8 +63,8 @@ def _cents(expr):
         JOIN nation n2 ON n2.n_nationkey = c_nationkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <  TIMESTAMP '1998-01-01'
-          AND n1.n_name IN ('NATION_3', 'NATION_7')
-          AND n2.n_name IN ('NATION_3', 'NATION_7')
+          AND n1.n_name IN ('NATION_3', 'NATION_12')
+          AND n2.n_name IN ('NATION_3', 'NATION_12')
           AND n1.n_name <> n2.n_name
         GROUP BY 1, 2, 3
     """,
@@ -71,7 +75,7 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    pair = nation.where(F.col("n_name").isin("NATION_3", "NATION_7"))
+    pair = nation.where(F.col("n_name").isin("NATION_3", "NATION_12"))
     n1 = pair.select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
@@ -563,4 +567,303 @@ def nation_customer_supplier_setops(spark: SparkSession, sf_dir: str) -> DataFra
     s = supplier.select(F.col("s_nationkey").alias("n_key")).distinct()
     return c.intersect(s).select(F.lit("both").alias("tag"), "n_key").unionByName(
         c.exceptAll(s).select(F.lit("customers_only").alias("tag"), "n_key")
+    )
+
+
+# --- derived partsupp: the three remaining TPC-H shapes ---------------------
+#
+# The driver's testdata has no partsupp table (the round-3 VERDICT's one
+# remaining TPC-H gap), but Q2/Q11/Q20 are join/agg SHAPES, not data: a
+# deterministic part-supplier relation derived in-query from the tables
+# that DO exist lets both engines materialize the identical relation and
+# run the real query forms. Each part gets exactly 4 suppliers at evenly
+# spaced key offsets (distinct for any supplier count >= 4 since keys are
+# 0-based contiguous), with availqty/supplycost as small modular
+# polynomials of (p_partkey, i) — integer-exact in both engines.
+
+_PS_PER_PART = 4
+
+_PARTSUPP_SQL = """
+        partsupp AS (
+            SELECT p_partkey,
+                   (p_partkey + i * (s_count // 4)) % s_count AS ps_suppkey,
+                   (p_partkey * 7 + i * 3) % 9999 + 1 AS ps_availqty,
+                   (p_partkey * 31 + i * 17) % 100000 + 1 AS ps_supplycost_cents
+            FROM part,
+                 (SELECT CAST(count(*) AS BIGINT) AS s_count FROM supplier),
+                 (SELECT unnest(range(4)) AS i)
+        )
+"""
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic partsupp relation: 4 suppliers per part.
+
+    The supplier-count scalar comes from a partial-aggregated global
+    count (one pre-combined row per task crosses the single-partition
+    exchange — the lint-sanctioned global-aggregate shape) broadcast
+    onto the part scan; the relation itself is one narrow projection
+    per (part, i) — no shuffle of part rows, 4x |part| output, and the
+    same arithmetic replays exactly in the DuckDB oracle CTE
+    (_PARTSUPP_SQL)."""
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    s_count = supplier.agg(F.count("*").alias("s_count"))
+    i = F.col("i").cast("long")
+    return (
+        part.select("p_partkey")
+        .crossJoin(F.broadcast(s_count))
+        .select(
+            "p_partkey",
+            F.explode(
+                F.array(*[F.lit(k) for k in range(_PS_PER_PART)])
+            ).alias("i"),
+            "s_count",
+        )
+        .select(
+            "p_partkey",
+            (
+                (F.col("p_partkey") + i * F.expr("s_count DIV 4"))
+                % F.col("s_count")
+            ).alias("ps_suppkey"),
+            ((F.col("p_partkey") * 7 + i * 3) % 9999 + 1).alias("ps_availqty"),
+            ((F.col("p_partkey") * 31 + i * 17) % 100000 + 1).alias(
+                "ps_supplycost_cents"
+            ),
+        )
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    tags=("relational", "join", "scalar-subquery", "tpch"),
+    description="TPC-H Q2 shape over the derived partsupp: per qualifying "
+    "part, the ASIA supplier with minimum supply cost (correlated min "
+    "decorrelated as aggregate + join-back)",
+    oracle=f"""
+        WITH {_PARTSUPP_SQL},
+        asia_sup AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+        ),
+        cand AS (
+            SELECT p.p_partkey, p.p_brand, a.s_name, a.n_name,
+                   ps.ps_supplycost_cents,
+                   CAST(floor(a.s_acctbal * 100 + 0.5) AS BIGINT)
+                       AS s_acctbal_cents
+            FROM partsupp ps
+            JOIN asia_sup a ON ps.ps_suppkey = a.s_suppkey
+            JOIN part p ON ps.p_partkey = p.p_partkey
+            WHERE p.p_type = 'ECONOMY' AND p.p_size < 30
+        )
+        SELECT c.p_partkey, c.p_brand, c.s_name, c.n_name,
+               c.ps_supplycost_cents, c.s_acctbal_cents
+        FROM cand c
+        JOIN (
+            SELECT p_partkey, min(ps_supplycost_cents) AS min_cost
+            FROM cand GROUP BY p_partkey
+        ) m ON c.p_partkey = m.p_partkey
+           AND c.ps_supplycost_cents = m.min_cost
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's correlated `cost = (SELECT min(cost) ...)` decorrelated the
+    way Catalyst would: aggregate the candidate relation per part, join
+    the min back on (part, cost). Supply costs are distinct within a
+    part by construction (17*i mod 1e5 injective for i<4), so exactly
+    one supplier survives per part — no tie ambiguity across engines.
+    Dimensions (nation/region, the supplier side after the region
+    filter) broadcast; the only key shuffle is the per-part min +
+    join-back, both on p_partkey."""
+    ps = derived_partsupp(spark, sf_dir)
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+
+    asia_sup = (
+        supplier.join(
+            F.broadcast(nation),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.floor(F.col("s_acctbal") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("s_acctbal_cents"),
+            "n_name",
+        )
+    )
+    cand = (
+        ps.join(asia_sup, ps.ps_suppkey == asia_sup.s_suppkey)
+        .join(
+            part.where(
+                (F.col("p_type") == "ECONOMY") & (F.col("p_size") < 30)
+            ).select("p_partkey", "p_brand"),
+            "p_partkey",
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            "ps_supplycost_cents",
+            "s_acctbal_cents",
+        )
+    )
+    min_cost = cand.groupBy("p_partkey").agg(
+        F.min("ps_supplycost_cents").alias("min_cost")
+    )
+    return (
+        cand.join(min_cost, "p_partkey")
+        .where(F.col("ps_supplycost_cents") == F.col("min_cost"))
+        .drop("min_cost")
+    )
+
+
+@register(
+    "q11_important_stock",
+    tags=("relational", "aggregate", "scalar-subquery", "tpch"),
+    description="TPC-H Q11 shape over the derived partsupp: per-part stock "
+    "value for one nation's suppliers, kept where value > 0.1% of the "
+    "nation total (global-scalar threshold, integer-exact)",
+    oracle=f"""
+        WITH {_PARTSUPP_SQL},
+        nat_sup AS (
+            SELECT s_suppkey FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_12'
+        ),
+        vals AS (
+            SELECT p_partkey,
+                   CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT)
+                       AS value_cents
+            FROM partsupp JOIN nat_sup ON ps_suppkey = s_suppkey
+            GROUP BY p_partkey
+        )
+        SELECT p_partkey, value_cents
+        FROM vals, (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents
+                    FROM vals) t
+        WHERE value_cents * 1000 > total_cents
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11's `HAVING value > (SELECT sum(...) * fraction)` with the
+    global scalar as a partial-aggregated 1-row broadcast crossed back
+    onto the per-part values (the lint-sanctioned global-aggregate
+    shape). The threshold compare is all-integer (value*1000 > total —
+    exact while the nation's total stock value stays under ~9.2e15
+    cents, i.e. ~1e4x the sf1 total), so both engines keep the
+    identical row set. One key shuffle (per-part sum); the nation's
+    supplier list broadcasts."""
+    ps = derived_partsupp(spark, sf_dir)
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    nat_sup = supplier.join(
+        F.broadcast(nation.where(F.col("n_name") == "NATION_12")),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey")
+    vals = (
+        ps.join(F.broadcast(nat_sup), ps.ps_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost_cents") * F.col("ps_availqty")
+            ).alias("value_cents")
+        )
+    )
+    total = vals.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .where(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select("p_partkey", "value_cents")
+    )
+
+
+@register(
+    "q20_promotable_suppliers",
+    tags=("relational", "join", "semi-join", "tpch"),
+    description="TPC-H Q20 shape over the derived partsupp: suppliers of "
+    "'small%' parts whose stock exceeds half of 1996 shipments for that "
+    "(part, supplier) — correlated half-sum as aggregate + join",
+    oracle=f"""
+        WITH {_PARTSUPP_SQL},
+        shipped AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS qty_centi
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_partkey, l_suppkey
+        ),
+        promo AS (
+            SELECT DISTINCT ps.ps_suppkey
+            FROM partsupp ps
+            JOIN part p ON ps.p_partkey = p.p_partkey
+            JOIN shipped sh ON ps.p_partkey = sh.l_partkey
+                           AND ps.ps_suppkey = sh.l_suppkey
+            WHERE p.p_name LIKE 'small%'
+              AND ps.ps_availqty * 200 > sh.qty_centi
+        )
+        SELECT s.s_suppkey, s.s_name, n.n_name
+        FROM promo JOIN supplier s ON ps_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20's correlated `ps_availqty > 0.5 * (SELECT sum(l_quantity)...)`
+    decorrelated as a (partkey, suppkey) aggregate joined to the derived
+    partsupp; the half-sum compare rides integer centi-units
+    (avail*200 > sum(floor(qty*100+0.5))) so the strict inequality is
+    engine-exact. One fact shuffle (the lineitem group-by); the
+    qualifying (part, supplier) pairs then distinct on supplier and the
+    supplier/nation dimensions broadcast."""
+    ps = derived_partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    shipped = (
+        lineitem.where(
+            (F.col("l_shipdate") >= ts("1996-01-01"))
+            & (F.col("l_shipdate") < ts("1997-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+            ).alias("qty_centi")
+        )
+    )
+    promo = (
+        ps.join(
+            part.where(F.col("p_name").like("small%")).select("p_partkey"),
+            "p_partkey",
+        )
+        .join(
+            shipped,
+            (ps.p_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .where(F.col("ps_availqty") * 200 > F.col("qty_centi"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        promo.join(supplier, promo.ps_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .select("s_suppkey", "s_name", "n_name")
     )
