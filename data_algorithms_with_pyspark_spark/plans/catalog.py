@@ -84,6 +84,7 @@ _SAMPLE_PRIORITY = (
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q20_promotable_suppliers",
+    "near_dup_keep_best",
     "ivf_pq_recall_report",
     "doc_quality_classifier",
     "incremental_near_dup_persisted_index",

@@ -224,6 +224,72 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_keep_best",
+    tags=("pipeline", "dedup", "lsh", "quality"),
+    description="The dedup DECISION: per near-dup cluster, keep the "
+    "highest-quality document (integer-grid quality, ties -> min doc_id; "
+    "cluster-partitioned rank-1 window -> WindowGroupLimit)",
+    oracle=f"""
+        WITH clusters AS (
+            {near_dup_clusters_sql(candidate_jaccard=0.1, verify_jaccard=_NEAR_DUP_JACCARD)}
+        ),
+        q AS (
+            SELECT doc_id,
+                   CAST(floor(({_quality_score_sql()}) * 10000 + 0.5)
+                        AS BIGINT) AS quality_q
+            FROM documents
+        ),
+        ranked AS (
+            SELECT c.cluster_id, c.cluster_size, c.doc_id, q.quality_q,
+                   row_number() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY q.quality_q DESC, c.doc_id
+                   ) AS rn
+            FROM clusters c JOIN q USING (doc_id)
+        )
+        SELECT cluster_id, doc_id AS kept_doc_id, cluster_size, quality_q
+        FROM ranked WHERE rn = 1
+    """,
+)
+def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the near-dup story with the decision a production
+    pipeline actually emits: which document survives each cluster.
+    Representative selection is quality-based (the same integer-grid
+    quality score the curation pass uses; ties broken by min doc_id so
+    the choice is total-ordered and engine-exact), planned as a
+    cluster-partitioned ``row_number() = 1`` window — WindowGroupLimit
+    prunes to one row per cluster below the shuffle, and the quality
+    projection runs once over only the clustered documents (a
+    vanishing fraction of the corpus). The oracle replays clustering
+    (recursive-CTE components over md5-derived LSH) AND the quality
+    argmax independently."""
+    from pyspark.sql import Window
+
+    clusters = near_dup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        F.floor(quality_score_expr("text") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("quality_q"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_q"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            "cluster_size",
+            "quality_q",
+        )
+    )
+
+
+@register(
     "corpus_token_stats",
     tags=("pipeline", "text", "stats"),
     description="Per-source corpus report: docs, token sum, exact p50/p90 tokens",

@@ -75,3 +75,54 @@ def test_stratified_sample_respects_fractions(spark):
     counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
     assert 50 <= counts.get("a", 0) <= 160
     assert 380 <= counts.get("b", 0) <= 620
+
+
+def test_near_dup_keep_best_picks_max_quality_per_cluster(spark):
+    """Independent invariant (not the oracle replay): exactly one kept doc
+    per near-dup cluster, and its quality equals the cluster's max
+    (ties broken toward the smaller doc_id)."""
+    from pyspark.sql import functions as F
+
+    from data_algorithms_with_pyspark_spark.operators.text import (
+        quality_score_expr,
+    )
+    from data_algorithms_with_pyspark_spark.plans.pipelines import (
+        near_dup_clusters,
+        near_dup_keep_best,
+    )
+    from data_algorithms_with_pyspark_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    kept = near_dup_keep_best(spark, SF_SMOKE)
+    clusters = near_dup_clusters(spark, SF_SMOKE)
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id",
+        F.floor(quality_score_expr("text") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("quality_q"),
+    )
+    # one kept row per cluster, covering every cluster
+    kept_rows = kept.collect()
+    cluster_ids = {r["cluster_id"] for r in clusters.collect()}
+    assert {r["cluster_id"] for r in kept_rows} == cluster_ids
+    assert len(kept_rows) == len(cluster_ids)
+    # kept quality == max quality in the cluster; ties -> min doc_id
+    best = {
+        r["cluster_id"]: (r["max_q"], r["min_id"])
+        for r in clusters.join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.max("quality_q").alias("max_q"), F.min("doc_id").alias("min_id"))
+        .collect()
+    }
+    qual = {r["doc_id"]: r["quality_q"] for r in docs.collect()}
+    for r in kept_rows:
+        max_q, _ = best[r["cluster_id"]]
+        assert r["quality_q"] == max_q
+        # the kept doc is the smallest doc_id among those at max quality
+        tied = [
+            c["doc_id"]
+            for c in clusters.collect()
+            if c["cluster_id"] == r["cluster_id"]
+            and qual[c["doc_id"]] == max_q
+        ]
+        assert r["kept_doc_id"] == min(tied)
