@@ -58,6 +58,7 @@ def plan_shape(df) -> dict:
 
 def main() -> None:
     sf1_dir = sys.argv[1] if len(sys.argv) > 1 else "scaledata/sf1"
+    queries = tuple(sys.argv[2].split(",")) if len(sys.argv) > 2 else QUERIES
     from data_algorithms_with_pyspark_spark.plans.catalog import all_queries
     from data_algorithms_with_pyspark_spark.session import get_spark
 
@@ -70,7 +71,7 @@ def main() -> None:
     )
     qs = all_queries()
     rows = []
-    for name in QUERIES:
+    for name in queries:
         fn = qs[name].fn
         per_sf = {}
         shapes = {}
