@@ -342,3 +342,96 @@ def test_interval_overlap_join_matches_brute_force(spark, left, right, width):
         if llo <= rhi and rlo <= lhi  # closed-interval overlap
     )
     assert got == want  # every pair exactly once, none missed
+
+
+# --- merge family vs a Python dict model ------------------------------------
+
+_cdc_ops = st.lists(
+    st.tuples(
+        st.integers(0, 6),            # key
+        st.sampled_from("IUD"),       # op
+        st.integers(0, 99),           # value payload
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(target_keys=st.lists(st.integers(0, 6), max_size=5, unique=True),
+       ops=_cdc_ops)
+@_SETTINGS
+def test_apply_cdc_matches_dict_replay(spark, target_keys, ops):
+    """apply_cdc == replaying the change log in seq order over a dict:
+    last change per key wins; D removes, I/U set."""
+    from data_algorithms_with_pyspark_spark.operators.merge import apply_cdc
+
+    target_rows = [(k, -1) for k in target_keys]
+    log_rows = [
+        (k, v, op, seq) for seq, (k, op, v) in enumerate(ops)
+    ]
+    model: dict[int, int] = {k: -1 for k in target_keys}
+    for k, op, v in ops:  # ops are already in seq order
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = v
+
+    target = spark.createDataFrame(target_rows, "id long, val long")
+    log = spark.createDataFrame(
+        log_rows, "id long, val long, op string, seq long"
+    )
+    got = {
+        r["id"]: r["val"]
+        for r in apply_cdc(
+            target, log, ["id"], op_col="op", order_col="seq"
+        ).collect()
+    }
+    assert got == model
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 4), st.integers(0, 99)),
+            max_size=4,
+            unique_by=lambda t: t[0],
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@_SETTINGS
+def test_scd2_multi_batch_invariants(spark, batches):
+    """After any sequence of change batches: exactly one open version per
+    key, closed versions chain (valid_to == successor valid_from), and
+    the open version carries the key's LAST written value."""
+    from data_algorithms_with_pyspark_spark.operators.merge import scd2_apply
+
+    keys = [0, 1, 2, 3, 4]
+    current = spark.createDataFrame(
+        [(k, -1, 0, None) for k in keys],
+        "id long, val long, valid_from long, valid_to long",
+    )
+    last_val = {k: -1 for k in keys}
+    for i, batch in enumerate(batches):
+        if not batch:
+            continue
+        ts = 10 * (i + 1)
+        changes = spark.createDataFrame(
+            [(k, v, ts) for k, v in batch], "id long, val long, ts long"
+        )
+        current = scd2_apply(current, changes, ["id"], change_ts_col="ts")
+        for k, v in batch:
+            last_val[k] = v
+
+    rows = current.collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r["id"], []).append(r)
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: r["valid_from"])
+        opens = [r for r in versions if r["valid_to"] is None]
+        assert len(opens) == 1 and opens[0] is versions[-1], (k, versions)
+        assert opens[0]["val"] == last_val[k]
+        for prev, nxt in zip(versions, versions[1:]):
+            assert prev["valid_to"] == nxt["valid_from"], (k, versions)
