@@ -63,3 +63,12 @@ def test_q2_exactly_one_supplier_per_part(spark):
         .count()
     )
     assert dup == 0
+
+
+def test_partsupp_offsets_distinct_for_any_supplier_count():
+    """The 4 key offsets (i * (S // 4)) % S are pairwise distinct for
+    every supplier count S >= 4 — the documented validity bound of the
+    derivation (pure arithmetic, no Spark)."""
+    for s in range(4, 1201):
+        offs = {(i * (s // 4)) % s for i in range(4)}
+        assert len(offs) == 4, s
