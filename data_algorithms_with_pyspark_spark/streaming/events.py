@@ -356,6 +356,56 @@ def stream_upsert_sink(
     q.awaitTermination()
 
 
+def stream_cdc_sink(
+    changelog_stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    op_col: str = "op",
+    order_col: str = "seq",
+) -> None:
+    """``foreachBatch`` change-data-capture sink: each micro-batch of
+    I/U/D row images is applied to the parquet target via
+    operators/merge.py:apply_cdc — the streaming twin of the batch
+    ``orders_cdc_replay`` query, and the standard shape for maintaining
+    a replica table from a database change stream.
+
+    Within a batch, ``order_col`` picks the latest image per key (the
+    window-rank-1 pre-reduce); across batches, later batches win by
+    application order. Replaying a batch after a checkpoint restart is
+    idempotent: re-upserting identical images and re-deleting absent
+    keys are both no-ops, so exactly-once output survives restarts.
+    The ``op_col``/``order_col`` columns are carried by the changelog
+    only and never reach the target schema."""
+    from data_algorithms_with_pyspark_spark.operators.merge import apply_cdc
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        session = batch_df.sparkSession
+        value_cols = [
+            c for c in batch_df.columns if c not in (op_col, order_col)
+        ]
+        jvm_path = session._jvm.org.apache.hadoop.fs.Path(target_path)
+        fs = jvm_path.getFileSystem(session._jsc.hadoopConfiguration())
+        if fs.exists(jvm_path):
+            target = session.read.parquet(target_path)
+        else:  # first batch: empty target with the value schema
+            target = batch_df.select(*value_cols).limit(0)
+        merged = apply_cdc(
+            target, batch_df, keys, op_col=op_col, order_col=order_col
+        )
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            target_path
+        )
+
+    q = (
+        changelog_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_ttl_dedup(
     events: DataFrame,
     key_cols: list[str],

@@ -207,6 +207,42 @@ def test_stream_upsert_sink_two_run_incremental(spark, tmp_path):
     }
 
 
+def test_stream_cdc_sink_insert_update_delete_across_runs(spark, tmp_path):
+    """Run 1 seeds from an I/U batch (latest seq per key wins inside the
+    batch); run 2 applies U and D deltas — updated keys replaced,
+    deleted keys gone, untouched keys preserved."""
+    from data_algorithms_with_pyspark_spark.streaming.events import (
+        stream_cdc_sink,
+    )
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k LONG, v STRING, op STRING, seq LONG"
+
+    spark.createDataFrame(
+        [(1, "a1", "I", 1), (2, "b0", "I", 1), (2, "b1", "U", 2)],
+        ["k", "v", "op", "seq"],
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_cdc_sink(stream, target, ["k"], ckpt)
+    assert {(r.k, r.v) for r in spark.read.parquet(target).collect()} == {
+        (1, "a1"),
+        (2, "b1"),
+    }
+
+    spark.createDataFrame(
+        [(1, None, "D", 3), (2, "b2", "U", 3), (3, "c1", "I", 3)],
+        schema,
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_cdc_sink(stream, target, ["k"], ckpt)
+    assert {(r.k, r.v) for r in spark.read.parquet(target).collect()} == {
+        (2, "b2"),
+        (3, "c1"),
+    }
+
+
 def test_streaming_sliding_windows_matches_batch(spark, events_dir):
     from data_algorithms_with_pyspark_spark.streaming.events import (
         streaming_sliding_windows,
