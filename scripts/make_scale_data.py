@@ -78,7 +78,7 @@ def main() -> None:
         f"FROM '{BASE}/embeddings.parquet')"
     ).fetchone()
 
-    rng = np.random.default_rng(42)
+    rng = np.random.default_rng(int(sys.argv[3]) if len(sys.argv) > 3 else 42)
     n_docs = n_docs_base * mult
     doc_lens = rng.choice(lengths, size=n_docs, replace=True)
     voc = np.array(vocab)

@@ -35,7 +35,7 @@ def main() -> None:
     )
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
-    rng = np.random.default_rng(20260814)
+    rng = np.random.default_rng(int(sys.argv[3]) if len(sys.argv) > 3 else 20260814)
 
     n_base, n_users = con.execute(
         f"SELECT count(*), count(DISTINCT user_id) FROM '{BASE}/events.parquet'"
