@@ -31,6 +31,7 @@ __all__ = [
     "boilerplate_ngram_coverage",
     "PII_PATTERNS",
     "pii_scrub",
+    "bm25_topk",
 ]
 
 # Tiny high-frequency marker vocabularies per language; a deterministic
@@ -470,3 +471,116 @@ def pii_scrub(
         )
         redacted = F.regexp_replace(redacted, pat, f"<{cat.upper()}>")
     return docs.select(F.col(id_col), redacted.alias("redacted"), *counts)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """BM25 ranked retrieval: top-k documents per query (Robertson/Spärck
+    Jones probabilistic ranking, the classic IR scoring function).
+
+    score(q, d) = sum over distinct query terms t of
+        ln(1 + (N - df + 0.5)/(df + 0.5))
+        * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Execution shape, hot-path first: the corpus tokenizes ONCE and is
+    immediately semi-joined (broadcast) to the tiny distinct query-term
+    set, so only postings for query terms ever reach a shuffle — at
+    100 TB that is the difference between shuffling the whole inverted
+    index and shuffling a few terms' postings. Document length rides the
+    explode as a sibling column (no separate dl join back onto the
+    corpus). df and the (N, avgdl) scalars broadcast back onto the
+    postings; per-term scores quantize to integer MICRO-units BEFORE the
+    per-(query, doc) sum, so the aggregate is an order-independent
+    integer sum — double accumulation order can never flip a rank. Top-k
+    per query is ``row_number() <= k`` under a query-partitioned window,
+    which Spark rewrites to WindowGroupLimit: each map task keeps only
+    its local k before the final per-query exchange.
+
+    Output: ``(query_id, id_col, matched_terms, score_micro, rn)``; ties
+    on score break by ascending doc id so the ranking is total.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    qterms = qdf.select(
+        "query_id", F.explode(words("query")).alias("term")
+    ).distinct()
+
+    toks = docs.select(F.col(id_col), words(text_col).alias("_t")).select(
+        F.col(id_col),
+        F.size("_t").cast("long").alias("dl"),
+        F.explode("_t").alias("term"),
+    )
+    stats = docs.select(F.size(words(text_col)).alias("_dl")).agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("_dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    # Postings restricted to query terms BEFORE the tf shuffle.
+    hits = toks.join(
+        F.broadcast(qterms.select("term").distinct()), on="term"
+    )
+    # Persisted: df derives from tf, and without the persist Catalyst
+    # re-runs the whole tokenize+filter+aggregate corpus pass for the df
+    # branch (no common-subplan reuse across joins). tf is the postings
+    # relation for query terms only — orders of magnitude smaller than
+    # the corpus. Same cache_registry contract as ordering.py: pass a
+    # list to receive the persisted relation and unpersist after
+    # materializing; the one-shot catalog/driver path lets session
+    # teardown reclaim it.
+    from pyspark import StorageLevel
+
+    tf = hits.groupBy(id_col, "dl", "term").agg(
+        F.count("*").alias("tf")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(tf)
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    score = idf * (F.col("tf") * F.lit(k1 + 1.0)) / norm
+    per_term = (
+        tf.join(F.broadcast(df_), on="term")
+        .join(F.broadcast(qterms), on="term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.floor(score * F.lit(1e6) + F.lit(0.5)).cast("long").alias(
+                "score_micro"
+            ),
+        )
+    )
+    agg = per_term.groupBy("query_id", id_col).agg(
+        F.count("*").cast("long").alias("matched_terms"),
+        F.sum("score_micro").alias("score_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id",
+            F.col(id_col),
+            "matched_terms",
+            "score_micro",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )

@@ -81,6 +81,7 @@ _SAMPLE_PRIORITY = (
     "orders_cdc_replay",
     "customer_scd2_history",
     "language_id_confusion",
+    "bm25_search_topk",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q20_promotable_suppliers",

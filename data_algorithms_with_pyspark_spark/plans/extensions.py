@@ -751,6 +751,93 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=5)
 
 
+# --- BM25 ranked retrieval --------------------------------------------------
+#
+# Query strings are simple lowercase space-separated constants, so their
+# token lists are known statically — the oracle embeds them as literal
+# (query_id, term) VALUES rather than re-tokenizing in SQL. k1/b-derived
+# constants are embedded via repr() so both engines parse the identical
+# double (the SRP-hyperplane literal discipline).
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 10
+_BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (0, "hash join merge"),
+    (1, "window agg group"),
+    (2, "dup scan table"),
+    (3, "fast sort big query"),
+)
+_BM25_QT_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, qs in _BM25_QUERIES for t in sorted(set(qs.split()))
+)
+
+
+@register(
+    "bm25_search_topk",
+    bench=True,
+    tags=("text", "index", "search"),
+    description=f"BM25 ranked retrieval: top-{_BM25_K} documents for each of "
+    f"{len(_BM25_QUERIES)} keyword queries (k1={_BM25_K1}, b={_BM25_B}); "
+    "postings are query-term-filtered before any shuffle and per-term "
+    "scores quantize to integer micro-units before summation",
+    oracle=f"""
+        WITH qt(query_id, term) AS (VALUES {_BM25_QT_VALUES}),
+        dls AS (SELECT len({_TOKENS}) AS dl FROM documents),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+            FROM dls
+        ),
+        toks AS (
+            SELECT doc_id, len(t) AS dl, unnest(t) AS term
+            FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+        ),
+        tf AS (
+            SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+            FROM toks
+            WHERE term IN (SELECT DISTINCT term FROM qt)
+            GROUP BY doc_id, dl, term
+        ),
+        df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT qt.query_id, tf.doc_id,
+                   CAST(floor(
+                       ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                       * (tf.tf * {_BM25_K1 + 1.0!r})
+                       / (tf.tf + {_BM25_K1!r}
+                          * ({1.0 - _BM25_B!r} + {_BM25_B!r} * tf.dl / s.avgdl))
+                       * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+            FROM tf
+            JOIN df ON tf.term = df.term
+            JOIN qt ON tf.term = qt.term, stats s
+        ),
+        agg AS (
+            SELECT query_id, doc_id,
+                   CAST(count(*) AS BIGINT) AS matched_terms,
+                   CAST(sum(score_micro) AS BIGINT) AS score_micro
+            FROM scored GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, matched_terms, score_micro, rn FROM (
+            SELECT *, CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_micro DESC, doc_id
+                   ) AS BIGINT) AS rn
+            FROM agg
+        ) WHERE rn <= {_BM25_K}
+    """,
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/text.py:bm25_topk — see its docstring for the shuffle-
+    minimal execution shape (query-term-filtered postings, integer
+    micro-unit score sum, WindowGroupLimit top-k)."""
+    from data_algorithms_with_pyspark_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, list(_BM25_QUERIES), k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    )
+
+
 _PQ_M = 8       # subspaces
 _PQ_KSUB = 16   # codewords per subspace -> 4-bit codes, 32-bit pq_code
 _PQ_W = 8       # dims per subspace (embeddings are 64-d)

@@ -531,3 +531,70 @@ def test_weighted_sample_tiny_weights_clamp_not_wrap(spark):
     # normal rows outrank them; clamped ties break by key ascending
     assert {by_id[1]["sample_rank"], by_id[4]["sample_rank"]} == {1, 2}
     assert by_id[2]["sample_rank"] == 3 and by_id[3]["sample_rank"] == 4
+
+
+def test_bm25_topk_known_answers(spark):
+    """4-doc corpus, hand-replayed BM25: score_micro must equal the pure-
+    Python replay of the exact formula (same association order), rare
+    terms must outrank common ones, and the per-query top-k ordering must
+    be total (score desc, doc_id asc)."""
+    import math
+
+    from data_algorithms_with_pyspark_spark.operators.text import bm25_topk
+
+    rows = [
+        (0, "apple banana apple"),
+        (1, "apple cherry"),
+        (2, "banana banana banana cherry"),
+        (3, "durian"),
+    ]
+    docs = _docs(spark, rows)
+    caches: list = []
+    out = bm25_topk(
+        docs,
+        [(0, "apple banana"), (1, "durian")],
+        k=3,
+        cache_registry=caches,
+    ).collect()
+    for c in caches:
+        c.unpersist()
+
+    toks = {d: t.split() for d, t in rows}
+    n_docs = float(len(rows))
+    avgdl = sum(len(t) for t in toks.values()) / len(rows)
+    k1, b = 1.2, 0.75
+
+    def score_micro(qterms, d):
+        total = 0
+        for t in set(qterms.split()):
+            tf = toks[d].count(t)
+            if tf == 0:
+                continue
+            df = sum(1 for dd in toks.values() if t in dd)
+            idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            s = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * len(toks[d]) / avgdl)
+            )
+            total += int(math.floor(s * 1e6 + 0.5))
+        return total
+
+    got = {(r["query_id"], r["doc_id"]): r for r in out}
+    # query 0 ("apple banana") matches docs 0, 1, 2 — k=3 keeps all
+    assert {(q, d) for (q, d) in got if q == 0} == {(0, 0), (0, 1), (0, 2)}
+    for (q, d), r in got.items():
+        qtext = {0: "apple banana", 1: "durian"}[q]
+        assert r["score_micro"] == score_micro(qtext, d), (q, d)
+        assert r["matched_terms"] == sum(
+            1 for t in set(qtext.split()) if t in toks[d]
+        )
+    # doc 0 matches both query-0 terms with tf=2+1 -> top rank
+    assert got[(0, 0)]["rn"] == 1
+    # query 1: 'durian' appears only in doc 3 — unique match, rank 1
+    assert {(q, d) for (q, d) in got if q == 1} == {(1, 3)}
+    assert got[(1, 3)]["rn"] == 1
+    # ranks are dense and ordered by (score desc, doc_id asc)
+    q0 = sorted((r["rn"], r["score_micro"], r["doc_id"])
+                for (q, _), r in got.items() if q == 0)
+    assert [rn for rn, _, _ in q0] == [1, 2, 3]
+    for (_, s1, d1), (_, s2, d2) in zip(q0, q0[1:]):
+        assert (s1, -d1) >= (s2, -d2)
