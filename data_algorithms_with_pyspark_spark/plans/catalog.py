@@ -82,6 +82,7 @@ _SAMPLE_PRIORITY = (
     "customer_scd2_history",
     "language_id_confusion",
     "bm25_search_topk",
+    "lineitem_zorder_extents",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q20_promotable_suppliers",

@@ -867,3 +867,107 @@ def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+# --- Z-order layout extents (functions/zorder.py made driver-attestable) ----
+
+_Z_BITS = 4  # 16 buckets per dimension -> 256 Morton cells
+
+
+def _zcell_sql(qp: str, qs: str) -> str:
+    """Unrolled Morton interleave in SQL: bit i of qp -> bit 2i, bit i of
+    qs -> bit 2i+1 (same layout as functions/zorder.interleave_bits)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({qp} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({qs} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "lineitem_zorder_extents",
+    tags=("layout", "partitioning"),
+    description="Z-order (Morton) layout audit over lineitem "
+    "(l_partkey x l_suppkey): min/max-scaled 4-bit quantization per "
+    "dimension, bit-interleaved cell key, per-cell row counts and "
+    "2-D extents plus the extent-area product a file skipper would prune "
+    "against — all-integer arithmetic, exact on every engine",
+    oracle=f"""
+        WITH mm AS (
+            SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+                   min(l_suppkey) AS smin, max(l_suppkey) AS smax
+            FROM lineitem
+        ),
+        q AS (
+            SELECT l_partkey, l_suppkey,
+                   ((l_partkey - mm.pmin) * {1 << _Z_BITS})
+                       // (mm.pmax - mm.pmin + 1) AS qp,
+                   ((l_suppkey - mm.smin) * {1 << _Z_BITS})
+                       // (mm.smax - mm.smin + 1) AS qs
+            FROM lineitem, mm
+        )
+        SELECT zcell,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+               min(l_suppkey) AS s_min, max(l_suppkey) AS s_max,
+               (max(l_partkey) - min(l_partkey) + 1)
+                   * (max(l_suppkey) - min(l_suppkey) + 1) AS extent_area
+        FROM (SELECT l_partkey, l_suppkey,
+                     {_zcell_sql('qp', 'qs')} AS zcell
+              FROM q)
+        GROUP BY zcell
+    """,
+)
+def lineitem_zorder_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse OPTIMIZE-ZORDER primitive as an auditable query:
+    quantize (l_partkey, l_suppkey) to a bounded unsigned space by exact
+    integer min/max scaling, Morton-interleave the bits
+    (functions/zorder.py:interleave_bits — pure shift/mask codegen), and
+    report per-cell row counts and 2-D extents. ``extent_area`` is what a
+    min/max file skipper prunes against: under a Z-order layout it stays
+    near (span_p/16)*(span_s/16) per cell in BOTH dimensions, where a
+    single-column sort leaves the other dimension's extent at full span
+    (tests/test_bucketing.py demonstrates the box-query pruning win on
+    written files). Scale shape: one broadcast of the 1-row min/max
+    aggregate back onto the scan, one hash aggregate keyed by the 256
+    Morton cells — no other coordination; the quantization and
+    interleave are exact integer ops, so the oracle replays bit-for-bit.
+    """
+    from data_algorithms_with_pyspark_spark.functions.zorder import (
+        interleave_bits,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    mm = li.agg(
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+    )
+    scale = 1 << _Z_BITS
+    q = li.crossJoin(F.broadcast(mm)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(
+            f"((l_partkey - pmin) * {scale}) div (pmax - pmin + 1)"
+        ).alias("qp"),
+        F.expr(
+            f"((l_suppkey - smin) * {scale}) div (smax - smin + 1)"
+        ).alias("qs"),
+    )
+    cells = q.select(
+        "l_partkey",
+        "l_suppkey",
+        interleave_bits(F.col("qp"), F.col("qs"), bits=_Z_BITS).alias("zcell"),
+    )
+    return cells.groupBy("zcell").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("l_partkey").alias("p_min"),
+        F.max("l_partkey").alias("p_max"),
+        F.min("l_suppkey").alias("s_min"),
+        F.max("l_suppkey").alias("s_max"),
+        (
+            (F.max("l_partkey") - F.min("l_partkey") + 1)
+            * (F.max("l_suppkey") - F.min("l_suppkey") + 1)
+        ).alias("extent_area"),
+    )

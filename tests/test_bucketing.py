@@ -154,3 +154,45 @@ def test_persisted_band_index_scan_is_bucketed(spark):
     ]
     assert scan_lines, "bucketed index scan missing from the plan"
     assert all("Bucketed: true" in ln for ln in scan_lines)
+
+
+def test_lineitem_zorder_extents_known_grid(spark, tmp_path):
+    """4x4 integer grid through the catalog query's exact arithmetic:
+    min/max scaling maps the domain onto 0..15 per dim, the Morton cell
+    of (x_bucket, y_bucket) follows interleave_bits' layout, and
+    extent_area is the inclusive 2-D span product."""
+    import duckdb
+
+    from data_algorithms_with_pyspark_spark.plans.catalog import get_query
+
+    # lineitem stand-in: 16 rows covering a 4x4 key grid, written to a
+    # temp sf_dir so the catalog query's load_table path is exercised.
+    rows = [(i, 1 + (i % 4), 10 + (i // 4)) for i in range(16)]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long"
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.write.parquet(f"{sf_dir}/lineitem.parquet")
+
+    out = {
+        r["zcell"]: r
+        for r in get_query("lineitem_zorder_extents")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    # partkey domain 1..4 (span 4): value v -> ((v-1)*16) div 4 = (v-1)*4
+    # suppkey domain 10..13: (v-10)*4. Each quantized bucket is one of
+    # {0,4,8,12}; interleaving those 4-bit values never collides, so
+    # every (partkey, suppkey) pair is its own Morton cell of 1 row.
+    assert len(out) == 16
+    for r in out.values():
+        assert r["n_rows"] == 1
+        assert r["p_min"] == r["p_max"] and r["s_min"] == r["s_max"]
+        assert r["extent_area"] == 1
+    # spot-check the Morton layout: qp=4 (partkey 2), qs=0 (suppkey 10)
+    # -> bit 2 of qp lands at bit 4 -> zcell 16
+    cell = next(
+        r["zcell"] for r in out.values()
+        if r["p_min"] == 2 and r["s_min"] == 10
+    )
+    assert cell == 16
