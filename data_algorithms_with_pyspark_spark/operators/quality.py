@@ -30,7 +30,62 @@ __all__ = [
     "duplicate_keys",
     "fk_orphans",
     "quality_report",
+    "replica_digest",
 ]
+
+
+def replica_digest(
+    df: DataFrame, cols: list[str], n_buckets: int = 256
+) -> DataFrame:
+    """Order-independent content fingerprint for replica comparison:
+    ``(bucket, n_rows, digest1, digest2)`` where each digest is the
+    ``bit_xor`` of a 60-bit md5 lane over the canonical row string.
+
+    The 100-TB use case: prove two copies of a dataset (cross-region
+    replica, post-migration rewrite, an engine port) hold the SAME rows
+    without moving either — each side computes its 256-row manifest
+    locally and the manifests are diffed. XOR is commutative/associative
+    with no overflow, so the digest is independent of partitioning, row
+    order, and engine parallelism; two md5 lanes (the second
+    domain-separated by a literal prefix) push the per-bucket collision
+    probability to ~2^-120. Bucketing by ``hash % n_buckets`` localizes a
+    mismatch to 1/n_buckets of the keyspace for drill-down.
+
+    Canonicalization: every column casts to string and NULL becomes a
+    sentinel (no concat_ws null-skipping ambiguity). Columns must be
+    string/integer-typed — cast doubles to an integer lane (cents/micros)
+    first, since float-to-string formatting is engine-specific.
+
+    Plan: one projection (md5 + conv inside codegen) and one hash
+    aggregate keyed by the tiny bucket id — map-side partials reduce
+    each partition to <= n_buckets rows, so the shuffle is a few KB per
+    task regardless of input size.
+
+    Oracle twin per lane: ``('0x' || substring(md5(canon), 1, 15))::BIGINT``
+    (the md5_long60 construction from operators/dedup.py).
+    """
+    # Unit-separator (0x1f) joined so field boundaries survive
+    # ("ab","c" must not collide with "a","bc"); SQL twin chr(31).
+    canon = F.concat_ws(
+        "", *[F.coalesce(F.col(c).cast("string"), F.lit("␀")) for c in cols]
+    )
+    h1 = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    h2 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("r2|"), canon)), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        df.select(
+            (h1 % F.lit(n_buckets)).alias("bucket"),
+            h1.alias("_h1"),
+            h2.alias("_h2"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr("bit_xor(_h1)").alias("digest1"),
+            F.expr("bit_xor(_h2)").alias("digest2"),
+        )
+    )
 
 
 def check_counts(df: DataFrame, checks: dict[str, Column]) -> DataFrame:

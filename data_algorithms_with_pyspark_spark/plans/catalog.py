@@ -83,6 +83,7 @@ _SAMPLE_PRIORITY = (
     "language_id_confusion",
     "bm25_search_topk",
     "lineitem_zorder_extents",
+    "documents_replica_digest",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q20_promotable_suppliers",

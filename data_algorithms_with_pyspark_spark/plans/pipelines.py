@@ -859,3 +859,48 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("kept"),
     )
+
+
+@register(
+    "documents_replica_digest",
+    tags=("quality", "integrity"),
+    description="Order-independent replica-comparison manifest over "
+    "documents: 256 md5-buckets, per-bucket row count and two bit_xor'd "
+    "60-bit md5 digest lanes — proves two copies of a dataset hold the "
+    "same rows without moving either",
+    oracle="""
+        WITH c AS (
+            SELECT concat_ws(chr(31),
+                       coalesce(CAST(doc_id AS VARCHAR), '␀'),
+                       coalesce(text, '␀'),
+                       coalesce(lang, '␀'),
+                       coalesce(source, '␀'),
+                       coalesce(CAST(n_chars AS VARCHAR), '␀')) AS canon
+            FROM documents
+        ),
+        h AS (
+            SELECT ('0x' || substring(md5(canon), 1, 15))::BIGINT AS h1,
+                   ('0x' || substring(md5('r2|' || canon), 1, 15))::BIGINT AS h2
+            FROM c
+        )
+        SELECT h1 % 256 AS bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               bit_xor(h1) AS digest1,
+               bit_xor(h2) AS digest2
+        FROM h GROUP BY bucket
+    """,
+)
+def documents_replica_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/quality.py:replica_digest over the full documents row
+    (all five columns, integer/string-typed, so the canonical string is
+    engine-exact). The oracle IS the use case: an independent engine
+    computing the same 256-row manifest over its copy and matching
+    bit-for-bit is exactly the replica-equality protocol."""
+    from data_algorithms_with_pyspark_spark.operators.quality import (
+        replica_digest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return replica_digest(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"], n_buckets=256
+    )

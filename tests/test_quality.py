@@ -50,3 +50,49 @@ def test_quality_report_unions_and_validates(spark):
     assert {r["check_name"] for r in report.collect()} == {"a", "b"}
     with pytest.raises(ValueError, match="at least one"):
         quality_report()
+
+
+def test_replica_digest_order_invariant_and_change_sensitive(spark):
+    """The manifest must be identical under any partitioning/row order
+    (XOR lane), must localize a one-row edit to that row's bucket, and
+    must distinguish NULL from its sentinel-adjacent string."""
+    from data_algorithms_with_pyspark_spark.operators.quality import (
+        replica_digest,
+    )
+
+    rows = [(i, f"t{i}", None if i % 3 == 0 else "en") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, txt string, lang string")
+
+    base = {
+        r["bucket"]: (r["n_rows"], r["digest1"], r["digest2"])
+        for r in replica_digest(df, ["id", "txt", "lang"], 16).collect()
+    }
+    # replica with different partitioning and reversed order -> identical
+    shuffled = spark.createDataFrame(
+        list(reversed(rows)), "id long, txt string, lang string"
+    ).repartition(7)
+    assert base == {
+        r["bucket"]: (r["n_rows"], r["digest1"], r["digest2"])
+        for r in replica_digest(shuffled, ["id", "txt", "lang"], 16).collect()
+    }
+    # one-row edit -> exactly the affected bucket(s) differ, others equal
+    edited = [(i, "t1-EDIT" if i == 1 else f"t{i}",
+               None if i % 3 == 0 else "en") for i in range(50)]
+    ed = {
+        r["bucket"]: (r["n_rows"], r["digest1"], r["digest2"])
+        for r in replica_digest(
+            spark.createDataFrame(edited, "id long, txt string, lang string"),
+            ["id", "txt", "lang"], 16,
+        ).collect()
+    }
+    assert ed != base
+    diff = {b for b in set(base) | set(ed) if base.get(b) != ed.get(b)}
+    assert 1 <= len(diff) <= 2  # old row's bucket +/- new row's bucket
+    # NULL vs the literal sentinel string must produce different digests
+    a = spark.createDataFrame([(1, None)], "id long, txt string")
+    b = spark.createDataFrame([(1, "␀x")], "id long, txt string")
+    d_a = replica_digest(a, ["id", "txt"], 4).collect()
+    d_b = replica_digest(b, ["id", "txt"], 4).collect()
+    assert {(r["bucket"], r["digest1"]) for r in d_a} != {
+        (r["bucket"], r["digest1"]) for r in d_b
+    }
