@@ -84,6 +84,12 @@ _SAMPLE_PRIORITY = (
     "bm25_search_topk",
     "lineitem_zorder_extents",
     "documents_replica_digest",
+    # Code path changed post-r4-closing (independent-draw audit fixes:
+    # integer-lane rolling avg, floor-form percent_rank / avg_gap_s) —
+    # changed queries must re-enter the window.
+    "events_rolling_hour_avg",
+    "customer_balance_ranks",
+    "events_inter_arrival_stats",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q20_promotable_suppliers",

@@ -179,13 +179,17 @@ def clicks_last_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type,
                CAST(count(gap_s) AS BIGINT) AS n_gaps,
-               round(avg(gap_s), 2) AS avg_gap_s,
+               floor(avg(gap_s) * 100 + 0.5) / 100 AS avg_gap_s,
                CAST(max(gap_s) AS BIGINT) AS max_gap_s
         FROM gaps WHERE gap_s IS NOT NULL
         GROUP BY event_type
     """,
 )
 def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg of INTEGER gaps is an exact small ratio (long sum / count —
+    bit-identical on every engine), so the 2-dp rounding uses the
+    floor(x*100+0.5) form: round() diverges when the ratio's shortest
+    decimal repr ends in 5 (the cume_dist bug class)."""
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
@@ -198,7 +202,10 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("gap_s").alias("n_gaps"),
-            F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
+            (
+                F.floor(F.avg("gap_s") * F.lit(100.0) + F.lit(0.5))
+                / F.lit(100.0)
+            ).alias("avg_gap_s"),
             F.max("gap_s").alias("max_gap_s"),
         )
     )
@@ -211,12 +218,19 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Per-user trailing-1-hour rolling avg/count at each event "
     "(event-time RANGE frame)",
     oracle="""
+        WITH q AS (
+            SELECT event_id, user_id, epoch_us(ts) AS us,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vmicro
+            FROM events
+        )
         SELECT event_id,
-               round(avg(value) OVER w, 4) AS rolling_avg,
+               floor(CAST(sum(vmicro) OVER w AS DOUBLE)
+                     / (count(*) OVER w) / 1000000.0
+                     * 10000.0 + 0.5) / 10000.0 AS rolling_avg,
                CAST(count(*) OVER w AS BIGINT) AS rolling_n
-        FROM events
+        FROM q
         WINDOW w AS (
-            PARTITION BY user_id ORDER BY epoch_us(ts)
+            PARTITION BY user_id ORDER BY us
             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
         )
     """,
@@ -229,7 +243,16 @@ def events_rolling_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     others' values, the oracle would not) and would mis-include pairs
     straddling the 3600s boundary by <1s. One shuffle on user_id; the
     in-partition sort is the window's price — at 100 TB pre-bucket by
-    user_id to pay it at write time."""
+    user_id to pay it at write time.
+
+    The rolling average is computed on the INTEGER micro-unit lane:
+    ``value`` quantizes to micros per row, the window sums longs (exact,
+    order-independent — Spark's linear frame scan and DuckDB's
+    segment-tree accumulate doubles in DIFFERENT orders, which drifted
+    last ulps and flipped round() on 268/100k rows of an independently
+    drawn events table), and the average is one integer-exact division
+    chain + floor_round4. Requires |value| < ~9.2e12 (micro lane in
+    int64)."""
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
@@ -238,9 +261,17 @@ def events_rolling_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.unix_micros("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
+    vmicro = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    avg = (
+        F.sum(vmicro).over(w).cast("double")
+        / F.count("*").over(w)
+        / F.lit(1e6)
+    )
     return events.select(
         "event_id",
-        F.round(F.avg("value").over(w), 4).alias("rolling_avg"),
+        (F.floor(avg * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "rolling_avg"
+        ),
         F.count("*").over(w).alias("rolling_n"),
     )
 

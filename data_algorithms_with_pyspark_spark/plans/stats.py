@@ -331,7 +331,8 @@ def customer_feature_engineering(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey, c_nationkey,
                CAST(dense_rank() OVER w AS BIGINT)   AS balance_dense_rank,
                CAST(ntile(4) OVER w AS INT)          AS balance_quartile,
-               round(percent_rank() OVER w, 6)       AS balance_pct_rank
+               floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000
+                                                     AS balance_pct_rank
         FROM customer
         WINDOW w AS (
             PARTITION BY c_nationkey
@@ -354,7 +355,13 @@ def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         F.dense_rank().over(w).cast("long").alias("balance_dense_rank"),
         F.ntile(4).over(w).alias("balance_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("balance_pct_rank"),
+        # percent_rank is (rank-1)/(n-1) — the same exact-small-ratio
+        # class as cume_dist below, so the same floor(x*1e6+0.5) form
+        # (round() diverges when the ratio's shortest repr ends in 5).
+        (
+            F.floor(F.percent_rank().over(w) * F.lit(1000000.0) + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("balance_pct_rank"),
     )
 
 
