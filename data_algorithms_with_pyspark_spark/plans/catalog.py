@@ -90,6 +90,7 @@ _SAMPLE_PRIORITY = (
     "events_rolling_hour_avg",
     "customer_balance_ranks",
     "events_inter_arrival_stats",
+    "avg_quantity_by_returnflag",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q20_promotable_suppliers",

@@ -115,16 +115,21 @@ def char_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "movie_avg_rating.py — Spark's avg is the correct (sum,count) monoid)",
     oracle="""
         SELECT l_returnflag,
-               round(avg(l_quantity), 2) AS avg_qty,
+               floor(avg(l_quantity) * 100 + 0.5) / 100 AS avg_qty,
                count(*) AS n
         FROM lineitem
         GROUP BY l_returnflag
     """,
 )
 def avg_quantity_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg of integer-valued doubles is an exact ratio (bit-identical on
+    every engine), so the 2-dp rounding uses the floor(x*100+0.5) form —
+    round() is repr-based on Spark and diverges at exact decimal halves
+    (the cume_dist bug class)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     return lineitem.groupBy("l_returnflag").agg(
-        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        (F.floor(F.avg("l_quantity") * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0))
+        .alias("avg_qty"),
         F.count("*").alias("n"),
     )
 

@@ -43,9 +43,9 @@ def _revenue():
                CAST(sum(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
                CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_disc_price,
                CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_charge,
-               round(avg(l_quantity), 4)                                    AS avg_qty,
-               round(avg(l_extendedprice), 4)                               AS avg_price,
-               round(avg(l_discount), 4)                                    AS avg_disc,
+               floor(avg(l_quantity) * 10000 + 0.5) / 10000                 AS avg_qty,
+               floor((CAST(sum(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 / count(*)) * 10000 + 0.5) / 10000 AS avg_price,
+               floor((CAST(sum(CAST(floor((l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 / count(*)) * 10000 + 0.5) / 10000 AS avg_disc,
                count(*)                                                     AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -53,7 +53,19 @@ def _revenue():
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Averages ride exact lanes (the cume_dist/rolling-avg discipline):
+    avg_qty is an integer-valued-double ratio (bit-identical on every
+    engine) under the floor-round form, and avg_price/avg_disc average
+    the integer-cent lane (prices and discounts are 2-dp, so the
+    quantization is the identity) — one exact division chain, then
+    floor-round. round(avg(double), 4) is repr-rounding on Spark and
+    binary-rounding elsewhere, which diverges at exact decimal halves."""
     lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def _floor4(c):
+        return F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+    n = F.count("*")
     return (
         lineitem.where(F.col("l_shipdate") <= ts("2000-12-01"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -62,9 +74,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents_sum(F.col("l_extendedprice")).alias("sum_base_price"),
             cents_sum(_revenue()).alias("sum_disc_price"),
             cents_sum(_revenue() * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _floor4(F.avg("l_quantity")).alias("avg_qty"),
+            _floor4(cents_sum(F.col("l_extendedprice")) / n).alias("avg_price"),
+            _floor4(cents_sum(F.col("l_discount")) / n).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
