@@ -668,3 +668,74 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_q").cast("string"),
         ).alias("rfm_segment"),
     ).orderBy("custkey")
+
+
+@register(
+    "orders_key_skew_report",
+    tags=("stats", "skew", "partitioning"),
+    description="Join-key skew diagnostic over orders.o_custkey: the 10 "
+    "heaviest keys with integer basis-point shares, plus the "
+    "p99-to-mean hot-key ratio a planner would compare against the "
+    "salting threshold — the measurement step that precedes "
+    "orders_salted_join_agg's mitigation",
+    oracle="""
+        WITH per_key AS (
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows
+            FROM orders GROUP BY o_custkey
+        ),
+        tot AS (
+            SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys
+            FROM per_key
+        )
+        SELECT CAST(row_number() OVER (
+                   ORDER BY p.n_rows DESC, p.o_custkey
+               ) AS BIGINT) AS heavy_rank,
+               p.o_custkey, p.n_rows,
+               p.n_rows * 10000 // t.total_rows AS share_bp,
+               p.n_rows * t.n_keys * 100 // t.total_rows AS x_mean_pct
+        FROM per_key p, tot t
+        ORDER BY p.n_rows DESC, p.o_custkey
+        LIMIT 10
+    """,
+)
+def orders_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diagnosis half of skew handling (operators/skew.py holds the
+    mitigation): one hash aggregate on the join key, then a broadcast of
+    the 2-value totals row back onto the tiny per-key relation, and a
+    global top-10 that plans as TakeOrderedAndProject (per-partition
+    heaps, never a full sort). ``share_bp`` (basis points of all rows)
+    and ``x_mean_pct`` (key weight as % of the mean key's weight — 100 =
+    perfectly uniform) are integer floor-divisions, so the report is
+    engine-exact; a planner salts when x_mean_pct of the top key crosses
+    its threshold. At 100 TB this is the cheap pre-pass that decides
+    whether the expensive salted shape is needed at all."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_rows")
+    )
+    tot = per_key.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count("*").alias("n_keys"),
+    )
+    ranked = (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            "n_rows",
+            F.expr("n_rows * 10000 div total_rows").alias("share_bp"),
+            F.expr("n_rows * n_keys * 100 div total_rows").alias("x_mean_pct"),
+        )
+        .orderBy(F.col("n_rows").desc(), "o_custkey")
+        .limit(10)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_rows").desc(), "o_custkey")
+    return ranked.select(
+        F.row_number().over(w).cast("long").alias("heavy_rank"),
+        "o_custkey",
+        "n_rows",
+        "share_bp",
+        "x_mean_pct",
+    )

@@ -62,3 +62,22 @@ def test_rejects_outer(spark, skewed):
     left, right = skewed
     with pytest.raises(ValueError, match="inner|left"):
         salted_join(left, right, on="k", how="full")
+
+
+def test_skew_report_planted_hot_key(spark, tmp_path):
+    """Planted 80/10/10 distribution: the hot key leads with exact
+    integer basis-point share and x-mean percentage."""
+    from data_algorithms_with_pyspark_spark.plans.catalog import get_query
+
+    rows = [(i, 1 if i < 80 else (2 if i < 90 else 3)) for i in range(100)]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_custkey long")
+    sf_dir = str(tmp_path / "sf")
+    df.write.parquet(f"{sf_dir}/orders.parquet")
+
+    out = get_query("orders_key_skew_report").fn(spark, sf_dir).collect()
+    assert [r["o_custkey"] for r in out] == [1, 2, 3]
+    top = out[0]
+    assert top["heavy_rank"] == 1 and top["n_rows"] == 80
+    assert top["share_bp"] == 8000          # 80/100 in basis points
+    assert top["x_mean_pct"] == 240         # 80 vs mean 33.3 -> 240%
+    assert out[1]["share_bp"] == 1000 and out[1]["x_mean_pct"] == 30
