@@ -121,7 +121,12 @@ _SAMPLE_PRIORITY = (
     "q18_large_volume_customers",
     "q19_bracket_revenue",
     "q22_idle_rich_customers",
-    # ... the graph family ...
+    # ... the graph family (NOTE: the round-4-continuation additions and
+    # rounding-fix re-entries above push most of this family past the
+    # ~50 cut — changed/new queries outrank stale-but-unchanged
+    # re-attestation by the rotation rule. All seven MATCH in this
+    # round's sf0.01/sf0.1/independent-draw driver sims; r5's stale
+    # block must lead with them plus the reporting tail below) ...
     "graph_degrees",
     "graph_bidirectional_edges",
     "graph_two_hop_paths",

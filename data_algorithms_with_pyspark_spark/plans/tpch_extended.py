@@ -923,7 +923,11 @@ def lineitem_zorder_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantize (l_partkey, l_suppkey) to a bounded unsigned space by exact
     integer min/max scaling, Morton-interleave the bits
     (functions/zorder.py:interleave_bits — pure shift/mask codegen), and
-    report per-cell row counts and 2-D extents. ``extent_area`` is what a
+    report per-cell row counts and 2-D extents. Supported key span:
+    ``max - min < 2^59`` per dimension — beyond that ``(v - min) * 16``
+    would wrap int64 silently on Spark while the SQL twin raises, the
+    engine-divergence mode the ADVICE audits flag; quantize such keys
+    by dividing first. ``extent_area`` is what a
     min/max file skipper prunes against: under a Z-order layout it stays
     near (span_p/16)*(span_s/16) per cell in BOTH dimensions, where a
     single-column sort leaves the other dimension's extent at full span
