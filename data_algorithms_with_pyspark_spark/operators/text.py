@@ -32,6 +32,7 @@ __all__ = [
     "PII_PATTERNS",
     "pii_scrub",
     "bm25_topk",
+    "bigram_pmi",
 ]
 
 # Tiny high-frequency marker vocabularies per language; a deterministic
@@ -582,5 +583,80 @@ def bm25_topk(
             "matched_terms",
             "score_micro",
             F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pointwise mutual information of adjacent word pairs — the
+    collocation/phrase-induction statistic (Church & Hanks 1990):
+    ``pmi(a,b) = ln( p(a,b) / (p(a) p(b)) )`` over corpus unigram and
+    adjacent-bigram frequencies. A training pipeline uses it to merge
+    high-PMI pairs into phrase tokens before vocabulary building.
+
+    Output: ``(term_a, term_b, n_ab, pmi_nano)`` for pairs with
+    ``n_ab >= min_count``; the score is an integer nano-unit
+    quantization of the double (floor form), computed by the same
+    division chain on both engines. Splitting the space-joined bigram
+    back into terms is safe BY CONSTRUCTION: whitespace tokenization
+    cannot produce a token containing a space (unlike free-text label
+    columns, where that assumption has bitten before).
+
+    Shape: two corpus tokenize passes (unigram counts need edge tokens
+    the bigram relation drops), each feeding one hash aggregate keyed by
+    term / (term_a, term_b); the min_count filter lands BEFORE the two
+    vocabulary equi-joins, so only surviving pairs join; the two 1-row
+    totals broadcast. Every relation after the aggregates is
+    vocabulary-sized, not corpus-sized.
+    """
+    toks = docs.select(F.col(id_col), words(text_col).alias("_t"))
+    ucnt = (
+        toks.select(F.explode("_t").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    ttot = ucnt.agg(F.sum("n").alias("t_total"))
+    bcnt = (
+        toks.select(F.explode(word_ngrams(F.col("_t"), 2)).alias("g"))
+        .select(
+            F.split("g", " ").getItem(0).alias("term_a"),
+            F.split("g", " ").getItem(1).alias("term_b"),
+        )
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    btot = bcnt.agg(F.sum("n_ab").alias("b_total"))
+    x = (
+        F.col("n_ab").cast("double")
+        / F.col("b_total")
+        * F.col("t_total")
+        / F.col("n_a")
+        * F.col("t_total")
+        / F.col("n_b")
+    )
+    return (
+        bcnt.where(F.col("n_ab") >= min_count)
+        .join(
+            ucnt.select(F.col("term").alias("term_a"), F.col("n").alias("n_a")),
+            on="term_a",
+        )
+        .join(
+            ucnt.select(F.col("term").alias("term_b"), F.col("n").alias("n_b")),
+            on="term_b",
+        )
+        .crossJoin(F.broadcast(ttot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            F.floor(F.log(x) * F.lit(1e9) + F.lit(0.5))
+            .cast("long")
+            .alias("pmi_nano"),
         )
     )

@@ -751,6 +751,52 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=5)
 
 
+@register(
+    "term_bigram_pmi",
+    tags=("text", "stats"),
+    description="Adjacent-bigram pointwise mutual information (collocation "
+    "mining, Church & Hanks 1990): integer nano-unit PMI for every pair "
+    "seen >= 5 times — the phrase-induction statistic a tokenizer "
+    "pipeline merges on",
+    oracle=f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, {_TOKENS} AS t FROM documents
+        ),
+        ucnt AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term
+        ),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS t_total FROM ucnt),
+        bcnt AS (
+            SELECT pair[1] AS term_a, pair[2] AS term_b,
+                   CAST(count(*) AS BIGINT) AS n_ab
+            FROM (SELECT unnest(list_transform(range(1, len(t)),
+                                               i -> [t[i], t[i + 1]])) AS pair
+                  FROM toks)
+            GROUP BY term_a, term_b
+        ),
+        btot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS b_total FROM bcnt)
+        SELECT b.term_a, b.term_b, b.n_ab,
+               CAST(floor(ln(CAST(b.n_ab AS DOUBLE) / bt.b_total
+                              * tt.t_total / ua.n * tt.t_total / ub.n)
+                          * 1000000000.0 + 0.5) AS BIGINT) AS pmi_nano
+        FROM bcnt b
+        JOIN ucnt ua ON b.term_a = ua.term
+        JOIN ucnt ub ON b.term_b = ub.term, tot tt, btot bt
+        WHERE b.n_ab >= 5
+    """,
+)
+def term_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/text.py:bigram_pmi — identical division chain and ln on
+    both engines, integer nano-unit output (floor form). DuckDB builds
+    bigrams positionally (t[i], t[i+1] over range(1, len(t))), Spark via
+    word_ngrams — same adjacent pairs by construction."""
+    from data_algorithms_with_pyspark_spark.operators.text import bigram_pmi
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_pmi(docs, min_count=5)
+
+
 # --- BM25 ranked retrieval --------------------------------------------------
 #
 # Query strings are simple lowercase space-separated constants, so their

@@ -598,3 +598,23 @@ def test_bm25_topk_known_answers(spark):
     assert [rn for rn, _, _ in q0] == [1, 2, 3]
     for (_, s1, d1), (_, s2, d2) in zip(q0, q0[1:]):
         assert (s1, -d1) >= (s2, -d2)
+
+
+def test_bigram_pmi_known_answers(spark):
+    """Hand-computed PMI: corpus 'x y x y' + 'y x' has T=6 (x:3, y:3),
+    B=4 with (x,y):2 and (y,x):2 — both pairs get
+    ln((2/4)/((3/6)(3/6))) = ln 2, whose nano quantization is exact."""
+    import math
+
+    from data_algorithms_with_pyspark_spark.operators.text import bigram_pmi
+
+    docs = _docs(spark, [(0, "x y x y"), (1, "y x")])
+    out = {(r["term_a"], r["term_b"]): r
+           for r in bigram_pmi(docs, min_count=1).collect()}
+    assert set(out) == {("x", "y"), ("y", "x")}
+    expect = int(math.floor(math.log(2.0) * 1e9 + 0.5))  # 693147181
+    for r in out.values():
+        assert r["n_ab"] == 2
+        assert r["pmi_nano"] == expect
+    # min_count filters below-threshold pairs
+    assert bigram_pmi(docs, min_count=3).count() == 0
