@@ -31,12 +31,16 @@ the operator shape.
 from __future__ import annotations
 
 import math
+from collections.abc import Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
     "MICRO",
+    "embedding_gram_fp",
     "hashed_token_features",
     "logistic_regression_train",
     "logistic_scores",
@@ -183,3 +187,79 @@ def logistic_regression_train(
     finally:
         docs.unpersist()
     return w
+
+
+def embedding_gram_fp(
+    vecs: DataFrame,
+    dim: int,
+    vec_col: str = "vec",
+    scale: int = MICRO,
+) -> DataFrame:
+    """Exact fixed-point Gram matrix + first moments over an embedding
+    column — the single corpus pass that PCA / whitening / covariance
+    estimation needs before any eigendecomposition (which is a
+    driver-side O(dim^3) on the tiny dim x dim result).
+
+    Each component is quantized to an integer lane ``q = floor(v * scale
+    + 0.5)`` (int64); the output has one row per upper-triangle cell
+    ``1 <= i <= j <= dim``::
+
+        (i, j, g, s_i, s_j, n)   with   g   = sum_rows(q_i * q_j)
+                                        s_i = sum_rows(q_i),  n = count
+
+    so the covariance numerator ``n*g - s_i*s_j`` is derivable exactly.
+    All sums are exact int64 — associative, order-independent, and
+    hash-identical under any accumulation order, which is what lets a
+    DuckDB oracle replay the pass bit-for-bit (the same micro-lane
+    discipline as ``logistic_scores`` / events window sums).
+
+    Plan shape: ONE pass over the corpus via ``mapInPandas`` (Arrow
+    batches; a dim x dim int64 matmul per batch — the pq_encode lesson:
+    2080 unrolled Catalyst sum() columns would pay seconds of driver
+    planning per invocation), each batch emitting dim*(dim+1)/2 partial
+    rows, then a partial+final HashAggregate on (i, j) — the shuffle
+    carries only ~triangle_cells x batches rows, never the corpus.
+
+    Exactness bound (100 TB note): with unit-normalized inputs
+    (|v| <= 1) and scale = 1e6, |q_i * q_j| <= 1e12, so the int64 sums
+    are exact up to ~9e6 rows per cell; beyond that, raise the batch
+    partials to per-partition means (double) or split the lane — the
+    operator shape (one pass, tiny shuffle) is unchanged. Testdata
+    embeddings are |v| <= 0.6, good to ~2.5e7 rows.
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    iu, ju = np.triu_indices(dim)
+
+    def gram_batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            q = np.floor(m * float(scale) + 0.5).astype(np.int64)
+            gram = q.T @ q  # int64-exact within the documented bound
+            colsum = q.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": iu + 1,
+                    "j": ju + 1,
+                    "g": gram[iu, ju],
+                    "s_i": colsum[iu],
+                    "s_j": colsum[ju],
+                    "n": np.int64(len(pdf)),
+                }
+            )
+
+    partials = vecs.select(
+        F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInPandas(
+        gram_batches, "i long, j long, g long, s_i long, s_j long, n long"
+    )
+    return partials.groupBy("i", "j").agg(
+        F.sum("g").alias("g"),
+        F.sum("s_i").alias("s_i"),
+        F.sum("s_j").alias("s_j"),
+        F.sum("n").alias("n"),
+    )

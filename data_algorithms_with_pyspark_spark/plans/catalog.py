@@ -86,6 +86,7 @@ _SAMPLE_PRIORITY = (
     "documents_replica_digest",
     "orders_key_skew_report",
     "term_bigram_pmi",
+    "embedding_gram_covariance",
     # Code path changed post-r4-closing (independent-draw audit fixes:
     # integer-lane rolling avg, floor-form percent_rank / avg_gap_s) —
     # changed queries must re-enter the window.

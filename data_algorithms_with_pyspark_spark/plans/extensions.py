@@ -23,6 +23,7 @@ from data_algorithms_with_pyspark_spark.operators.dedup import (
     simhash,
     simhash_candidate_pairs,
 )
+from data_algorithms_with_pyspark_spark.operators.ml import embedding_gram_fp
 from data_algorithms_with_pyspark_spark.operators.multimodal import (
     binary_metadata,
     decode_audio_batch,
@@ -341,6 +342,36 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "label", "n", F.round(F.sqrt(sq), 6).alias("centroid_norm")
     )
+
+
+@register(
+    "embedding_gram_covariance",
+    bench=True,
+    tags=("similarity", "aggregate", "ml"),
+    description="Exact fixed-point Gram matrix + first moments (PCA-prep "
+    "second-moment pass; covariance numerator n*g - s_i*s_j is exact)",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id, i,
+                   CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5)
+                        AS BIGINT) AS qv
+            FROM embeddings
+            CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+        ),
+        s AS (SELECT i, CAST(sum(qv) AS BIGINT) AS s, count(*) AS n
+              FROM q GROUP BY i),
+        g AS (
+            SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS g
+            FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2
+        )
+        SELECT g.i, g.j, g.g, sa.s AS s_i, sb.s AS s_j, sa.n AS n
+        FROM g JOIN s sa ON g.i = sa.i JOIN s sb ON g.j = sb.i
+    """,
+)
+def embedding_gram_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_gram_fp(emb, dim=64, vec_col="embedding")
 
 
 # --- text analysis ----------------------------------------------------------

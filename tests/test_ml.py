@@ -70,3 +70,48 @@ def test_logistic_regression_zero_iter_rejected(spark):
         logistic_regression_train(df, lab, dims=0)
     with _pytest.raises(ValueError):
         logistic_regression_train(df, lab, dims=4, iters=0)
+
+
+def test_embedding_gram_fp_known_answer(spark):
+    import numpy as np
+
+    from data_algorithms_with_pyspark_spark.operators.ml import (
+        embedding_gram_fp,
+    )
+
+    vecs = [
+        [0.5, -0.25, 0.125],
+        [1.0, 0.0, -0.5],
+        [-0.75, 0.3, 0.2],
+        [0.1, 0.1, 0.1],
+        [0.0, -1.0, 0.6],
+    ]
+    df = spark.createDataFrame([(v,) for v in vecs], ["vec"]).repartition(3)
+    got = {
+        (r["i"], r["j"]): (r["g"], r["s_i"], r["s_j"], r["n"])
+        for r in embedding_gram_fp(df, dim=3).collect()
+    }
+    q = np.floor(np.array(vecs) * 1e6 + 0.5).astype(np.int64)
+    gram = q.T @ q
+    colsum = q.sum(axis=0)
+    assert len(got) == 6  # upper triangle of 3x3
+    for i in range(3):
+        for j in range(i, 3):
+            assert got[(i + 1, j + 1)] == (
+                int(gram[i, j]),
+                int(colsum[i]),
+                int(colsum[j]),
+                5,
+            ), (i, j)
+
+
+def test_embedding_gram_fp_rejects_bad_dim(spark):
+    import pytest as _pytest
+
+    from data_algorithms_with_pyspark_spark.operators.ml import (
+        embedding_gram_fp,
+    )
+
+    df = spark.createDataFrame([([0.1],)], ["vec"])
+    with _pytest.raises(ValueError):
+        embedding_gram_fp(df, dim=0)
