@@ -44,6 +44,7 @@ __all__ = [
     "hashed_token_features",
     "logistic_regression_train",
     "logistic_scores",
+    "pca_top_component_fp",
 ]
 
 MICRO = 1_000_000  # fixed-point scale for weights / sigmoid outputs
@@ -263,3 +264,61 @@ def embedding_gram_fp(
         F.sum("s_j").alias("s_j"),
         F.sum("n").alias("n"),
     )
+
+
+def pca_top_component_fp(
+    gram_rows,
+    dim: int,
+    iters: int = 8,
+    scale: int = MICRO,
+) -> list[int]:
+    """Dominant covariance eigendirection by QUANTIZED power iteration over
+    the exact ``embedding_gram_fp`` output — the driver-side half of a
+    distributed PCA: the corpus work was the one-pass Gram scan; this is
+    O(iters * dim^2) on the tiny dim x dim matrix.
+
+    Exact-replay discipline (what lets a DuckDB oracle reproduce the
+    iteration bit-for-bit, same contract as ``logistic_regression_train``):
+
+    - covariance entries ``c_ij = n*g_ij - s_i*s_j`` are built from the
+      EXACT int64 moments with one int64->f64 conversion per operand and
+      one IEEE multiply/subtract each — no summation, so no order freedom;
+    - each matvec row is an explicit LEFT-TO-RIGHT fold (DuckDB's
+      ``list_dot_product`` folds the same way — verified bit-identical);
+    - each iterate renormalizes by max|w| (an exact comparison, not a
+      float norm) and re-quantizes to the integer ``scale`` grid, so the
+      vector STATE between iterations is exact integers.
+
+    Starts from the all-ones direction; fixed iteration count (no
+    tolerance test) keeps the sequence reproducible. Returns ``dim``
+    quantized ints (grid = ``scale``); the true eigenvector is recovered
+    as ``q / scale`` up to sign and grid rounding.
+    """
+    if dim < 1 or iters < 1:
+        raise ValueError("dim and iters must be >= 1")
+    cov = [[0.0] * dim for _ in range(dim)]
+    seen = 0
+    for r in gram_rows:
+        i, j = r["i"] - 1, r["j"] - 1
+        c = float(r["n"]) * float(r["g"]) - float(r["s_i"]) * float(r["s_j"])
+        cov[i][j] = c
+        cov[j][i] = c
+        seen += 1
+    if seen != dim * (dim + 1) // 2:
+        raise ValueError(
+            f"expected {dim * (dim + 1) // 2} upper-triangle rows, got {seen}"
+        )
+    q = [float(scale)] * dim
+    for _ in range(iters):
+        w = []
+        for i in range(dim):
+            acc = 0.0
+            row = cov[i]
+            for j in range(dim):
+                acc = acc + row[j] * q[j]
+            w.append(acc)
+        m = max(abs(x) for x in w)
+        if m == 0.0:
+            raise ValueError("zero covariance matrix: no dominant direction")
+        q = [float(math.floor(x / m * scale + 0.5)) for x in w]
+    return [int(v) for v in q]

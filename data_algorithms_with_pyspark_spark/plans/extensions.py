@@ -374,6 +374,127 @@ def embedding_gram_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_gram_fp(emb, dim=64, vec_col="embedding")
 
 
+_PCA_ITERS = 8
+_PCA_TOPK = 50
+
+
+def _pca_projection_oracle_sql(
+    dim: int = 64, iters: int = _PCA_ITERS, topk: int = _PCA_TOPK
+) -> str:
+    """DuckDB twin of embedding_pca_projection: replays the Gram pass, the
+    quantized power iteration (unrolled CTEs; ``list_dot_product`` is the
+    same left-to-right f64 fold as the driver's explicit loop — verified
+    bit-identical), and the ordered-fold projection."""
+    ctes = [
+        f"""qm AS MATERIALIZED (
+            SELECT vec_id, i,
+                   CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5)
+                        AS BIGINT) AS qv
+            FROM embeddings
+            CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) t
+        )""",
+        """s AS MATERIALIZED (
+            SELECT i, CAST(sum(qv) AS BIGINT) AS s, count(*) AS n
+            FROM qm GROUP BY i
+        )""",
+        """g AS MATERIALIZED (
+            SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS g
+            FROM qm a JOIN qm b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2
+        )""",
+        # full square covariance: n*g - s_i*s_j, one int64->f64 conversion
+        # per operand + one IEEE mul/sub each (no summation -> no order
+        # freedom); the strict triangle mirrors to (j, i).
+        """cov AS MATERIALIZED (
+            SELECT g.i AS i, g.j AS j,
+                   CAST(sa.n AS DOUBLE) * CAST(g.g AS DOUBLE)
+                   - CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE) AS c
+            FROM g JOIN s sa ON g.i = sa.i JOIN s sb ON g.j = sb.i
+            UNION ALL
+            SELECT g.j, g.i,
+                   CAST(sa.n AS DOUBLE) * CAST(g.g AS DOUBLE)
+                   - CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)
+            FROM g JOIN s sa ON g.i = sa.i JOIN s sb ON g.j = sb.i
+            WHERE g.i < g.j
+        )""",
+        """crow AS MATERIALIZED (
+            SELECT i, list(c ORDER BY j) AS cl FROM cov GROUP BY i
+        )""",
+        f"""v0 AS MATERIALIZED (
+            SELECT unnest(range(1, {dim + 1})) AS i, 1000000.0 AS qv
+        )""",
+    ]
+    for t in range(1, iters + 1):
+        p = f"v{t - 1}"
+        ctes.append(f"""p{t} AS MATERIALIZED (
+            SELECT i, list_dot_product(
+                       cl, (SELECT list(qv ORDER BY i) FROM {p})) AS w
+            FROM crow
+        )""")
+        ctes.append(f"""v{t} AS MATERIALIZED (
+            SELECT i, CAST(floor(w / (SELECT max(abs(w)) FROM p{t})
+                                 * 1000000 + 0.5) AS DOUBLE) AS qv
+            FROM p{t}
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+        comp AS MATERIALIZED (SELECT list(qv ORDER BY i) AS cv FROM v{iters}),
+        proj AS MATERIALIZED (
+            SELECT vec_id,
+                   CAST(floor(list_dot_product(embedding::DOUBLE[],
+                                               (SELECT cv FROM comp)) + 0.5)
+                        AS BIGINT) AS proj_q
+            FROM embeddings
+        )
+        SELECT vec_id, proj_q FROM proj
+        ORDER BY abs(proj_q) DESC, vec_id
+        LIMIT {topk}
+    """
+    )
+
+
+@register(
+    "embedding_pca_projection",
+    bench=True,
+    tags=("similarity", "ml", "iterative"),
+    description="Distributed PCA: one-pass exact Gram scan -> driver-side "
+    f"quantized power iteration ({_PCA_ITERS} its) -> distributed ordered-"
+    f"fold projection, top-{_PCA_TOPK} docs by |score| on the dominant "
+    "covariance direction",
+    oracle=_pca_projection_oracle_sql(),
+)
+def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two corpus passes total regardless of corpus size: the Gram scan
+    (2080-row shuffle) and the projection map; the eigen-solve touches
+    only the dim x dim driver-side matrix. The component is embedded as a
+    64-literal array, so the projection is one codegen'd ordered fold per
+    row — broadcast-free, shuffle-free until the final top-k
+    (TakeOrderedAndProject)."""
+    from data_algorithms_with_pyspark_spark.functions.vectors import (
+        dot_product,
+        to_double_array,
+    )
+    from data_algorithms_with_pyspark_spark.operators.ml import (
+        pca_top_component_fp,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    gram = embedding_gram_fp(emb, dim=64, vec_col="embedding").collect()
+    comp = pca_top_component_fp(gram, dim=64, iters=_PCA_ITERS)
+    comp_col = F.array(*[F.lit(float(c)) for c in comp])
+    proj = dot_product(to_double_array(F.col("embedding")), comp_col)
+    return (
+        emb.select(
+            "vec_id",
+            F.floor(proj + F.lit(0.5)).cast("long").alias("proj_q"),
+        )
+        .orderBy(F.abs(F.col("proj_q")).desc(), "vec_id")
+        .limit(_PCA_TOPK)
+    )
+
+
 # --- text analysis ----------------------------------------------------------
 
 

@@ -115,3 +115,55 @@ def test_embedding_gram_fp_rejects_bad_dim(spark):
     df = spark.createDataFrame([([0.1],)], ["vec"])
     with _pytest.raises(ValueError):
         embedding_gram_fp(df, dim=0)
+
+
+def test_pca_top_component_aligns_with_numpy_eigenvector(spark):
+    import numpy as np
+
+    from data_algorithms_with_pyspark_spark.operators.ml import (
+        embedding_gram_fp,
+        pca_top_component_fp,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, n = 6, 400
+    # anisotropic cloud: a strong direction + noise
+    strong = rng.standard_normal(dim)
+    strong /= np.linalg.norm(strong)
+    x = rng.standard_normal((n, 1)) * 3.0 * strong + 0.3 * rng.standard_normal(
+        (n, dim)
+    )
+    x = np.clip(x, -0.99, 0.99)
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in x], ["vec"]
+    ).repartition(4)
+    rows = embedding_gram_fp(df, dim=dim).collect()
+    comp = np.array(pca_top_component_fp(rows, dim=dim, iters=12), dtype=float)
+
+    q = np.floor(x * 1e6 + 0.5)
+    cov = np.cov(q, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    cos = abs(comp @ top) / (np.linalg.norm(comp) * np.linalg.norm(top))
+    assert cos > 0.999, cos
+
+
+def test_pca_top_component_deterministic_and_guarded(spark):
+    from data_algorithms_with_pyspark_spark.operators.ml import (
+        embedding_gram_fp,
+        pca_top_component_fp,
+    )
+
+    vecs = [[0.5, -0.2, 0.1], [0.4, -0.1, 0.0], [-0.3, 0.25, 0.05]]
+    df = spark.createDataFrame([(v,) for v in vecs], ["vec"])
+    rows = embedding_gram_fp(df, dim=3).collect()
+    a = pca_top_component_fp(rows, dim=3)
+    b = pca_top_component_fp(list(reversed(rows)), dim=3)
+    assert a == b  # row order of the collected gram must not matter
+    assert max(abs(v) for v in a) == 1_000_000  # max-normalized grid
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pca_top_component_fp(rows, dim=3, iters=0)
+    with _pytest.raises(ValueError):
+        pca_top_component_fp(rows[:-1], dim=3)  # missing triangle row
