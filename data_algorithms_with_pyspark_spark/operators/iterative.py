@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "pagerank", "shortest_paths"]
+__all__ = [
+    "connected_components",
+    "label_propagation",
+    "pagerank",
+    "shortest_paths",
+]
 
 
 def _undirected(edges: DataFrame) -> DataFrame:
@@ -155,3 +160,55 @@ def shortest_paths(
             break
         signature = new_signature
     return dist
+
+
+def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA); returns
+    (id, label) after a FIXED number of rounds.
+
+    Each round every vertex adopts the most frequent label among its
+    neighbors (undirected view), ties broken by the smallest label — the
+    classic Raghavan-Albert-Kumara update made deterministic: synchronous
+    updates + min tie-break + a fixed round count (synchronous LPA can
+    oscillate on bipartite structures, so a convergence test would be
+    nondeterministic across graphs; a fixed count is also what lets a
+    foreign engine replay the result exactly). All state is integer —
+    labels are vertex ids, votes are counts — so the replay is exact with
+    no float discipline needed.
+
+    Per round: one join keyed on vertex id + one (id, label) count
+    aggregate + one per-id argmax. The argmax is max(struct(cnt, -label))
+    — a SortAggregate, measured FASTER than the rank-1-window rewrite for
+    this shape (see tests/test_plan_lint.py); state is O(V), votes are
+    O(E) in flight but never materialized. localCheckpoint each round
+    truncates the lineage (the iterative-Spark failure mode).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    # distinct() matters here (unlike min-label CC): when both (a,b) and
+    # (b,a) exist as directed edges, the symmetrized view would hold the
+    # pair twice and the neighbor would get TWO votes.
+    und = _undirected(edges).distinct().localCheckpoint()
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        votes = und.join(labels, und["dst"] == labels["id"], "inner").select(
+            F.col("src").alias("id"), "label"
+        )
+        labels = (
+            votes.groupBy("id", "label")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("id")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))
+                ).alias("m")
+            )
+            .select("id", (-F.col("m.neg")).alias("label"))
+            .localCheckpoint()
+        )
+    return labels

@@ -88,6 +88,7 @@ _SAMPLE_PRIORITY = (
     "term_bigram_pmi",
     "embedding_gram_covariance",
     "embedding_pca_projection",
+    "graph_label_propagation",
     # Code path changed post-r4-closing (independent-draw audit fixes:
     # integer-lane rolling avg, floor-form percent_rank / avg_gap_s) —
     # changed queries must re-enter the window.

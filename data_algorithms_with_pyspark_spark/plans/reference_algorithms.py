@@ -453,6 +453,95 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Community-structured test graph for label propagation: vertices 0..239 in
+# 24 blocks of 10; dense intra-block edges from (orderkey, suppkey) hashes
+# plus sparse next-block bridges (every 53rd order) so the algorithm has
+# both clear communities and cross-community noise to vote down.
+_LPA_ITERS = 5
+_LPA_EDGES_SQL = """
+        SELECT DISTINCT src, dst FROM (
+            SELECT l_orderkey % 240 AS src,
+                   (l_orderkey % 240) - ((l_orderkey % 240) % 10)
+                   + (l_suppkey % 10) AS dst
+            FROM lineitem WHERE l_linenumber = 1
+            UNION ALL
+            SELECT l_orderkey % 240, ((l_orderkey % 240) + 10) % 240
+            FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 53 = 0
+        ) WHERE src <> dst
+"""
+
+
+def _lpa_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_linenumber") == 1
+    )
+    src = F.col("l_orderkey") % 240
+    intra = lineitem.select(
+        src.alias("src"),
+        (src - (src % 10) + (F.col("l_suppkey") % 10)).alias("dst"),
+    )
+    bridge = lineitem.where(F.col("l_orderkey") % 53 == 0).select(
+        src.alias("src"), ((src + 10) % 240).alias("dst")
+    )
+    return (
+        intra.unionByName(bridge)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _lpa_oracle_sql(iterations: int = _LPA_ITERS) -> str:
+    """Unrolled synchronous-LPA rounds as chained CTEs. All state is
+    integer (labels are vertex ids, votes are counts), so the replay is
+    exact with no float discipline; the per-round argmax is the same
+    (count DESC, label ASC) order on both engines."""
+    ctes = [
+        f"e AS MATERIALIZED ({_LPA_EDGES_SQL})",
+        "und AS MATERIALIZED (SELECT src, dst FROM e "
+        "UNION SELECT dst, src FROM e)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM und)",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(f"""
+        l{t} AS MATERIALIZED (
+            SELECT id, label FROM (
+                SELECT c.id, c.label,
+                       row_number() OVER (
+                           PARTITION BY c.id
+                           ORDER BY c.cnt DESC, c.label ASC
+                       ) AS rn
+                FROM (
+                    SELECT u.src AS id, l.label, count(*) AS cnt
+                    FROM und u JOIN l{t - 1} l ON u.dst = l.id
+                    GROUP BY 1, 2
+                ) c
+            ) WHERE rn = 1
+        )""")
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f" SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label"
+        f" FROM l{iterations}"
+    )
+
+
+@register(
+    "graph_label_propagation",
+    tags=("graph", "iterative"),
+    description=f"Label-propagation community detection, {_LPA_ITERS} fixed "
+    "synchronous rounds with min-label tie-break (driver loop + "
+    "localCheckpoint; oracle = unrolled per-round CTEs — all-integer "
+    "state, exact replay)",
+    oracle=_lpa_oracle_sql(),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_algorithms_with_pyspark_spark.operators.iterative import (
+        label_propagation,
+    )
+
+    return label_propagation(_lpa_edges(spark, sf_dir), iterations=_LPA_ITERS)
+
+
 @register(
     "fasta_base_count",
     tags=("reference", "text", "file-source"),
