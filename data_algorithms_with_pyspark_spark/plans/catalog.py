@@ -89,6 +89,7 @@ _SAMPLE_PRIORITY = (
     "embedding_gram_covariance",
     "embedding_pca_projection",
     "graph_label_propagation",
+    "orders_snapshot_diff",
     # Code path changed post-r4-closing (independent-draw audit fixes:
     # integer-lane rolling avg, floor-form percent_rank / avg_gap_s) —
     # changed queries must re-enter the window.

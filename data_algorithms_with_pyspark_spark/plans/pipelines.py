@@ -467,6 +467,108 @@ def orders_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DIFF_PAYLOAD = (
+    "o_custkey",
+    "o_orderstatus",
+    "price_cents",
+    "odate",
+    "o_orderpriority",
+)
+_DIFF_DIGEST_SQL = (
+    "md5(concat_ws(chr(1), "
+    + ", ".join(f"COALESCE(CAST({c} AS VARCHAR), chr(1) || 'N')" for c in _DIFF_PAYLOAD)
+    + "))"
+)
+
+
+@register(
+    "orders_snapshot_diff",
+    tags=("pipeline", "merge", "cdc"),
+    description="Snapshot diff — derive the I/U/D changelog between two "
+    "table versions (operators/merge.py:snapshot_diff; digest-projected "
+    "full-outer join: keys + 16-byte digests shuffle, never the payload)",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS price_cents,
+                   CAST(o_orderdate AS VARCHAR) AS odate, o_orderpriority
+            FROM orders
+        ),
+        newsnap AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 89 = 0 THEN price_cents + 100
+                        ELSE price_cents END AS price_cents,
+                   odate, o_orderpriority
+            FROM base WHERE o_orderkey % 97 <> 0
+            UNION ALL
+            SELECT -o_orderkey, o_custkey, o_orderstatus, price_cents,
+                   odate, o_orderpriority
+            FROM base WHERE o_orderkey % 101 = 0
+        ),
+        od AS (SELECT o_orderkey, {_DIFF_DIGEST_SQL} AS dig FROM base),
+        nd AS (SELECT o_orderkey, {_DIFF_DIGEST_SQL} AS dig FROM newsnap)
+        SELECT COALESCE(od.o_orderkey, nd.o_orderkey) AS o_orderkey,
+               CASE WHEN od.dig IS NULL THEN 'I'
+                    WHEN nd.dig IS NULL THEN 'D'
+                    ELSE 'U' END AS change
+        FROM od FULL OUTER JOIN nd ON od.o_orderkey = nd.o_orderkey
+        WHERE od.dig IS NULL OR nd.dig IS NULL OR od.dig <> nd.dig
+    """,
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two derived versions of ``orders``: the new snapshot drops
+    keys ``%97==0`` (deletes), bumps price on keys ``%89==0`` (updates),
+    and adds negated-key clones of keys ``%101==0`` (inserts) — all
+    derived deterministically from the same table on both engines, no
+    synthesized inputs. Joining the diff's I/U keys back to the new
+    snapshot for their images yields an ``apply_cdc`` batch that
+    reconstructs ``new`` exactly (asserted in tests/test_merge.py).
+
+    Scale shape (operators/merge.py:snapshot_diff): each side projects
+    map-side to (key, md5 digest) — explicit null sentinels, money as
+    integer cents, dates as ISO strings, so the digest is cross-engine
+    deterministic — and the full-outer join shuffles 24 bytes/row, not
+    the payload. Bucketed snapshots would drop the Exchange entirely."""
+    from data_algorithms_with_pyspark_spark.operators.merge import (
+        snapshot_diff,
+    )
+
+    key = F.col("o_orderkey")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+        F.col("o_orderdate").cast("string").alias("odate"),
+        "o_orderpriority",
+    )
+    newsnap = (
+        base.where(key % 97 != 0)
+        .withColumn(
+            "price_cents",
+            F.when(key % 89 == 0, F.col("price_cents") + 100).otherwise(
+                F.col("price_cents")
+            ),
+        )
+        .unionByName(
+            base.where(key % 101 == 0).withColumn("o_orderkey", -key)
+        )
+    )
+    digest = F.md5(
+        F.concat_ws(
+            "\x01",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x01N"))
+                for c in _DIFF_PAYLOAD
+            ],
+        )
+    )
+    return snapshot_diff(base, newsnap, ["o_orderkey"], digest)
+
+
 @register(
     "customer_scd2_history",
     tags=("pipeline", "merge", "scd2"),

@@ -195,3 +195,83 @@ def test_merge_partial_aggs_equals_full_recompute(spark):
     want = {key(r): (r["n"], r["sum_a"], r["max_b"], r["min_b"])
             for r in full.collect()}
     assert got == want
+
+
+class TestSnapshotDiff:
+    @staticmethod
+    def _digest():
+        from pyspark.sql import functions as F
+
+        return F.md5(
+            F.concat_ws(
+                "\x01",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x01N"))
+                    for c in ("v", "w")
+                ],
+            )
+        )
+
+    def test_classifies_iud(self, spark):
+        from data_algorithms_with_pyspark_spark.operators.merge import (
+            snapshot_diff,
+        )
+
+        old = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "v", "w"]
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 10), (2, "B", 20), (4, "d", 40)], ["k", "v", "w"]
+        )
+        got = {
+            r["k"]: r["change"]
+            for r in snapshot_diff(old, new, ["k"], self._digest()).collect()
+        }
+        assert got == {2: "U", 3: "D", 4: "I"}  # key 1 unchanged -> absent
+
+    def test_null_payload_distinguished(self, spark):
+        from data_algorithms_with_pyspark_spark.operators.merge import (
+            snapshot_diff,
+        )
+
+        old = spark.createDataFrame(
+            [(1, None, 5)], "k long, v string, w long"
+        )
+        new = spark.createDataFrame([(1, "", 5)], "k long, v string, w long")
+        got = snapshot_diff(old, new, ["k"], self._digest()).collect()
+        assert [(r["k"], r["change"]) for r in got] == [(1, "U")]
+
+    def test_roundtrip_reconstructs_new(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_algorithms_with_pyspark_spark.operators.merge import (
+            apply_cdc,
+            snapshot_diff,
+        )
+
+        old = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (5, "e", 50)],
+            ["k", "v", "w"],
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 10), (2, "B", 21), (4, "d", 40), (5, "e", 50)],
+            ["k", "v", "w"],
+        )
+        diff = snapshot_diff(old, new, ["k"], self._digest())
+        # I/U images come from the new snapshot; D needs only the key.
+        images = diff.where(F.col("change") != "D").join(new, on="k")
+        deletes = diff.where(F.col("change") == "D").select(
+            "k", F.lit(None).cast("string").alias("v"),
+            F.lit(None).cast("long").alias("w"), F.col("change"),
+        )
+        batch = images.select("k", "v", "w", "change").unionByName(deletes)
+        rebuilt = apply_cdc(
+            old,
+            batch.withColumn("seq", F.lit(1)),
+            ["k"],
+            op_col="change",
+            order_col="seq",
+        )
+        assert sorted(
+            (r["k"], r["v"], r["w"]) for r in rebuilt.collect()
+        ) == sorted((r["k"], r["v"], r["w"]) for r in new.collect())
