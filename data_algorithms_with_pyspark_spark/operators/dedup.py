@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import random
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -58,6 +59,7 @@ __all__ = [
     "simhash",
     "simhash_candidate_pairs",
     "ngram_jaccard_pairs",
+    "prefix_jaccard_pairs",
     "embedding_near_dup_pairs",
     "semdedup_prune",
     "repeated_segment_dedup",
@@ -476,19 +478,28 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     candidates: DataFrame | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct word n-gram shingles.
 
     Without ``candidates`` this is the O(n^2) brute-force baseline (cross
     join) — correct, oracle-checkable, and only for modest n. At scale,
     pass ``minhash_candidate_pairs`` output as ``candidates`` so only LSH
-    survivors are verified.
+    survivors are verified. ``shingles_df`` (columns: id_col, shingles)
+    lets a caller that already materialized the shingle projection —
+    e.g. ``prefix_jaccard_pairs``, which also builds its inverted index
+    from it — share one persisted copy instead of re-tokenizing the
+    corpus per join side.
     """
-    sh = spread_partitions(docs.select(id_col, text_col)).select(
-        F.col(id_col), words(text_col).alias("_w")
-    ).select(
-        F.col(id_col), token_shingles(F.col("_w"), shingle_n).alias("shingles")
-    )
+    if shingles_df is not None:
+        sh = shingles_df.select(F.col(id_col), F.col("shingles"))
+    else:
+        sh = spread_partitions(docs.select(id_col, text_col)).select(
+            F.col(id_col), words(text_col).alias("_w")
+        ).select(
+            F.col(id_col),
+            token_shingles(F.col("_w"), shingle_n).alias("shingles"),
+        )
     left = sh.select(F.col(id_col).alias("id_1"), F.col("shingles").alias("sh_1"))
     right = sh.select(F.col(id_col).alias("id_2"), F.col("shingles").alias("sh_2"))
     if candidates is not None:
@@ -508,6 +519,116 @@ def ngram_jaccard_pairs(
     return (
         base.select("id_1", "id_2", floor_round(jac, 4).alias("jaccard"))
         .where(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (PPJoin-style,
+    Xiao et al., WWW'08) — same output as the all-pairs
+    ``ngram_jaccard_pairs`` baseline, WITHOUT the cross join: this is the
+    scale path for exact (non-probabilistic) near-dup detection, sitting
+    between the tagged O(n^2) baseline and the recall-lossy MinHash LSH.
+
+    Prefix-filtering principle: order every document's shingle set by a
+    GLOBAL rarity order (document frequency asc, shingle asc). If
+    J(A, B) >= t, then A and B must share at least one shingle within
+    their first ``|S| - ceil(t * |S|) + 1`` shingles under any common
+    total order — so an inverted index over just those PREFIX shingles
+    finds every qualifying pair (lossless), while the rarity order keeps
+    posting lists short: common shingles are pushed out of prefixes, so
+    the candidate join never explodes on stop-shingles.
+
+    The prefix length uses INTEGER arithmetic — ``ceil(t * s)`` computed
+    as ``(t_bp * s + 9999) // 10000`` with t in basis points — because a
+    float ``ceil(0.2 * 5) = ceil(1.0000000000000002) = 2`` would SHORTEN
+    the prefix and silently drop true pairs.
+
+    Plan: one explode + count for document frequencies (vocabulary-sized
+    aggregate), one join + re-group to sort each document's shingles by
+    rarity, one equi self-join on prefix shingles with the PPJoin length
+    filter (t*|A| <= |B| <= |A|/t), then exact Jaccard verification on
+    candidates only — identical expression and floor_round grid as the
+    baseline, so the two agree bit-for-bit. Every shuffle is keyed (no
+    cartesian); candidate count tracks true-pair count, not n^2.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    t_bp = int(round(threshold * 10000))
+    sh = (
+        spread_partitions(docs.select(id_col, text_col))
+        .select(F.col(id_col), words(text_col).alias("_w"))
+        .select(
+            F.col(id_col), token_shingles(F.col("_w"), shingle_n).alias("shingles")
+        )
+        # persisted because THREE consumers need it (the inverted index
+        # and both verification sides) and the tokenizer+shingler is the
+        # dominant cost — without this the corpus re-tokenizes 3x.
+        # MEMORY_AND_DISK, same trade as ordering.global_row_index; the
+        # cache is freed via cache_registry by long-lived callers.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if cache_registry is not None:
+        cache_registry.append(sh)
+    posting = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
+    dfreq = posting.groupBy("s").agg(F.count("*").alias("df"))
+    # each doc's shingles sorted by (df asc, shingle asc): struct sort_array
+    ordered = (
+        posting.join(dfreq, on="s")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("s")))
+            ).alias("_ord")
+        )
+        .select(
+            F.col(id_col),
+            F.col("_ord.s").alias("sorted_sh"),
+            F.size("_ord").cast("long").alias("n_sh"),
+        )
+    )
+    prefix_len = (
+        F.col("n_sh")
+        - F.floor((F.lit(t_bp) * F.col("n_sh") + F.lit(9999)) / F.lit(10000))
+        + F.lit(1)
+    ).cast("int")
+    pre = ordered.select(
+        F.col(id_col),
+        F.col("n_sh"),
+        F.explode(F.slice("sorted_sh", F.lit(1), prefix_len)).alias("s"),
+    )
+    left = pre.select(
+        F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1"), "s"
+    )
+    right = pre.select(
+        F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_2"), "s"
+    )
+    cand = (
+        left.join(right, on="s")
+        .where(
+            (F.col("id_1") < F.col("id_2"))
+            # length filter: J >= t forces t <= |B|/|A| <= 1/t
+            & (F.col("n_2") * F.lit(10000) >= F.col("n_1") * F.lit(t_bp))
+            & (F.col("n_1") * F.lit(10000) >= F.col("n_2") * F.lit(t_bp))
+        )
+        .select("id_1", "id_2")
+        .dropDuplicates(["id_1", "id_2"])
+    )
+    return ngram_jaccard_pairs(
+        docs,
+        threshold,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        candidates=cand,
+        shingles_df=sh,
     )
 
 

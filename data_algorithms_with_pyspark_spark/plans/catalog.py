@@ -90,6 +90,7 @@ _SAMPLE_PRIORITY = (
     "embedding_pca_projection",
     "graph_label_propagation",
     "orders_snapshot_diff",
+    "prefix_jaccard_near_dups",
     # Code path changed post-r4-closing (independent-draw audit fixes:
     # integer-lane rolling avg, floor-form percent_rank / avg_gap_s) —
     # changed queries must re-enter the window.

@@ -179,13 +179,12 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- near-dup: exact baselines (oracle-checked) -----------------------------
 
 
-@register(
-    "ngram_jaccard_near_dups",
-    tags=("dedup", "baseline", "small-data-only"),
-    description=f"Exact word-{_NGRAM_N}-gram Jaccard pairs >= {_JACCARD_THRESHOLD} "
-    "— O(n^2) BASELINE for validating the MinHash scale path; never point "
-    "at a real corpus (pass LSH candidates to ngram_jaccard_pairs instead)",
-    oracle=f"""
+# All-pairs exact-Jaccard SQL, shared (threshold-parameterized) by the
+# O(n^2) baseline and the prefix-filtering scale path: prefix filtering is
+# LOSSLESS, so at equal thresholds both produce byte-identical results —
+# one oracle builder keeps that claim mechanically checked, not asserted.
+def _jaccard_pairs_oracle(threshold: float) -> str:
+    return f"""
         WITH sh AS (
             SELECT doc_id,
                    CASE WHEN len({_TOKENS}) >= {_NGRAM_N}
@@ -204,12 +203,49 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                     / len(list_distinct(list_concat(a.shingles, b.shingles)))
                     * 10000 + 0.5) / 10000
-              >= {_JACCARD_THRESHOLD}
-    """,
+              >= {threshold}
+"""
+
+
+_PREFIX_JACCARD_THRESHOLD = 0.8  # the qualifying testdata pairs are all
+# planted near-dups at J >= 0.8; a production dedup threshold here keeps
+# prefixes short (len = |S| - ceil(0.8|S|) + 1) and the candidate join tiny
+
+
+@register(
+    "ngram_jaccard_near_dups",
+    tags=("dedup", "baseline", "small-data-only"),
+    description=f"Exact word-{_NGRAM_N}-gram Jaccard pairs >= {_JACCARD_THRESHOLD} "
+    "— O(n^2) BASELINE for validating the MinHash scale path; never point "
+    "at a real corpus (pass LSH candidates to ngram_jaccard_pairs instead)",
+    oracle=_jaccard_pairs_oracle(_JACCARD_THRESHOLD),
 )
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, _JACCARD_THRESHOLD, shingle_n=_NGRAM_N)
+
+
+@register(
+    "prefix_jaccard_near_dups",
+    bench=True,
+    tags=("dedup", "similarity-join"),
+    description=f"EXACT word-{_NGRAM_N}-gram Jaccard pairs >= "
+    f"{_PREFIX_JACCARD_THRESHOLD} via PPJoin-style prefix filtering — "
+    "lossless scale path (rarity-ordered prefix inverted index + length "
+    "filter, no cross join); same all-pairs oracle SQL as the baseline, "
+    "at a production dedup threshold",
+    oracle=_jaccard_pairs_oracle(_PREFIX_JACCARD_THRESHOLD),
+)
+def prefix_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(
+        docs, _PREFIX_JACCARD_THRESHOLD, shingle_n=_NGRAM_N
+    )
+
 
 
 @register(

@@ -642,3 +642,51 @@ def test_pq_trained_codebook_beats_first_ids_on_clustered_data(spark):
         pq_train_codebook(vecs, m=4, ksub=4, max_iter=4, vec_col="vec")
     )
     assert trained < naive
+
+
+def test_prefix_jaccard_matches_bruteforce(spark):
+    import random
+
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    rng = random.Random(19)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        rows.append((i, " ".join(rng.choices(vocab, k=rng.randint(2, 25)))))
+    # planted near-dups: clones with small edits
+    for j, (bid, text) in enumerate([rows[3], rows[7], rows[11]]):
+        toks = text.split()
+        toks[len(toks) // 2] = "edited"
+        rows.append((100 + j, " ".join(toks)))
+    rows.append((200, ""))  # empty doc must not crash either path
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.2, 0.5, 0.8):
+        brute = sorted(
+            (r["id_1"], r["id_2"], r["jaccard"])
+            for r in ngram_jaccard_pairs(docs, t).collect()
+        )
+        pref = sorted(
+            (r["id_1"], r["id_2"], r["jaccard"])
+            for r in prefix_jaccard_pairs(docs, t).collect()
+        )
+        assert pref == brute, t  # lossless: identical pairs AND values
+        if t <= 0.5:
+            assert brute, t  # the planted clones must actually qualify
+
+
+def test_prefix_jaccard_rejects_bad_threshold(spark):
+    import pytest as _pytest
+
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        prefix_jaccard_pairs(docs, 0.0)
+    with _pytest.raises(ValueError):
+        prefix_jaccard_pairs(docs, 1.5)
