@@ -561,7 +561,14 @@ def prefix_jaccard_pairs(
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
-    t_bp = int(round(threshold * 10000))
+    # FLOOR, not round: t_bp/10000 must never exceed the true threshold.
+    # A rounded-UP t_bp tightens the length filter past t (a true pair
+    # with |B|/|A| between t and t_bp/10000 would be dropped) — with
+    # floor both the filter and the prefix bound only get LOOSER, which
+    # costs candidates but never correctness.
+    import math as _math
+
+    t_bp = int(_math.floor(threshold * 10000))
     sh = (
         spread_partitions(docs.select(id_col, text_col))
         .select(F.col(id_col), words(text_col).alias("_w"))

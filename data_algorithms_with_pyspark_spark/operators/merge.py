@@ -190,7 +190,12 @@ def snapshot_diff(
     compared payload columns, evaluated identically on both sides (e.g.
     ``F.md5(F.concat_ws(...))`` with explicit null sentinels and integer
     lanes for money columns — the caller owns cross-engine determinism,
-    this operator owns the join shape).
+    this operator owns the join shape). Two caveats the caller owns:
+    a payload VALUE containing the concat separator can alias a column
+    boundary (pick a separator outside the value alphabet, or use a
+    length-prefixed encoding for adversarial data), and NULL key values
+    never join (SQL semantics) — a null-keyed row present in both
+    snapshots reports as D + I, so diff on non-null keys.
 
     Scale shape (100 TB): each side is pre-projected to key + one 16-byte
     digest, so the full-outer join shuffles keys and digests, NEVER the

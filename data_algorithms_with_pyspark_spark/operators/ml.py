@@ -239,6 +239,13 @@ def embedding_gram_fp(
             m = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
+            if m.shape[1] != dim:
+                raise ValueError(
+                    f"embedding_gram_fp: expected {dim}-component vectors, "
+                    f"got width {m.shape[1]} (ragged or mis-declared dim "
+                    "would silently skew the moments; an oracle would "
+                    "NULL-pad instead — refuse loudly)"
+                )
             q = np.floor(m * float(scale) + 0.5).astype(np.int64)
             gram = q.T @ q  # int64-exact within the documented bound
             colsum = q.sum(axis=0)
