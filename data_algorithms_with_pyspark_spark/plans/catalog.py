@@ -91,6 +91,13 @@ _SAMPLE_PRIORITY = (
     "graph_label_propagation",
     "orders_snapshot_diff",
     "prefix_jaccard_near_dups",
+    "events_value_drift_psi",
+    # NOTE r5 rotation: the five round-4-continuation additions directly
+    # above (embedding_gram_covariance, embedding_pca_projection,
+    # graph_label_propagation, orders_snapshot_diff,
+    # prefix_jaccard_near_dups) push five more stale entries past the
+    # ~50 cut — r5's stale block must lead with the graph family plus
+    # the reporting tail listed at the bottom of this tuple.
     # Code path changed post-r4-closing (independent-draw audit fixes:
     # integer-lane rolling avg, floor-form percent_rank / avg_gap_s) —
     # changed queries must re-enter the window.

@@ -957,3 +957,85 @@ def event_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "n", p.alias("p"))
         .orderBy("src", "dst")
     )
+
+
+_PSI_BINS = 20
+_PSI_WIDTH = 25.0
+_PSI_SPLIT_DAY = 15
+_PSI_P = f"(COALESCE(rt.tr, 0) + {float(_PSI_BINS)})"
+_PSI_PN = f"(COALESCE(nt.tn, 0) + {float(_PSI_BINS)})"
+
+
+@register(
+    "events_value_drift_psi",
+    tags=("events", "quality", "monitoring"),
+    description="Population-stability-index drift report: per-event-type "
+    f"per-bin PSI of `value` between days 1-{_PSI_SPLIT_DAY} (reference) "
+    "and the rest of the month (new batch) — the data-quality monitor a "
+    "scheduled ingest runs after every batch (operators/drift.py)",
+    oracle=f"""
+        WITH ref AS (
+            SELECT event_type,
+                   LEAST(CAST(floor(value / {_PSI_WIDTH}) AS BIGINT),
+                         {_PSI_BINS - 1}) AS bin
+            FROM events WHERE day(ts) <= {_PSI_SPLIT_DAY}
+        ),
+        nw AS (
+            SELECT event_type,
+                   LEAST(CAST(floor(value / {_PSI_WIDTH}) AS BIGINT),
+                         {_PSI_BINS - 1}) AS bin
+            FROM events WHERE day(ts) > {_PSI_SPLIT_DAY}
+        ),
+        rc AS (SELECT event_type, bin, count(*) AS n_ref
+               FROM ref GROUP BY 1, 2),
+        nc AS (SELECT event_type, bin, count(*) AS n_new
+               FROM nw GROUP BY 1, 2),
+        rt AS (SELECT event_type, CAST(sum(n_ref) AS BIGINT) AS tr
+               FROM rc GROUP BY 1),
+        nt AS (SELECT event_type, CAST(sum(n_new) AS BIGINT) AS tn
+               FROM nc GROUP BY 1),
+        j AS (
+            SELECT COALESCE(rc.event_type, nc.event_type) AS event_type,
+                   COALESCE(rc.bin, nc.bin) AS bin,
+                   CAST(COALESCE(rc.n_ref, 0) AS BIGINT) AS n_ref,
+                   CAST(COALESCE(nc.n_new, 0) AS BIGINT) AS n_new
+            FROM rc FULL OUTER JOIN nc
+              ON rc.event_type = nc.event_type AND rc.bin = nc.bin
+        )
+        SELECT j.event_type, j.bin, j.n_ref, j.n_new,
+               CAST(floor(
+                   ((j.n_new + 1.0) / {_PSI_PN} - (j.n_ref + 1.0) / {_PSI_P})
+                   * ln(((j.n_new + 1.0) / {_PSI_PN})
+                        / ((j.n_ref + 1.0) / {_PSI_P}))
+                   * 1000000000.0 + 0.5) AS BIGINT) AS psi_nano
+        FROM j
+        LEFT JOIN rt ON j.event_type = rt.event_type
+        LEFT JOIN nt ON j.event_type = nt.event_type
+    """,
+)
+def events_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference window = days 1-15, new batch = the rest; fixed-width
+    value bins (width 25, 20 bins) so edges are stable run-over-run;
+    +1-smoothed probabilities keep one-sided bins finite. Per-bin
+    psi_nano rows point a monitor at WHICH value range drifted;
+    sum(psi_nano)/1e9 per event_type is the headline PSI.
+
+    Plan: one hash aggregate per side keyed on (event_type, bin) — the
+    corpus is scanned once per side, everything after is |types| x
+    |bins| rows; group totals ride group-keyed windows over the bin
+    aggregate, never a second scan (operators/drift.py)."""
+    from data_algorithms_with_pyspark_spark.operators.drift import (
+        fixed_width_bin,
+        psi_drift,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ref = events.where(F.dayofmonth("ts") <= _PSI_SPLIT_DAY)
+    new = events.where(F.dayofmonth("ts") > _PSI_SPLIT_DAY)
+    return psi_drift(
+        ref,
+        new,
+        fixed_width_bin(F.col("value"), _PSI_WIDTH, _PSI_BINS),
+        ["event_type"],
+        _PSI_BINS,
+    )

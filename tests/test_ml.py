@@ -167,3 +167,57 @@ def test_pca_top_component_deterministic_and_guarded(spark):
         pca_top_component_fp(rows, dim=3, iters=0)
     with _pytest.raises(ValueError):
         pca_top_component_fp(rows[:-1], dim=3)  # missing triangle row
+
+
+def test_psi_drift_known_answer(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_algorithms_with_pyspark_spark.operators.drift import (
+        fixed_width_bin,
+        psi_drift,
+    )
+
+    ref = spark.createDataFrame(
+        [("a", 1.0)] * 6 + [("a", 15.0)] * 4 + [("b", 1.0)] * 5,
+        ["g", "v"],
+    )
+    new = spark.createDataFrame(
+        [("a", 1.0)] * 2 + [("a", 15.0)] * 8 + [("c", 25.0)] * 3,
+        ["g", "v"],
+    )
+    out = psi_drift(
+        ref, new, fixed_width_bin(F.col("v"), 10.0, 3), ["g"], 3
+    ).collect()
+    got = {(r["g"], r["bin"]): (r["n_ref"], r["n_new"], r["psi_nano"]) for r in out}
+
+    def term(nr, nn, tr, tn, b=3):
+        pr = (nr + 1.0) / (tr + float(b))
+        pn = (nn + 1.0) / (tn + float(b))
+        return math.floor((pn - pr) * math.log(pn / pr) * 1e9 + 0.5)
+
+    # group a: both sides present (totals 10 each)
+    assert got[("a", 0)] == (6, 2, term(6, 2, 10, 10))
+    assert got[("a", 1)] == (4, 8, term(4, 8, 10, 10))
+    # group b: only in ref -> new total 0, smoothed p_new = 1/3
+    assert got[("b", 0)] == (5, 0, term(5, 0, 5, 0))
+    # group c: only in new -> ref total 0
+    assert got[("c", 2)] == (0, 3, term(0, 3, 0, 3))
+    assert len(got) == 4
+
+
+def test_psi_drift_guards(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_algorithms_with_pyspark_spark.operators.drift import (
+        fixed_width_bin,
+        psi_drift,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], ["g", "v"])
+    with _pytest.raises(ValueError):
+        psi_drift(df, df, fixed_width_bin(F.col("v"), 10.0, 1), ["g"], 1)
+    with _pytest.raises(ValueError):
+        psi_drift(df, df, fixed_width_bin(F.col("v"), 10.0, 3), [], 3)
