@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = [
+    "image_dhash_batch",
     "MEDIA_SCHEMA",
     "with_binary_payload",
     "binary_metadata",
@@ -253,6 +254,65 @@ def decode_image_batch(media: DataFrame, fake: bool = False) -> DataFrame:
 
 
 # --- real audio codec: RIFF/WAVE PCM (8/16-bit) -----------------------------
+
+
+def image_dhash_batch(
+    media: DataFrame, grid: int = 8
+) -> DataFrame:
+    """56-bit difference-hash (dHash) per image — the standard perceptual
+    fingerprint image pipelines dedup on at scale (resize to a tiny grid,
+    hash the horizontal luminance GRADIENT signs; near-identical images
+    collide, re-encodes and minor crops land within a small hamming
+    distance).
+
+    Really decodes (``decode_image``: BMP/PPM pure-numpy) inside Arrow
+    batches, then: luma = r+g+b per pixel (integer), nearest-neighbor
+    sample at ``x_j = j*w // grid``, ``y_i = i*h // grid``, bit(i, j) =
+    luma(x_{j+1}, y_i) > luma(x_j, y_i) for j < grid-1 — grid*(grid-1)
+    = 56 bits packed little-endian into a BIGINT (fits signed 63). All
+    arithmetic is integer, so a foreign engine replays the hash in pure
+    SQL from the synthetic corpus's closed-form pixel rule while THIS
+    side hashes the actually-decoded bytes — the oracle cross-checks the
+    codec and the hash at once.
+
+    Scale shape: one mapInPandas scan emitting (media_id, dhash); exact
+    dedup is then one hash aggregate on dhash. Banded hamming candidates
+    (the simhash machinery) apply unchanged when near-miss grouping is
+    wanted; exact-collision grouping is the production default for
+    re-encode dedup.
+    """
+    if grid < 2:
+        raise ValueError("grid must be >= 2")
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_image(bytes(payload))
+                h, w = px.shape[0], px.shape[1]
+                luma = px.sum(axis=2, dtype=np.int64)
+                xs = (np.arange(grid, dtype=np.int64) * w) // grid
+                ys = (np.arange(grid, dtype=np.int64) * h) // grid
+                sampled = luma[np.ix_(ys, xs)]
+                bits = sampled[:, 1:] > sampled[:, :-1]  # (grid, grid-1)
+                weights = np.left_shift(
+                    np.uint64(1),
+                    np.arange(grid * (grid - 1), dtype=np.uint64),
+                )
+                hashes.append(
+                    int((bits.flatten().astype(np.uint64) * weights).sum())
+                )
+                ids.append(int(mid))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _hash, schema="media_id long, dhash long"
+    )
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:

@@ -1572,3 +1572,66 @@ def ivf_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+@register(
+    "image_perceptual_dedup_groups",
+    tags=("multimodal", "dedup", "pandas-udf"),
+    description="Image dedup by 56-bit perceptual dHash over REALLY-decoded "
+    "BMP bytes (operators/multimodal.py:image_dhash_batch): one group row "
+    "per distinct hash with count + canonical min id — the oracle replays "
+    "the hash from the closed-form pixel rule, cross-checking codec and "
+    "hash at once",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h
+            FROM documents
+        ),
+        cells AS (
+            SELECT media_id, w, h, i // 7 AS gi, i % 7 AS gj
+            FROM (SELECT media_id, w, h, unnest(range(56)) AS i FROM m)
+        ),
+        bits AS (
+            SELECT media_id,
+                   CASE WHEN
+                        ( (((gj + 1) * w // 8) * 7 + media_id) % 256
+                        + ((gi * h // 8) * 11 + media_id) % 256
+                        + ((gj + 1) * w // 8 + gi * h // 8 + media_id) % 256 )
+                      > ( ((gj * w // 8) * 7 + media_id) % 256
+                        + ((gi * h // 8) * 11 + media_id) % 256
+                        + (gj * w // 8 + gi * h // 8 + media_id) % 256 )
+                   THEN CAST(1 AS BIGINT) << (gi * 7 + gj)
+                   ELSE CAST(0 AS BIGINT) END AS bv
+            FROM cells
+        ),
+        hashes AS (
+            SELECT media_id, CAST(sum(bv) AS BIGINT) AS dhash
+            FROM bits GROUP BY media_id
+        )
+        SELECT dhash,
+               CAST(count(*) AS BIGINT) AS n_images,
+               CAST(min(media_id) AS BIGINT) AS canon_id
+        FROM hashes GROUP BY dhash
+    """,
+)
+def image_perceptual_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production image-dedup decision: synthesize the real-format BMP
+    corpus, DECODE it (pure-numpy parser in Arrow batches — nothing
+    faked), dHash each image, and keep one group row per distinct hash
+    (count + canonical min id). Exact-collision grouping is the default
+    at scale (re-encode dedup); the hash aggregate is the only shuffle
+    and carries 8 bytes per image. The synthetic corpus is heavily
+    self-similar by construction (monotone gradients), so groups are
+    large — exactly the regime where hashing first beats pairwise
+    comparison."""
+    from data_algorithms_with_pyspark_spark.operators.multimodal import (
+        image_dhash_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_bmp_media(docs)
+    return image_dhash_batch(media).groupBy("dhash").agg(
+        F.count("*").alias("n_images"),
+        F.min("media_id").alias("canon_id"),
+    )

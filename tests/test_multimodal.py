@@ -310,3 +310,40 @@ def test_real_audio_decode_distributed(spark):
         samples = (i * 37 + c * 11 + mid * 7) % 4001 - 2000
         assert r["sample_sum"] == int(samples.sum())
         assert r["abs_peak"] == int(np.abs(samples).max())
+
+
+def test_image_dhash_known_answer(spark):
+    import numpy as np
+
+    from data_algorithms_with_pyspark_spark.operators.multimodal import (
+        encode_bmp,
+        image_dhash_batch,
+    )
+
+    # 8x8 image with luma strictly increasing in x: every gradient bit
+    # fires -> all 56 bits set.
+    x = np.arange(8, dtype=np.int64)[None, :]
+    inc = np.zeros((8, 8, 3), dtype=np.uint8)
+    inc[:, :, 0] = (x * 3).astype(np.uint8)
+    # constant image: no strict increase anywhere -> hash 0
+    flat = np.full((8, 8, 3), 77, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, encode_bmp(inc)), (2, encode_bmp(flat)), (3, encode_bmp(inc))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r["dhash"] for r in image_dhash_batch(media).collect()}
+    assert got[1] == (1 << 56) - 1
+    assert got[2] == 0
+    assert got[3] == got[1]  # identical bytes -> identical hash
+
+
+def test_image_dhash_rejects_bad_grid(spark):
+    import pytest as _pytest
+
+    from data_algorithms_with_pyspark_spark.operators.multimodal import (
+        image_dhash_batch,
+    )
+
+    media = spark.createDataFrame([(1, b"")], "media_id long, payload binary")
+    with _pytest.raises(ValueError):
+        image_dhash_batch(media, grid=1)
