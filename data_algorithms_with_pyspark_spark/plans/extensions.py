@@ -1635,3 +1635,73 @@ def image_perceptual_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").alias("n_images"),
         F.min("media_id").alias("canon_id"),
     )
+
+
+_AUDIO_FP_FRAMES = 33
+
+
+@register(
+    "audio_fingerprint_dedup_groups",
+    tags=("multimodal", "dedup", "pandas-udf"),
+    description="Audio dedup by 32-bit energy-envelope fingerprint over "
+    "REALLY-decoded WAV bytes (operators/multimodal.py:"
+    "audio_energy_fingerprint_batch): one group row per distinct "
+    "fingerprint with count + canonical min id; the oracle replays the "
+    "fingerprint from the closed-form sample rule",
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   200 + doc_id % 57 AS n, 1 + doc_id % 2 AS ch
+            FROM documents
+        ),
+        samp AS (
+            SELECT media_id, n,
+                   ({_AUDIO_FP_FRAMES} * (i + 1) - 1) // n AS k,
+                   CASE WHEN ch = 1
+                        THEN (i * 37 + media_id * 7) % 4001 - 2000
+                        ELSE ((i * 37 + media_id * 7) % 4001 - 2000)
+                           + ((i * 37 + 11 + media_id * 7) % 4001 - 2000)
+                   END AS mono
+            FROM (SELECT media_id, n, ch, unnest(range(n)) AS i FROM m)
+        ),
+        e AS (
+            SELECT media_id, k, CAST(sum(mono * mono) AS BIGINT) AS ek
+            FROM samp GROUP BY media_id, k
+        ),
+        bits AS (
+            SELECT a.media_id,
+                   CASE WHEN b.ek > a.ek
+                        THEN CAST(1 AS BIGINT) << a.k
+                        ELSE CAST(0 AS BIGINT) END AS bv
+            FROM e a JOIN e b
+              ON a.media_id = b.media_id AND b.k = a.k + 1
+        ),
+        fps AS (
+            SELECT media_id, CAST(sum(bv) AS BIGINT) AS fp
+            FROM bits GROUP BY media_id
+        )
+        SELECT fp,
+               CAST(count(*) AS BIGINT) AS n_clips,
+               CAST(min(media_id) AS BIGINT) AS canon_id
+        FROM fps GROUP BY fp
+    """,
+)
+def audio_fingerprint_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio twin of image_perceptual_dedup_groups: synthesize the
+    real-format WAV corpus, DECODE it (chunk-walking RIFF parser in
+    Arrow batches), fingerprint the frame-energy envelope (all-integer),
+    and group by fingerprint — one 8-bytes-per-clip shuffle. The oracle
+    computes what the decoded samples must be (closed-form rule) and
+    replays the fingerprint in SQL, cross-checking parser and hash."""
+    from data_algorithms_with_pyspark_spark.operators.multimodal import (
+        audio_energy_fingerprint_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_wav_media(docs)
+    return audio_energy_fingerprint_batch(
+        media, frames=_AUDIO_FP_FRAMES
+    ).groupBy("fp").agg(
+        F.count("*").alias("n_clips"),
+        F.min("media_id").alias("canon_id"),
+    )

@@ -347,3 +347,50 @@ def test_image_dhash_rejects_bad_grid(spark):
     media = spark.createDataFrame([(1, b"")], "media_id long, payload binary")
     with _pytest.raises(ValueError):
         image_dhash_batch(media, grid=1)
+
+
+def test_audio_fingerprint_known_answer(spark):
+    import numpy as np
+
+    from data_algorithms_with_pyspark_spark.operators.multimodal import (
+        audio_energy_fingerprint_batch,
+        encode_wav,
+    )
+
+    # 8 samples, 4 frames of 2: energies [2, 200, 2, 20000] -> gradient
+    # signs (up, down, up) -> bits 0b101 = 5
+    s = np.array(
+        [[1], [1], [10], [10], [1], [1], [100], [100]], dtype=np.int16
+    )
+    quiet = np.zeros((8, 1), dtype=np.int16)  # flat envelope -> fp 0
+    media = spark.createDataFrame(
+        [(1, encode_wav(s, 8000)), (2, encode_wav(quiet, 8000)),
+         (3, encode_wav(s, 16000))],
+        "media_id long, payload binary",
+    )
+    got = {
+        r["media_id"]: r["fp"]
+        for r in audio_energy_fingerprint_batch(media, frames=4).collect()
+    }
+    assert got[1] == 0b101
+    assert got[2] == 0
+    assert got[3] == got[1]  # rate does not change the envelope hash
+
+
+def test_audio_fingerprint_guards(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from data_algorithms_with_pyspark_spark.operators.multimodal import (
+        audio_energy_fingerprint_batch,
+        encode_wav,
+    )
+
+    tiny = np.zeros((3, 1), dtype=np.int16)
+    media = spark.createDataFrame(
+        [(1, encode_wav(tiny, 8000))], "media_id long, payload binary"
+    )
+    with _pytest.raises(ValueError):
+        audio_energy_fingerprint_batch(media, frames=1)
+    with _pytest.raises(Exception):  # 3 samples < 4 frames surfaces loudly
+        audio_energy_fingerprint_batch(media, frames=4).collect()
