@@ -30,6 +30,7 @@ from pyspark.sql import types as T
 
 __all__ = [
     "audio_energy_fingerprint_batch",
+    "video_framehash_fingerprint_batch",
     "image_dhash_batch",
     "MEDIA_SCHEMA",
     "with_binary_payload",
@@ -667,6 +668,53 @@ def decode_video_batch(media: DataFrame) -> DataFrame:
 _SAMPLED_FRAME_SCHEMA = (
     "media_id long, frame_idx int, height int, width int, frame_bytes binary"
 )
+
+
+def video_framehash_fingerprint_batch(
+    media: DataFrame, grid: int = 8
+) -> DataFrame:
+    """Per-clip video fingerprint: the ORDERED SEQUENCE of per-frame
+    56-bit spatial dHashes (``image_dhash_batch`` applied to every
+    frame, luma = sum of planes) — the frame-hash-sequence key video
+    dedup pipelines group on: re-containered or re-tagged copies
+    collide, re-edits (dropped / reordered frames) do not.
+
+    Really decodes (``decode_y4m``) inside Arrow batches; all-integer,
+    so a foreign engine replays every frame hash from the synthetic
+    corpus's closed-form plane rule and rebuilds the sequence with an
+    ordered list aggregate. Output: (media_id, fp_seq array<long>);
+    dedup is one hash aggregate on the (tiny) sequence.
+    """
+    if grid < 2:
+        raise ValueError("grid must be >= 2")
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, seqs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _fn, _fd, frames = decode_y4m(bytes(payload))
+                h, w = frames.shape[2], frames.shape[3]
+                xs = (np.arange(grid, dtype=np.int64) * w) // grid
+                ys = (np.arange(grid, dtype=np.int64) * h) // grid
+                weights = np.left_shift(
+                    np.uint64(1),
+                    np.arange(grid * (grid - 1), dtype=np.uint64),
+                )
+                seq = []
+                for t in range(frames.shape[0]):
+                    luma = frames[t].astype(np.int64).sum(axis=0)
+                    sampled = luma[np.ix_(ys, xs)]
+                    bits = sampled[:, 1:] > sampled[:, :-1]
+                    seq.append(
+                        int((bits.flatten().astype(np.uint64) * weights).sum())
+                    )
+                ids.append(int(mid))
+                seqs.append(seq)
+            yield pd.DataFrame({"media_id": ids, "fp_seq": seqs})
+
+    return media.select("media_id", "payload").mapInPandas(
+        _fp, schema="media_id long, fp_seq array<long>"
+    )
 
 
 def sample_video_frames(

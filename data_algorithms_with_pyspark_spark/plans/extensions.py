@@ -1705,3 +1705,76 @@ def audio_fingerprint_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("*").alias("n_clips"),
         F.min("media_id").alias("canon_id"),
     )
+
+
+@register(
+    "video_fingerprint_dedup_groups",
+    tags=("multimodal", "dedup", "pandas-udf"),
+    description="Video dedup by ordered per-frame 56-bit dHash sequence "
+    "over REALLY-decoded Y4M frames (operators/multimodal.py:"
+    "video_framehash_fingerprint_batch): one group row per distinct "
+    "frame-hash sequence; the oracle replays every frame hash from the "
+    "closed-form plane rule and rebuilds the sequence ordered by t",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   4 + doc_id % 9 AS w, 4 + doc_id % 7 AS h,
+                   2 + doc_id % 5 AS nf
+            FROM documents
+        ),
+        cells AS (
+            SELECT media_id, w, h, t, i // 7 AS gi, i % 7 AS gj
+            FROM (
+                SELECT media_id, w, h, t, unnest(range(56)) AS i
+                FROM (SELECT media_id, w, h, unnest(range(nf)) AS t FROM m)
+            )
+        ),
+        bits AS (
+            SELECT media_id, t,
+                   CASE WHEN
+                        ( (((gj + 1) * w // 8) * 3 + (gi * h // 8) * 5
+                           + t * 17 + media_id) % 256
+                        + (((gj + 1) * w // 8) * 3 + (gi * h // 8) * 5
+                           + t * 17 + 29 + media_id) % 256
+                        + (((gj + 1) * w // 8) * 3 + (gi * h // 8) * 5
+                           + t * 17 + 58 + media_id) % 256 )
+                      > ( ((gj * w // 8) * 3 + (gi * h // 8) * 5
+                           + t * 17 + media_id) % 256
+                        + ((gj * w // 8) * 3 + (gi * h // 8) * 5
+                           + t * 17 + 29 + media_id) % 256
+                        + ((gj * w // 8) * 3 + (gi * h // 8) * 5
+                           + t * 17 + 58 + media_id) % 256 )
+                   THEN CAST(1 AS BIGINT) << (gi * 7 + gj)
+                   ELSE CAST(0 AS BIGINT) END AS bv
+            FROM cells
+        ),
+        fh AS (
+            SELECT media_id, t, CAST(sum(bv) AS BIGINT) AS fhash
+            FROM bits GROUP BY media_id, t
+        ),
+        seqs AS (
+            SELECT media_id, list(fhash ORDER BY t) AS fp_seq
+            FROM fh GROUP BY media_id
+        )
+        SELECT fp_seq,
+               CAST(count(*) AS BIGINT) AS n_clips,
+               CAST(min(media_id) AS BIGINT) AS canon_id
+        FROM seqs GROUP BY fp_seq
+    """,
+)
+def video_fingerprint_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the multimodal dedup trilogy (image dHash, audio
+    envelope, video frame-hash sequence): really-decoded Y4M frames are
+    hashed per frame and grouped by the ORDERED hash sequence — copies
+    collide, re-edits do not. One mapInPandas scan + one hash aggregate
+    whose key is a <=6-element long array."""
+    from data_algorithms_with_pyspark_spark.operators.multimodal import (
+        video_framehash_fingerprint_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_y4m_media(docs)
+    return video_framehash_fingerprint_batch(media).groupBy("fp_seq").agg(
+        F.count("*").alias("n_clips"),
+        F.min("media_id").alias("canon_id"),
+    )

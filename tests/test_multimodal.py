@@ -394,3 +394,44 @@ def test_audio_fingerprint_guards(spark):
         audio_energy_fingerprint_batch(media, frames=1)
     with _pytest.raises(Exception):  # 3 samples < 4 frames surfaces loudly
         audio_energy_fingerprint_batch(media, frames=4).collect()
+
+
+def test_video_framehash_sequence_known_answer(spark):
+    import numpy as np
+
+    from data_algorithms_with_pyspark_spark.operators.multimodal import (
+        encode_y4m,
+        video_framehash_fingerprint_batch,
+    )
+
+    x = np.arange(8, dtype=np.int64)[None, None, :]
+    inc = np.zeros((1, 8, 8), dtype=np.uint8)
+    inc[0] = (x * 3).astype(np.uint8)  # luma increasing in x -> all bits
+    flat = np.full((1, 8, 8), 9, dtype=np.uint8)
+    clip_a = encode_y4m(np.stack([inc, flat]), 24, 1)  # frames: inc, flat
+    clip_b = encode_y4m(np.stack([flat, inc]), 24, 1)  # reversed order
+    clip_c = encode_y4m(np.stack([inc, flat]), 30, 1)  # fps must not matter
+    media = spark.createDataFrame(
+        [(1, clip_a), (2, clip_b), (3, clip_c)],
+        "media_id long, payload binary",
+    )
+    got = {
+        r["media_id"]: tuple(r["fp_seq"])
+        for r in video_framehash_fingerprint_batch(media).collect()
+    }
+    full = (1 << 56) - 1
+    assert got[1] == (full, 0)
+    assert got[2] == (0, full)  # ORDER matters: re-edit does not collide
+    assert got[3] == got[1]  # container metadata does not matter
+
+
+def test_video_framehash_rejects_bad_grid(spark):
+    import pytest as _pytest
+
+    from data_algorithms_with_pyspark_spark.operators.multimodal import (
+        video_framehash_fingerprint_batch,
+    )
+
+    media = spark.createDataFrame([(1, b"")], "media_id long, payload binary")
+    with _pytest.raises(ValueError):
+        video_framehash_fingerprint_batch(media, grid=0)
