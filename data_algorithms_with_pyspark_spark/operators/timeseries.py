@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["grouped_ewma"]
+__all__ = ["grouped_ewma", "grouped_holt"]
 
 
 def grouped_ewma(
@@ -93,3 +93,78 @@ def grouped_ewma(
         group_col, *order_cols
     )
     return partitioned.mapInPandas(_fold, schema=f"{ddl}, ewma double")
+
+
+def grouped_holt(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per group — the
+    level+trend forecaster one notch above EWMA, the classic capacity /
+    volume projection: ``forecast`` is the one-step-ahead prediction
+    ``level + trend`` after observing each point.
+
+    Recurrence (textbook form, evaluated in EXACTLY this op order so a
+    recursive-CTE oracle replays every output bit)::
+
+        l_0 = x_0,  b_0 = 0
+        prev = l_{t-1} + b_{t-1}
+        l_t  = alpha * x_t + ac * prev          (ac = 1 - alpha, ONCE)
+        b_t  = beta * (l_t - l_{t-1}) + bc * b_{t-1}   (bc = 1 - beta)
+
+    Same execution shape and rationale as ``grouped_ewma`` (see module
+    docstring): one shuffle on the group key, contiguous group runs in
+    sorted partitions, one Python fold per partition carrying (l, b)
+    across Arrow batches. Output adds ``level``, ``trend``, ``forecast``
+    (floor-quantized to 1e-6).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if not 0.0 < beta <= 1.0:
+        raise ValueError("beta must be in (0, 1]")
+    if not order_cols:
+        raise ValueError("order_cols must name at least one column")
+    ac, bc = 1.0 - alpha, 1.0 - beta
+
+    out_cols = [group_col, *order_cols, value_col]
+
+    def _fold(batches):
+        import numpy as np
+
+        cur_key, lv, tr = object(), 0.0, 0.0
+        for pdf in batches:
+            x = pdf[value_col].to_numpy(dtype="float64")
+            keys = pdf[group_col].to_numpy()
+            lvs = np.empty_like(x)
+            trs = np.empty_like(x)
+            for i in range(len(x)):
+                if keys[i] != cur_key:
+                    cur_key, lv, tr = keys[i], x[i], 0.0
+                else:
+                    prev = lv + tr
+                    new_lv = alpha * x[i] + ac * prev
+                    tr = beta * (new_lv - lv) + bc * tr
+                    lv = new_lv
+                lvs[i] = lv
+                trs[i] = tr
+            out = pdf[out_cols].copy()
+            q = lambda a: np.floor(a * 1e6 + 0.5) / 1e6  # noqa: E731
+            out["level"] = q(lvs)
+            out["trend"] = q(trs)
+            out["forecast"] = q(lvs + trs)
+            yield out
+
+    sample = df.select(*out_cols)
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in sample.schema.fields
+    )
+    partitioned = sample.repartition(group_col).sortWithinPartitions(
+        group_col, *order_cols
+    )
+    return partitioned.mapInPandas(
+        _fold, schema=f"{ddl}, level double, trend double, forecast double"
+    )

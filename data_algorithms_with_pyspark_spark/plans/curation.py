@@ -2672,3 +2672,67 @@ def embedding_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid", "term", "n", "term_rank")
         .orderBy("cid", "term_rank")
     )
+
+
+_HOLT_ALPHA = 0.3
+_HOLT_AC = 1.0 - _HOLT_ALPHA
+_HOLT_BETA = 0.2
+_HOLT_BC = 1.0 - _HOLT_BETA
+
+
+@register(
+    "events_value_holt_forecast",
+    tags=("events", "timeseries", "pandas-udf"),
+    description=f"Per-user Holt linear smoothing (alpha={_HOLT_ALPHA}, "
+    f"beta={_HOLT_BETA}): level + trend + one-step forecast — the "
+    "capacity-projection recursion one notch above EWMA; Arrow fold vs a "
+    "recursive-CTE oracle replaying the identical op sequence "
+    "(operators/timeseries.py:grouped_holt)",
+    oracle=f"""
+        WITH RECURSIVE ev AS (
+            SELECT user_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        r AS (
+            SELECT user_id, ts, value, rn,
+                   value AS l, CAST(0.0 AS DOUBLE) AS b
+            FROM ev WHERE rn = 1
+            UNION ALL
+            SELECT e.user_id, e.ts, e.value, e.rn,
+                   {_HOLT_ALPHA!r} * e.value + {_HOLT_AC!r} * (r.l + r.b),
+                   {_HOLT_BETA!r} * (({_HOLT_ALPHA!r} * e.value
+                                      + {_HOLT_AC!r} * (r.l + r.b)) - r.l)
+                   + {_HOLT_BC!r} * r.b
+            FROM ev e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        )
+        SELECT user_id, ts, value,
+               floor(l * 1e6 + 0.5) / 1e6 AS level,
+               floor(b * 1e6 + 0.5) / 1e6 AS trend,
+               floor((l + b) * 1e6 + 0.5) / 1e6 AS forecast
+        FROM r
+    """,
+)
+def events_value_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second resident of the sanctioned recursive Pandas-UDF tier (the
+    EWMA rationale, plans/curation.py:events_value_ewma): the coupled
+    level/trend recurrence has no window form, so it runs as one shuffle
+    on user_id + a contiguous-run fold streaming Arrow batches. The
+    oracle replays the exact (add, mul, mul, add, sub, mul, mul, add)
+    step via recursive CTE — l_new appears twice in the b update on both
+    engines, so the duplicated expression folds identically. event_id is
+    the within-user tie-breaker, dropped from the output."""
+    from data_algorithms_with_pyspark_spark.operators.timeseries import (
+        grouped_holt,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_holt(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+        alpha=_HOLT_ALPHA,
+        beta=_HOLT_BETA,
+    ).drop("event_id")

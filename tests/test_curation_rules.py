@@ -618,3 +618,40 @@ def test_bigram_pmi_known_answers(spark):
         assert r["pmi_nano"] == expect
     # min_count filters below-threshold pairs
     assert bigram_pmi(docs, min_count=3).count() == 0
+
+
+def test_grouped_holt_known_answer(spark):
+    from data_algorithms_with_pyspark_spark.operators.timeseries import (
+        grouped_holt,
+    )
+
+    rows = [("u", 1, 10.0), ("u", 2, 12.0), ("u", 3, 14.0), ("v", 1, 5.0)]
+    df = spark.createDataFrame(rows, ["g", "t", "x"]).repartition(3)
+    got = {
+        (r["g"], r["t"]): (r["level"], r["trend"], r["forecast"])
+        for r in grouped_holt(df, "g", ["t"], "x", 0.5, 0.5).collect()
+    }
+    # hand fold, alpha=beta=0.5: u: l1=10 b1=0; l2=.5*12+.5*10=11,
+    # b2=.5*(11-10)+.5*0=0.5; l3=.5*14+.5*11.5=12.75,
+    # b3=.5*(12.75-11)+.5*.5=1.125
+    assert got[("u", 1)] == (10.0, 0.0, 10.0)
+    assert got[("u", 2)] == (11.0, 0.5, 11.5)
+    assert got[("u", 3)] == (12.75, 1.125, 13.875)
+    # group restart: v starts fresh
+    assert got[("v", 1)] == (5.0, 0.0, 5.0)
+
+
+def test_grouped_holt_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from data_algorithms_with_pyspark_spark.operators.timeseries import (
+        grouped_holt,
+    )
+
+    df = spark.createDataFrame([("u", 1, 1.0)], ["g", "t", "x"])
+    with _pytest.raises(ValueError):
+        grouped_holt(df, "g", ["t"], "x", alpha=0.0)
+    with _pytest.raises(ValueError):
+        grouped_holt(df, "g", ["t"], "x", beta=1.5)
+    with _pytest.raises(ValueError):
+        grouped_holt(df, "g", [], "x")
