@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "connected_components",
+    "connected_components_star",
     "label_propagation",
     "pagerank",
     "shortest_paths",
@@ -212,3 +213,125 @@ def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:
             .localCheckpoint()
         )
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame, max_rounds: int = 30
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — O(log n) ROUNDS regardless of graph diameter,
+    where min-label propagation (``connected_components``) needs
+    O(diameter) rounds and loses badly on chain-like graphs (see the
+    chain benchmark in PLANS.md). This is the algorithm a 100 TB edge
+    list wants: each round is two grouped aggregates + joins keyed on
+    vertex id, and the edge set monotonically contracts toward stars.
+
+    large-star: every vertex u points its LARGER neighbors at
+    ``m = min(N(u) + {u})``; small-star: re-keyed to the larger
+    endpoint, u points its smaller-or-equal neighbors and itself at m.
+    At fixpoint every edge is (v, min-of-component); returns
+    (id, component) with component = min vertex id reachable —
+    identical output to ``connected_components`` (property-tested).
+
+    Convergence is detected from an order-insensitive edge-set signature
+    (count + sum + xor-hash), one scalar action per round; the final
+    state is the unique star fixpoint, so the round count never affects
+    the result. Self-loops produced by contraction are dropped each
+    round; localCheckpoint truncates lineage.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("hi"),
+            F.least("src", "dst").alias("lo"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    all_ids = (
+        sym.select(F.col("hi").alias("id"))
+        .union(sym.select(F.col("lo").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(e: DataFrame):
+        row = e.agg(
+            F.count("*").alias("n"),
+            # xor-fold, not sum: summing 64-bit hashes overflows under
+            # ANSI arithmetic; xor is order-insensitive and closed.
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(hi, lo))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    e = sym
+    sig = signature(e)
+    for _ in range(max_rounds):
+        # --- large-star: group by EVERY endpoint (symmetric view) -------
+        und = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        m = und.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            und.join(m, on="u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("hi"), F.col("m").alias("lo")
+            )  # v > u >= m
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # --- small-star: key every edge at its larger endpoint ----------
+        und2 = large.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        m2 = und2.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        small = (
+            und2.join(m2, on="u")
+            .select("u", "v", "m")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("v").alias("a"), F.col("m").alias("b")
+                        ),
+                        F.struct(
+                            F.col("u").alias("a"), F.col("m").alias("b")
+                        ),
+                    )
+                ).alias("p")
+            )
+            .select(
+                F.greatest("p.a", "p.b").alias("hi"),
+                F.least("p.a", "p.b").alias("lo"),
+            )
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = signature(small)
+        e = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixpoint: edges are (member, root). min-aggregate instead of a raw
+    # join so an un-converged state (max_rounds hit early) degrades to a
+    # still-correct-per-row upper bound rather than duplicating rows.
+    roots = (
+        e.select(F.col("hi").alias("id"), F.col("lo").alias("component"))
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
+    return (
+        all_ids.join(roots, on="id", how="left")
+        .select(
+            "id",
+            F.coalesce(F.col("component"), F.col("id")).alias("component"),
+        )
+    )

@@ -453,6 +453,59 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Chain-structured test graph for star-contraction CC: four 60-vertex
+# chains (0-59, 60-119, 120-179, 180-239) — diameter 59, the regime where
+# min-label propagation needs O(diameter) rounds and star contraction
+# needs O(log n): measured 10.0s vs 75.3s on a 400-vertex chain, see
+# PLANS.md.
+_CHAIN_EDGES_SQL = """
+        SELECT DISTINCT (l_orderkey % 240) AS src,
+                        (l_orderkey % 240) + 1 AS dst
+        FROM lineitem
+        WHERE (l_orderkey % 240) % 60 <> 59
+"""
+
+
+def _chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    src = F.col("l_orderkey") % 240
+    return (
+        lineitem.where(src % 60 != 59)
+        .select(src.alias("src"), (src + 1).alias("dst"))
+        .distinct()
+    )
+
+
+@register(
+    "graph_cc_star_contraction",
+    tags=("graph", "iterative"),
+    description="Connected components by alternating large-star/small-star "
+    "contraction (Kiveris et al. SoCC'14) over a 4-chain diameter-59 graph "
+    "— O(log n) rounds vs label propagation's O(diameter); oracle = "
+    "recursive-CTE reachability closure",
+    oracle=f"""
+        WITH RECURSIVE und AS (
+            SELECT src, dst FROM ({_CHAIN_EDGES_SQL})
+            UNION
+            SELECT dst, src FROM ({_CHAIN_EDGES_SQL})
+        ),
+        reach(id, r) AS (
+            SELECT id, id FROM (SELECT DISTINCT src AS id FROM und)
+            UNION
+            SELECT reach.id, und.dst FROM reach JOIN und ON und.src = reach.r
+        )
+        SELECT id, CAST(min(r) AS BIGINT) AS component
+        FROM reach GROUP BY id
+    """,
+)
+def graph_cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_algorithms_with_pyspark_spark.operators.iterative import (
+        connected_components_star,
+    )
+
+    return connected_components_star(_chain_edges(spark, sf_dir))
+
+
 # Community-structured test graph for label propagation: vertices 0..239 in
 # 24 blocks of 10; dense intra-block edges from (orderkey, suppkey) hashes
 # plus sparse next-block bridges (every 53rd order) so the algorithm has

@@ -212,3 +212,49 @@ class TestLabelPropagation:
         edges = spark.createDataFrame([(0, 1)], ["src", "dst"])
         with pytest.raises(ValueError):
             label_propagation(edges, iterations=0)
+
+
+class TestStarContractionCC:
+    def test_matches_label_propagation_cc(self, spark):
+        import random
+
+        from data_algorithms_with_pyspark_spark.operators.iterative import (
+            connected_components,
+            connected_components_star,
+        )
+
+        # chain (worst case for label prop) + triangle + pair + random
+        edges = (
+            [(i, i + 1) for i in range(19)]
+            + [(100, 101), (101, 102), (102, 100), (200, 201)]
+        )
+        rng = random.Random(5)
+        edges += [
+            (rng.randrange(300, 400), rng.randrange(300, 400))
+            for _ in range(60)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        a = {
+            r["id"]: r["component"]
+            for r in connected_components_star(df).collect()
+        }
+        b = {
+            r["id"]: r["component"]
+            for r in connected_components(df, max_iter=60).collect()
+        }
+        assert a == b
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        from data_algorithms_with_pyspark_spark.operators.iterative import (
+            connected_components_star,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 1), (1, 2), (2, 3)], ["src", "dst"]
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components_star(df).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1}
