@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "k_anonymity_groups",
     "check_counts",
     "duplicate_keys",
     "fk_orphans",
@@ -137,3 +138,31 @@ def quality_report(*check_dfs: DataFrame) -> DataFrame:
     if not check_dfs:
         raise ValueError("at least one check required")
     return reduce(lambda a, b: a.unionByName(b), check_dfs)
+
+
+def k_anonymity_groups(
+    df: DataFrame, qi_cols: list[Column | str], k: int
+) -> DataFrame:
+    """Quasi-identifier equivalence classes with their re-identification
+    risk flag — the k-anonymity audit a privacy review runs before a
+    dataset leaves the pipeline: any combination of quasi-identifiers
+    (the columns an adversary can link externally) shared by FEWER than
+    ``k`` rows singles those rows out.
+
+    Returns one row per equivalence class: ``(*qi, n_rows, at_risk)``
+    with ``at_risk = n_rows < k``. One hash aggregate on the QI tuple —
+    the corpus is scanned once and the output is |distinct QI
+    combinations|; generalization loops (coarsen a QI, re-audit) rerun
+    this same aggregate on the coarsened expressions, which is why the
+    QI list accepts expressions (e.g. a banded balance) and not just
+    column names.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    cols = [F.col(c) if isinstance(c, str) else c for c in qi_cols]
+    return df.groupBy(*cols).agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") < F.lit(k)).alias("at_risk"),
+    )

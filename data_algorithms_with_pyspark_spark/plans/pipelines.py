@@ -1006,3 +1006,68 @@ def documents_replica_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replica_digest(
         docs, ["doc_id", "text", "lang", "source", "n_chars"], n_buckets=256
     )
+
+
+_KANON_K = 5
+
+
+@register(
+    "customer_k_anonymity_audit",
+    tags=("quality", "privacy"),
+    description=f"k-anonymity audit (k={_KANON_K}) of customer "
+    "quasi-identifiers (nation, segment, banded balance): per-nation "
+    "equivalence-class counts and rows re-identifiable by QI linkage "
+    "(operators/quality.py:k_anonymity_groups)",
+    oracle=f"""
+        WITH classes AS (
+            SELECT c_nationkey,
+                   c_mktsegment,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+                   count(*) AS n_rows
+            FROM customer
+            GROUP BY 1, 2, 3
+        )
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(CASE WHEN n_rows < {_KANON_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_small_classes,
+               CAST(sum(CASE WHEN n_rows < {_KANON_K} THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS n_rows_at_risk,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows
+        FROM classes
+        GROUP BY c_nationkey
+    """,
+)
+def customer_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-release privacy gate: QI = (nation, market segment,
+    1000-unit balance band); any QI combination shared by fewer than k
+    customers is externally linkable. Two hash aggregates — classes,
+    then the per-nation report; the corpus is scanned once and
+    everything downstream is |QI classes| rows. The banded balance shows
+    the generalization knob: widen the band, rerun the same aggregate."""
+    from data_algorithms_with_pyspark_spark.operators.quality import (
+        k_anonymity_groups,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    classes = k_anonymity_groups(
+        customer,
+        [
+            F.col("c_nationkey"),
+            F.col("c_mktsegment"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0))
+            .cast("long")
+            .alias("bal_band"),
+        ],
+        k=_KANON_K,
+    )
+    return classes.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_classes"),
+        F.sum(F.when(F.col("at_risk"), 1).otherwise(0)).alias(
+            "n_small_classes"
+        ),
+        F.sum(F.when(F.col("at_risk"), F.col("n_rows")).otherwise(0)).alias(
+            "n_rows_at_risk"
+        ),
+        F.sum("n_rows").alias("n_rows"),
+    )

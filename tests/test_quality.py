@@ -96,3 +96,35 @@ def test_replica_digest_order_invariant_and_change_sensitive(spark):
     assert {(r["bucket"], r["digest1"]) for r in d_a} != {
         (r["bucket"], r["digest1"]) for r in d_b
     }
+
+
+def test_k_anonymity_groups_known_answer(spark):
+    from data_algorithms_with_pyspark_spark.operators.quality import (
+        k_anonymity_groups,
+    )
+
+    rows = [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)]
+    df = spark.createDataFrame(rows, ["seg", "band"])
+    got = {
+        (r["seg"], r["band"]): (r["n_rows"], r["at_risk"])
+        for r in k_anonymity_groups(df, ["seg", "band"], k=3).collect()
+    }
+    assert got == {
+        ("a", 1): (5, False),
+        ("a", 2): (2, True),
+        ("b", 1): (1, True),
+    }
+
+
+def test_k_anonymity_groups_guards(spark):
+    import pytest as _pytest
+
+    from data_algorithms_with_pyspark_spark.operators.quality import (
+        k_anonymity_groups,
+    )
+
+    df = spark.createDataFrame([("a", 1)], ["seg", "band"])
+    with _pytest.raises(ValueError):
+        k_anonymity_groups(df, ["seg"], k=1)
+    with _pytest.raises(ValueError):
+        k_anonymity_groups(df, [], k=3)
