@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
+
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1039,3 +1041,105 @@ def incremental_minhash_candidates(
         .select("id_new", "id_hist", floor_round(est, 4).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= F.lit(min_jaccard))
     )
+
+
+# content-defined chunking constants — shared with the SQL oracle builder
+CDC_BASE = 257
+CDC_MOD = 2_147_483_647  # 2^31 - 1 (prime)
+CDC_WINDOW = 8
+CDC_DIVISOR = 32  # expected chunk length ~ DIVISOR chars
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """Content-defined chunking (rsync/LBFS lineage): split each
+    document at positions where the ROLLING HASH of the trailing
+    ``window`` characters hits ``h % divisor == 0`` — boundaries depend
+    only on local content, so an insertion early in a document shifts
+    every byte offset but re-synchronizes the chunk stream within one
+    window, and identical passages in DIFFERENT documents produce
+    identical chunks. Dedup on chunk hashes is the storage/dataset-level
+    complement to the doc-level near-dup family: it finds shared
+    passages across unrelated documents.
+
+    Deliberately NO min/max chunk bounds (FastCDC-style clamps make the
+    cut decision stateful — each cut depends on the previous cut — which
+    would break the closed-form SQL replay; the pure content rule keeps
+    every cut decision a function of its local window only).
+
+    Hash: polynomial ``sum(code(s[i-j]) * BASE^j) mod MOD`` over the
+    trailing window, codepoint-based on the NORMALIZED text (both
+    engines index characters, not bytes). All integer: codepoints
+    < 2^21, BASE^j mod MOD < 2^31, products < 2^52 — no overflow, no
+    float anywhere.
+
+    Output: one row per chunk: (id_col, chunk_idx, chunk_len,
+    chunk_hash md5). One mapInPandas scan; ~len/divisor rows per doc.
+    Documents shorter than ``window`` yield one whole-text chunk; empty
+    (after normalization) documents yield none.
+    """
+    if window < 2 or divisor < 2:
+        raise ValueError("window and divisor must be >= 2")
+
+    import hashlib
+
+    def _chunks(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, lens, hashes = [], [], [], []
+            for did, text in zip(pdf["_id"], pdf["_norm"]):
+                s = text or ""
+                n = len(s)
+                if n == 0:
+                    continue
+                cuts = []
+                if n >= window:
+                    codes = np.array([ord(c) for c in s], dtype=np.int64)
+                    powers = np.array(
+                        [pow(CDC_BASE, j, CDC_MOD) for j in range(window)],
+                        dtype=np.int64,
+                    )
+                    # windows[i] = codes[i-window+1 .. i] reversed weights:
+                    # code(s[i-j]) * BASE^j  ->  sliding dot with powers
+                    win = np.lib.stride_tricks.sliding_window_view(
+                        codes, window
+                    )  # row r covers positions r .. r+window-1
+                    h = (win * powers[::-1][None, :]).sum(axis=1) % CDC_MOD
+                    cut_rows = np.nonzero(h % divisor == 0)[0]
+                    cuts = [int(r) + window - 1 for r in cut_rows]
+                starts = [0] + [c + 1 for c in cuts]
+                ends = cuts + [n - 1]
+                ci = 0
+                for st, en in zip(starts, ends):
+                    if en < st:
+                        continue  # cut at the final char -> empty tail
+                    piece = s[st : en + 1]
+                    ids.append(int(did))
+                    idxs.append(ci)
+                    lens.append(len(piece))
+                    hashes.append(
+                        hashlib.md5(piece.encode("utf-8")).hexdigest()
+                    )
+                    ci += 1
+            yield pd.DataFrame(
+                {
+                    "_out_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int64"),
+                    "chunk_len": pd.Series(lens, dtype="int64"),
+                    "chunk_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    prepared = spread_partitions(docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("_id"), normalize_text(text_col).alias("_norm")
+    )
+    return prepared.mapInPandas(
+        _chunks,
+        schema="_out_id long, chunk_idx long, chunk_len long, chunk_hash string",
+    ).withColumnRenamed("_out_id", id_col)

@@ -1778,3 +1778,110 @@ def video_fingerprint_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("*").alias("n_clips"),
         F.min("media_id").alias("canon_id"),
     )
+
+
+def _cdc_hash_sql() -> str:
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        CDC_BASE,
+        CDC_MOD,
+        CDC_WINDOW,
+    )
+
+    terms = " + ".join(
+        f"CAST(unicode(substr(s, i - {j} + 1, 1)) AS BIGINT)"
+        f" * {pow(CDC_BASE, j, CDC_MOD)}"
+        for j in range(CDC_WINDOW)
+    )
+    return f"({terms}) % {CDC_MOD}"
+
+
+@register(
+    "documents_cdc_chunk_dedup",
+    tags=("dedup", "text", "pandas-udf"),
+    description="Content-defined chunking dedup report (rsync/LBFS rolling-"
+    "hash cuts, operators/dedup.py:content_defined_chunks): per-source "
+    "chunk counts, distinct chunks, and the char savings passage-level "
+    "dedup would recover; the oracle replays the integer rolling hash "
+    "and every cut decision in closed form",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, s, unnest(range(7, len(s))) AS i
+            FROM d WHERE len(s) >= 8
+        ),
+        cuts AS (
+            SELECT doc_id, i FROM pos
+            WHERE ({_cdc_hash_sql()}) % 32 = 0
+        ),
+        cagg AS (
+            SELECT doc_id, list(i ORDER BY i) AS cuts
+            FROM cuts GROUP BY doc_id
+        ),
+        cl AS (
+            SELECT d.doc_id, d.source, d.s, len(d.s) AS n,
+                   COALESCE(cagg.cuts, []) AS cuts
+            FROM d LEFT JOIN cagg USING (doc_id)
+            WHERE len(d.s) > 0
+        ),
+        chunkidx AS (
+            SELECT doc_id, source, s, n, cuts,
+                   unnest(range(len(cuts) + 1)) AS k
+            FROM cl
+        ),
+        pieces AS (
+            SELECT source,
+                   md5(substr(s, st, en - st + 1)) AS chunk_hash,
+                   en - st + 1 AS chunk_len
+            FROM (
+                SELECT source, s,
+                       CASE WHEN k = 0 THEN 1 ELSE cuts[k] + 2 END AS st,
+                       CASE WHEN k = len(cuts) THEN n
+                            ELSE cuts[k + 1] + 1 END AS en
+                FROM chunkidx
+            )
+            WHERE en >= st
+        ),
+        perhash AS (
+            SELECT source, chunk_hash,
+                   count(*) AS n, min(chunk_len) AS l
+            FROM pieces GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(sum(n) AS BIGINT) AS n_chunks,
+               CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+               CAST(sum(n * l) AS BIGINT) AS chars_total,
+               CAST(sum(l) AS BIGINT) AS chars_distinct
+        FROM perhash GROUP BY source
+    """,
+)
+def documents_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup accounting: chunk every document at
+    content-defined boundaries, then report per source how many chunk
+    instances exist, how many are distinct, and the character savings
+    chunk-store dedup would recover (chars_total - chars_distinct).
+    One mapInPandas scan -> chunk rows (~len/32 per doc) -> two hash
+    aggregates; the doc->source join is a broadcast of the tiny
+    projection. Cut decisions are pure functions of an 8-char window,
+    so the DuckDB oracle replays every boundary and every md5 exactly."""
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        content_defined_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = content_defined_chunks(docs)
+    j = chunks.join(
+        F.broadcast(docs.select("doc_id", "source")), on="doc_id"
+    )
+    per_hash = j.groupBy("source", "chunk_hash").agg(
+        F.count("*").alias("n"), F.min("chunk_len").alias("l")
+    )
+    return per_hash.groupBy("source").agg(
+        F.sum("n").alias("n_chunks"),
+        F.count("*").alias("n_distinct_chunks"),
+        F.sum(F.col("n") * F.col("l")).alias("chars_total"),
+        F.sum("l").alias("chars_distinct"),
+    )

@@ -690,3 +690,49 @@ def test_prefix_jaccard_rejects_bad_threshold(spark):
         prefix_jaccard_pairs(docs, 0.0)
     with _pytest.raises(ValueError):
         prefix_jaccard_pairs(docs, 1.5)
+
+
+def test_content_defined_chunks_properties(spark):
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        content_defined_chunks,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    shifted = "PREFIX " + base  # early insertion shifts every offset
+    docs = spark.createDataFrame(
+        [(1, base), (2, shifted), (3, "tiny"), (4, "")],
+        ["doc_id", "text"],
+    )
+    rows = content_defined_chunks(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_len"], r["chunk_hash"])
+        )
+    for v in by_doc.values():
+        v.sort()
+    # chunks tile the normalized text exactly
+    assert sum(c[1] for c in by_doc[1]) == len(base.strip())
+    # resynchronization: after the insertion, the chunk streams share
+    # their tails (all but the first chunk(s) are identical)
+    h1 = [c[2] for c in by_doc[1]]
+    h2 = [c[2] for c in by_doc[2]]
+    assert len(h1) > 2
+    assert h1[1:] == h2[-(len(h1) - 1):]  # shared suffix of chunk hashes
+    # short doc -> single whole-text chunk; empty doc -> no chunks
+    assert len(by_doc[3]) == 1 and by_doc[3][0][1] == 4
+    assert 4 not in by_doc
+
+
+def test_content_defined_chunks_guards(spark):
+    import pytest as _pytest
+
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        content_defined_chunks,
+    )
+
+    docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        content_defined_chunks(docs, window=1)
+    with _pytest.raises(ValueError):
+        content_defined_chunks(docs, divisor=1)
