@@ -99,6 +99,7 @@ _SAMPLE_PRIORITY = (
     "graph_cc_star_contraction",
     "customer_k_anonymity_audit",
     "documents_cdc_chunk_dedup",
+    "dp_event_type_release",
     # NOTE r5 rotation: the five round-4-continuation additions directly
     # above (embedding_gram_covariance, embedding_pca_projection,
     # graph_label_propagation, orders_snapshot_diff,

@@ -1039,3 +1039,58 @@ def events_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         _PSI_BINS,
     )
+
+
+_DP_SEED = "dp-v1"
+_DP_EPSILON = 1.0
+
+
+@register(
+    "dp_event_type_release",
+    tags=("privacy", "events"),
+    description=f"Differential-privacy release shape (Laplace mechanism, "
+    f"epsilon={_DP_EPSILON}, sensitivity-1 counts): noisy per-event-type "
+    "counts with seeded inverse-CDF noise — deterministic for the oracle "
+    "contract; swap the seeded draw for a CSPRNG in production "
+    "(operators/quality.py:dp_laplace_counts)",
+    oracle=f"""
+        WITH c AS (
+            SELECT event_type, count(*) AS n
+            FROM events GROUP BY event_type
+        ),
+        u AS (
+            SELECT event_type, n,
+                   (CAST(('0x' || substring(md5(
+                        '{_DP_SEED}' || chr(1) || CAST(event_type AS VARCHAR)
+                    ), 1, 15))::BIGINT AS DOUBLE) + 0.5)
+                   / 1152921504606846976.0 AS uu
+            FROM c
+        ),
+        z AS (
+            SELECT event_type, n, uu - 0.5 AS t,
+                   ln(1.0 - 2.0 * abs(uu - 0.5)) * {1.0 / _DP_EPSILON!r}
+                       AS mag
+            FROM u
+        )
+        SELECT event_type,
+               CAST(floor((n + CASE WHEN t < 0.0 THEN mag ELSE -mag END)
+                          * 1000000.0 + 0.5) AS BIGINT)
+                   AS noisy_count_micro
+        FROM z
+    """,
+)
+def dp_event_type_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The privacy pillar's release stage (after the PII scrub and the
+    k-anonymity audit): per-event-type counts noised by the Laplace
+    mechanism before publication. One hash aggregate; the noise is a
+    per-group expression over an md5-seeded uniform, replayed exactly by
+    the oracle — the deterministic-seed trade and the production CSPRNG
+    swap are documented on the operator."""
+    from data_algorithms_with_pyspark_spark.operators.quality import (
+        dp_laplace_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return dp_laplace_counts(
+        events, ["event_type"], seed=_DP_SEED, epsilon=_DP_EPSILON
+    )
