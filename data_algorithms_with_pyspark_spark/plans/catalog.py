@@ -100,6 +100,7 @@ _SAMPLE_PRIORITY = (
     "customer_k_anonymity_audit",
     "documents_cdc_chunk_dedup",
     "dp_event_type_release",
+    "cms_join_size_estimate",
     # NOTE r5 rotation: the five round-4-continuation additions directly
     # above (embedding_gram_covariance, embedding_pca_projection,
     # graph_label_propagation, orders_snapshot_diff,

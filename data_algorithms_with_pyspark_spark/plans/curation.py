@@ -2736,3 +2736,108 @@ def events_value_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=_HOLT_ALPHA,
         beta=_HOLT_BETA,
     ).drop("event_id")
+
+
+@register(
+    "cms_join_size_estimate",
+    tags=("sketch", "optimizer"),
+    description=f"Join-cardinality estimation from two count-min sketches "
+    f"({_CMS_ROWS}x{_CMS_WIDTH}): |events JOIN orders ON user=cust| "
+    "estimated as the min-over-rows sketch inner product vs the exact "
+    "size — the query-optimizer primitive that prices a join WITHOUT "
+    "executing it; one-sided error (estimate >= truth) by construction",
+    oracle=f"""
+        WITH rows_ AS (SELECT unnest(range(0, {_CMS_ROWS})) AS r),
+        ea AS (
+            SELECT r, ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' ||
+                           CAST(user_id AS VARCHAR)), 1, 6))::BIGINT
+                          % {_CMS_WIDTH} AS bucket,
+                   count(*) AS c
+            FROM events CROSS JOIN rows_ GROUP BY 1, 2
+        ),
+        ob AS (
+            SELECT r, ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' ||
+                           CAST(o_custkey AS VARCHAR)), 1, 6))::BIGINT
+                          % {_CMS_WIDTH} AS bucket,
+                   count(*) AS c
+            FROM orders CROSS JOIN rows_ GROUP BY 1, 2
+        ),
+        dot AS (
+            SELECT ea.r, CAST(sum(ea.c * ob.c) AS BIGINT) AS d
+            FROM ea JOIN ob ON ea.r = ob.r AND ea.bucket = ob.bucket
+            GROUP BY ea.r
+        ),
+        est AS (SELECT CAST(min(d) AS BIGINT) AS cms_estimate FROM dot),
+        truth AS (
+            SELECT CAST(sum(e.n * o.n) AS BIGINT) AS true_join_size
+            FROM (SELECT user_id, count(*) AS n FROM events GROUP BY 1) e
+            JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o
+              ON e.user_id = o.o_custkey
+        )
+        SELECT truth.true_join_size, est.cms_estimate,
+               est.cms_estimate - truth.true_join_size AS overestimate
+        FROM truth, est
+    """,
+)
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price a join before running it: sketch each side's key-frequency
+    vector into ROWSxWIDTH cells (each side's shuffle carries at most
+    that many rows per partition, regardless of table size), estimate
+    |A JOIN B| as min over rows of the bucket-wise inner product, and
+    compare against the exact size (computed from per-key counts — the
+    join itself is never materialized). Collisions only ADD mass, so the
+    estimate upper-bounds the truth; the overestimate column shows the
+    256-bucket accuracy at this key cardinality. All-integer, exact
+    oracle."""
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def bucket(r: int, col) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"{r}:"), col.cast("string")))
+        return F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % _CMS_WIDTH
+
+    def cells(df, key):
+        return (
+            df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(r).cast("long").alias("r"),
+                                bucket(r, F.col(key)).alias("bucket"),
+                            )
+                            for r in range(_CMS_ROWS)
+                        ]
+                    )
+                ).alias("cell")
+            )
+            .select("cell.r", "cell.bucket")
+            .groupBy("r", "bucket")
+            .agg(F.count("*").alias("c"))
+        )
+
+    ea = cells(events, "user_id")
+    ob = cells(orders, "o_custkey")
+    dot = (
+        ea.join(
+            ob.withColumnRenamed("c", "c2"), on=["r", "bucket"]
+        )
+        .groupBy("r")
+        .agg(F.sum(F.col("c") * F.col("c2")).alias("d"))
+    )
+    est = dot.agg(F.min("d").alias("cms_estimate"))
+    e_counts = events.groupBy("user_id").agg(F.count("*").alias("n"))
+    o_counts = orders.groupBy("o_custkey").agg(F.count("*").alias("n2"))
+    truth = (
+        e_counts.join(
+            o_counts, e_counts["user_id"] == o_counts["o_custkey"]
+        )
+        .agg(F.sum(F.col("n") * F.col("n2")).alias("true_join_size"))
+    )
+    return truth.crossJoin(est).select(
+        "true_join_size",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_join_size")).alias(
+            "overestimate"
+        ),
+    )
