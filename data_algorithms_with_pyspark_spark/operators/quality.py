@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "column_profile",
     "dp_laplace_counts",
     "k_anonymity_groups",
     "check_counts",
@@ -216,3 +217,83 @@ def dp_laplace_counts(
         .cast("long")
         .alias("noisy_count_micro"),
     )
+
+
+def column_profile(
+    df: DataFrame, cols: list[str], entropy_scale: int = 1_000_000
+) -> DataFrame:
+    """One-scan table profiler — the first thing a data engineer runs on
+    an unfamiliar 100 TB table: per column, row/null/distinct counts,
+    Shannon entropy of the value distribution, and the modal value with
+    its frequency. Output: one row per profiled column.
+
+    Plan: the columns UNPIVOT into (column, value) pairs via ``stack``
+    (values string-cast — a profile is type-agnostic), then one hash
+    aggregate to (column, value) counts and one to the per-column
+    report; the corpus is scanned ONCE for all columns. The modal value
+    rides a max(struct(cnt, value)) — ties break to the
+    lexicographically LARGEST value, deterministic. Entropy is
+    ``-sum(p * ln p)`` over non-null values with EACH TERM
+    floor-quantized to ``entropy_scale`` units before the sum — a float
+    sum over a hash-aggregate's arbitrary order would not reproduce
+    across engines; integer sums do (the ln grid risk per term is the
+    accepted kmeans class). Nulls are excluded from the distribution
+    and reported separately.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    pairs = df.select(
+        F.expr(
+            "stack({n}, {args}) as (column, value)".format(
+                n=len(cols),
+                args=", ".join(
+                    f"'{c}', CAST({c} AS STRING)" for c in cols
+                ),
+            )
+        )
+    )
+    counts = pairs.groupBy("column", "value").agg(F.count("*").alias("cnt"))
+    nn = F.sum(F.when(F.col("value").isNotNull(), F.col("cnt")).otherwise(0))
+    p = F.col("cnt").cast("double") / F.col("_nn")
+    # each value's -p*ln(p) term quantizes to an INTEGER lane BEFORE the
+    # sum: a float sum over an arbitrary hash-aggregate order is not
+    # reproducible across engines; integer sums are (repo-wide policy).
+    ent_term_q = F.when(
+        F.col("value").isNotNull(),
+        F.floor(-(p * F.log(p)) * F.lit(float(entropy_scale)) + F.lit(0.5))
+        .cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    from pyspark.sql import Window
+
+    with_tot = counts.withColumn(
+        "_nn", nn.over(Window.partitionBy("column"))
+    )
+    agg = with_tot.groupBy("column").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(
+            F.when(F.col("value").isNull(), F.col("cnt")).otherwise(0)
+        ).alias("n_nulls"),
+        F.sum(
+            F.when(F.col("value").isNotNull(), 1).otherwise(0)
+        ).alias("n_distinct"),
+        F.sum(ent_term_q).alias("entropy_q"),
+    )
+    # modal value via rank-1 window (same (cnt desc, value desc) total
+    # order a max(struct(cnt, value)) would use): the struct form would
+    # degrade to SortAggregate on a string buffer, and this relation is
+    # count-rows-sized, so the window's plan-lint-clean WindowGroupLimit
+    # costs nothing here.
+    wtop = Window.partitionBy("column").orderBy(
+        F.col("cnt").desc(), F.col("value").desc()
+    )
+    top = (
+        counts.where(F.col("value").isNotNull())
+        .withColumn("_rn", F.row_number().over(wtop))
+        .where(F.col("_rn") == 1)
+        .select(
+            "column",
+            F.col("value").alias("top_value"),
+            F.col("cnt").alias("top_count"),
+        )
+    )
+    return agg.join(top, on="column", how="left")

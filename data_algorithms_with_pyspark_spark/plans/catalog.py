@@ -101,6 +101,7 @@ _SAMPLE_PRIORITY = (
     "documents_cdc_chunk_dedup",
     "dp_event_type_release",
     "cms_join_size_estimate",
+    "orders_column_profile",
     # NOTE r5 rotation: the five round-4-continuation additions directly
     # above (embedding_gram_covariance, embedding_pca_projection,
     # graph_label_propagation, orders_snapshot_diff,

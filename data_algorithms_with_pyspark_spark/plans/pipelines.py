@@ -1071,3 +1071,66 @@ def customer_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("n_rows").alias("n_rows"),
     )
+
+
+_PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate")
+
+
+@register(
+    "orders_column_profile",
+    tags=("quality", "profiling"),
+    description="One-scan table profiler over orders: per-column row/null/"
+    "distinct counts, quantized Shannon entropy, and the modal value "
+    "(operators/quality.py:column_profile; stack unpivot -> two hash "
+    "aggregates)",
+    oracle=f"""
+        WITH pairs AS (
+            {" UNION ALL ".join(
+                f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS value FROM orders"
+                for c in _PROFILE_COLS
+            )}
+        ),
+        counts AS (
+            SELECT col, value, count(*) AS cnt
+            FROM pairs GROUP BY col, value
+        ),
+        tot AS (
+            SELECT col,
+                   CAST(sum(CASE WHEN value IS NOT NULL THEN cnt
+                                 ELSE 0 END) AS BIGINT) AS nn
+            FROM counts GROUP BY col
+        )
+        SELECT c.col AS column,
+               CAST(sum(c.cnt) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN c.value IS NULL THEN c.cnt ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
+               CAST(sum(CASE WHEN c.value IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_distinct,
+               CAST(sum(CASE WHEN c.value IS NOT NULL
+                    THEN CAST(floor(-(CAST(c.cnt AS DOUBLE) / t.nn
+                                      * ln(CAST(c.cnt AS DOUBLE) / t.nn))
+                                    * 1000000.0 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS entropy_q,
+               max(CASE WHEN c.value IS NOT NULL
+                        THEN struct_pack(cnt := c.cnt, value := c.value)
+                   END).value AS top_value,
+               max(CASE WHEN c.value IS NOT NULL
+                        THEN struct_pack(cnt := c.cnt, value := c.value)
+                   END).cnt AS top_count
+        FROM counts c JOIN tot t ON c.col = t.col
+        GROUP BY c.col
+    """,
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first query on an unfamiliar table: one corpus scan unpivots
+    the profiled columns via stack, then two hash aggregates produce
+    per-column cardinality, null, entropy, and modal-value facts.
+    Entropy terms quantize to integer micro-nats BEFORE the sum so the
+    result is accumulation-order independent; the modal tie-break is
+    max(struct(cnt, value)) on both engines."""
+    from data_algorithms_with_pyspark_spark.operators.quality import (
+        column_profile,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return column_profile(orders, list(_PROFILE_COLS))

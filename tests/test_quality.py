@@ -184,3 +184,39 @@ def test_dp_laplace_counts_guards(spark):
         dp_laplace_counts(df, ["g"], seed="s", epsilon=0.0)
     with _pytest.raises(ValueError):
         dp_laplace_counts(df, [], seed="s")
+
+
+def test_column_profile_known_answer(spark):
+    import math
+
+    from data_algorithms_with_pyspark_spark.operators.quality import (
+        column_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", "x"), ("b", "x"), ("b", "x")],
+        "c1 string, c2 string",
+    )
+    got = {r["column"]: r.asDict() for r in column_profile(df, ["c1", "c2"]).collect()}
+    c1 = got["c1"]
+    assert (c1["n_rows"], c1["n_nulls"], c1["n_distinct"]) == (4, 0, 2)
+    assert (c1["top_value"], c1["top_count"]) == ("b", 2)  # tie 2-2 -> max value
+    # entropy of {a:2, b:2} = ln 2; per-term quantization: 2 * floor(
+    # -(0.5*ln 0.5)*1e6 + 0.5)
+    assert c1["entropy_q"] == 2 * math.floor(-(0.5 * math.log(0.5)) * 1e6 + 0.5)
+    c2 = got["c2"]
+    assert (c2["n_rows"], c2["n_nulls"], c2["n_distinct"]) == (4, 1, 1)
+    assert (c2["top_value"], c2["top_count"]) == ("x", 3)
+    assert c2["entropy_q"] == 0  # single value -> zero entropy
+
+
+def test_column_profile_guards(spark):
+    import pytest as _pytest
+
+    from data_algorithms_with_pyspark_spark.operators.quality import (
+        column_profile,
+    )
+
+    df = spark.createDataFrame([("a",)], ["c1"])
+    with _pytest.raises(ValueError):
+        column_profile(df, [])
