@@ -20,7 +20,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["kmv_distinct", "bloom_positions", "bloom_build", "bloom_probe"]
+__all__ = [
+    "kmv_distinct",
+    "bloom_positions",
+    "bloom_build",
+    "bloom_probe",
+    "hll_distinct",
+    "HLL_P",
+    "HLL_ALPHA",
+    "HLL_RAW_NUM",
+]
 
 _HASH_SPACE = 16**6  # first 6 md5 hex digits -> uniform on [0, 16^6)
 
@@ -144,4 +153,94 @@ def bloom_probe(
     )
     return hits.groupBy(key_col).agg(
         (F.count("_hit") == F.lit(k)).alias("in_bloom")
+    )
+
+
+HLL_P = 8  # 2^8 = 256 registers -> rsd ~ 1.04/sqrt(256) = 6.5%
+_HLL_M = 1 << HLL_P
+_HLL_WBITS = 52  # 60-bit md5 lane minus 8 register-index bits
+# alpha_m * m^2 * 2^53 precomputed in Python and shared with the oracle
+# via repr — the raw-estimate numerator over the exact integer register
+# sum (see hll_distinct).
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+HLL_RAW_NUM = HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_WBITS + 1))
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """ENGINE-PORTABLE HyperLogLog distinct count per group — unlike the
+    built-in ``approx_count_distinct`` (whose sketch layout is a Spark
+    implementation detail and can only be checked rows-only), every step
+    here is the md5-lane discipline, so a foreign engine replays the
+    ESTIMATE itself bit-for-bit: this is what upgrades the HLL row in
+    the catalog from a bracketed rows-only check to a full value oracle.
+
+    Construction (Flajolet et al. 2007, p=8, m=256 registers): the
+    60-bit md5 lane splits into register index ``j = h % m`` and a
+    52-bit word ``w``; the register records ``max(rho)`` with ``rho`` =
+    trailing-zero count of w plus 1 (``log2(w & -w)`` — exact on powers
+    of two; w = 0 caps at 53). The harmonic-mean denominator
+    ``sum(2^-M_j)`` is rescaled to the EXACT INTEGER
+    ``S2 = sum(2^(53 - M_j))`` (terms in [1, 2^53], total < 2^61 — no
+    float accumulation anywhere), so the raw estimate is one division
+    of shared literals by an exact integer; the small-range
+    linear-counting correction (raw <= 2.5m with empty registers) is
+    one ln, and the output floor-quantizes to 0.01 (the accepted
+    ln-grid class). Mergeability is the register max — tested.
+
+    Plan shape: one (group, j) hash aggregate (<= 256 rows per group
+    survive the map side regardless of input size), then a group-level
+    reduce. The 100 TB COUNT(DISTINCT) answer, now with a portable
+    estimate.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col(key_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    j = F.pmod(h, F.lit(_HLL_M))
+    # shiftright, NOT h / m: Spark's `/` on longs is true (double)
+    # division, and a 60-bit hash over 256 keeps 52 significant bits of
+    # quotient — floor(double) silently loses the low bits that rho
+    # depends on (found as a systematic sf0.1 estimate MISMATCH).
+    w = F.shiftright(h, HLL_P)
+    # trailing zeros via bit_count((w & -w) - 1): (lowest set bit) - 1
+    # is a run of exactly tz ones — pure integer, no log2 (whose
+    # ln-ratio implementation is not guaranteed integer-exact on powers
+    # of two).
+    rho = (
+        F.when(w == 0, F.lit(_HLL_WBITS + 1))
+        .otherwise(
+            F.bit_count(w.bitwiseAND(-w) - F.lit(1)) + F.lit(1)
+        )
+        .cast("long")
+    )
+    regs = (
+        df.select(F.col(group_col), j.alias("_j"), rho.alias("_rho"))
+        .groupBy(group_col, "_j")
+        .agg(F.max("_rho").alias("_m"))
+    )
+    term = F.floor(
+        F.pow(F.lit(2.0), F.lit(_HLL_WBITS + 1) - F.col("_m")) + F.lit(0.5)
+    ).cast("long")
+    per_group = regs.groupBy(group_col).agg(
+        F.count("*").alias("_nregs"), F.sum(term).alias("_s_present")
+    )
+    zeros = F.lit(_HLL_M) - F.col("_nregs")
+    s2 = zeros * F.lit(1 << (_HLL_WBITS + 1)) + F.col("_s_present")
+    raw = F.lit(HLL_RAW_NUM) / s2.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (zeros > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros),
+    ).otherwise(raw)
+    return per_group.select(
+        F.col(group_col),
+        (F.floor(est * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)).alias(
+            "hll_estimate"
+        ),
     )

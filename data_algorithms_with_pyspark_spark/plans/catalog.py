@@ -102,6 +102,7 @@ _SAMPLE_PRIORITY = (
     "dp_event_type_release",
     "cms_join_size_estimate",
     "orders_column_profile",
+    "portable_hll_distinct_users",
     # NOTE r5 rotation: the five round-4-continuation additions directly
     # above (embedding_gram_covariance, embedding_pca_projection,
     # graph_label_propagation, orders_snapshot_diff,

@@ -739,3 +739,74 @@ def orders_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "share_bp",
         "x_mean_pct",
     )
+
+
+def _hll_oracle_sql() -> str:
+    from data_algorithms_with_pyspark_spark.operators.sketches import (
+        HLL_RAW_NUM,
+    )
+
+    two53 = 1 << 53
+    return f"""
+        WITH h AS (
+            SELECT event_type,
+                   ('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)),
+                                      1, 15))::BIGINT AS hv
+            FROM events
+        ),
+        r AS (
+            SELECT event_type, hv % 256 AS j,
+                   CASE WHEN hv // 256 = 0 THEN 53
+                        ELSE bit_count(((hv // 256) & -(hv // 256)) - 1) + 1
+                   END AS rho
+            FROM h
+        ),
+        regs AS (
+            SELECT event_type, j, max(rho) AS m FROM r GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT event_type,
+                   count(*) AS nregs,
+                   CAST(sum(CAST(floor(power(2.0, 53 - m) + 0.5) AS BIGINT))
+                        AS BIGINT) AS sp
+            FROM regs GROUP BY event_type
+        ),
+        e AS (
+            SELECT event_type,
+                   256 - nregs AS zeros,
+                   {HLL_RAW_NUM!r}
+                   / CAST((256 - nregs) * {two53} + sp AS DOUBLE) AS raw
+            FROM g
+        )
+        SELECT event_type,
+               floor(CASE WHEN raw <= 640.0 AND zeros > 0
+                          THEN 256.0 * ln(256.0 / zeros)
+                          ELSE raw END * 100.0 + 0.5) / 100.0
+                   AS hll_estimate
+        FROM e
+    """
+
+
+@register(
+    "portable_hll_distinct_users",
+    tags=("events", "sketch"),
+    description="Engine-portable HyperLogLog (p=8, md5-lane registers, "
+    "integer-exact harmonic denominator): the same 100 TB COUNT(DISTINCT) "
+    "answer as approx_distinct_users_hll, but with the ESTIMATE itself "
+    "under a full value oracle — the sketch construction is the spec, not "
+    "an engine internal (operators/sketches.py:hll_distinct)",
+    oracle=_hll_oracle_sql(),
+)
+def portable_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the catalog's one rows-only gap CLASS: the built-in
+    approx_count_distinct stays registered (bracketed by its exact
+    twin), and this md5-lane HLL carries the full cross-engine value
+    check — register max is the merge, the harmonic denominator is an
+    exact integer (sum of 2^(53-M) terms), and only the final division
+    and the small-range ln touch floats, in fixed shared-literal order."""
+    from data_algorithms_with_pyspark_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return hll_distinct(events, "event_type", "user_id")
