@@ -103,12 +103,15 @@ _SAMPLE_PRIORITY = (
     "cms_join_size_estimate",
     "orders_column_profile",
     "portable_hll_distinct_users",
-    # NOTE r5 rotation: the five round-4-continuation additions directly
-    # above (embedding_gram_covariance, embedding_pca_projection,
-    # graph_label_propagation, orders_snapshot_diff,
-    # prefix_jaccard_near_dups) push five more stale entries past the
-    # ~50 cut — r5's stale block must lead with the graph family plus
-    # the reporting tail listed at the bottom of this tuple.
+    # NOTE r5 rotation: the round-4 third-session additions (17 new
+    # queries from embedding_gram_covariance through
+    # portable_hll_distinct_users, interleaved above and below this
+    # comment) fill most of the ~50 sample window with never-attested
+    # entries — correct for r4 (new > stale), but it pushes nearly the
+    # whole stale tail past the cut. r5 MUST flip the balance: lead
+    # with the graph family, the TPC-H re-attestation block, and the
+    # reporting tail listed at the bottom of this tuple, keeping only
+    # queries whose code changed in r5 ahead of them.
     # Code path changed post-r4-closing (independent-draw audit fixes:
     # integer-lane rolling avg, floor-form percent_rank / avg_gap_s) —
     # changed queries must re-enter the window.
