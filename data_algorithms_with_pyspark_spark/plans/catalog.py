@@ -103,6 +103,7 @@ _SAMPLE_PRIORITY = (
     "cms_join_size_estimate",
     "orders_column_profile",
     "portable_hll_distinct_users",
+    "events_value_robust_outliers",
     # NOTE r5 rotation: the round-4 third-session additions (17 new
     # queries from embedding_gram_covariance through
     # portable_hll_distinct_users, interleaved above and below this

@@ -1094,3 +1094,87 @@ def dp_event_type_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_laplace_counts(
         events, ["event_type"], seed=_DP_SEED, epsilon=_DP_EPSILON
     )
+
+
+_ROBUST_K = 3.5  # the standard modified-z cutoff (Iglewicz & Hoaglin)
+_MAD_CONSISTENCY = 0.6745  # Phi^-1(0.75): scales MAD to sigma-equivalent
+
+
+@register(
+    "events_value_robust_outliers",
+    tags=("events", "stats", "quality"),
+    description=f"Robust anomaly detection (median/MAD modified z >= "
+    f"{_ROBUST_K}): the skew-resistant twin of events_value_outliers — "
+    "mean/stddev break down when the contamination itself inflates them; "
+    "median and MAD have a 50% breakdown point",
+    oracle=f"""
+        WITH med AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ),
+        mad AS (
+            SELECT e.event_type,
+                   quantile_cont(abs(e.value - m.med), 0.5) AS mad
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY e.event_type
+        )
+        SELECT e.event_id, e.event_type,
+               round(e.value, 2) AS value,
+               floor({_MAD_CONSISTENCY!r} * abs(e.value - m.med) / d.mad
+                     * 10000 + 0.5) / 10000 AS robust_z
+        FROM events e
+        JOIN med m USING (event_type)
+        JOIN mad d USING (event_type)
+        WHERE floor({_MAD_CONSISTENCY!r} * abs(e.value - m.med) / d.mad
+                    * 10000 + 0.5) / 10000
+              >= {_ROBUST_K!r}
+    """,
+)
+def events_value_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three passes, no per-row shuffle: per-type median, then per-type
+    MAD (median of |x - med|), both tiny relations broadcast back over
+    the scan; the modified z (0.6745 * |x - med| / MAD, Iglewicz &
+    Hoaglin) is pure codegen, floor-quantized to 4dp BEFORE the
+    threshold compare on both engines (exact-half ties are common here
+    — med/MAD are midpoints of cent-valued data). Spark's interpolated ``percentile`` equals DuckDB's
+    ``quantile_cont`` bit-for-bit (the doc_length_quantile_filter
+    equivalence); at 100 TB swap in ``approx_percentile`` — identical
+    plan shape, documented there too."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), on="event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5))
+            .alias("mad")
+        )
+    )
+    # floor form, not round(): med and MAD are midpoints of cent-valued
+    # data, so the modified z lands on EXACT 4dp halves where engines'
+    # round() tie-breaks differ (bit the sf0.1 check; the
+    # operators/dedup.floor_round rationale).
+    rz = (
+        F.floor(
+            F.lit(_MAD_CONSISTENCY)
+            * F.abs(F.col("value") - F.col("med"))
+            / F.col("mad")
+            * F.lit(10000)
+            + F.lit(0.5)
+        )
+        / F.lit(10000)
+    )
+    return (
+        events.join(F.broadcast(med), on="event_type")
+        .join(F.broadcast(mad), on="event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            rz.alias("robust_z"),
+        )
+        .where(F.col("robust_z") >= F.lit(_ROBUST_K))
+    )
