@@ -173,7 +173,7 @@ def k_anonymity_groups(
 def dp_laplace_counts(
     df: DataFrame,
     group_cols: list[str],
-    seed: str,
+    public_seed: str,
     epsilon: float = 1.0,
 ) -> DataFrame:
     """Laplace-mechanism noisy group counts — the differential-privacy
@@ -182,10 +182,13 @@ def dp_laplace_counts(
     instead of exact counts. Returns ``(*group_cols, noisy_count_micro)``
     with the noised count in exact micro-units.
 
-    DETERMINISTIC BY DESIGN, which is a deliberate semantic trade: the
-    uniform draw derives from md5(seed + group key), so reruns and
+    DETERMINISTIC BY DESIGN — and therefore **NOT a differential-privacy
+    guarantee as shipped**: the uniform draw derives from
+    md5(public_seed + group key) (the parameter is named ``public_seed``
+    precisely because it is not secret randomness), so reruns and
     foreign engines reproduce the release bit-for-bit (the testing /
-    oracle contract this repo runs on). True differential privacy
+    oracle contract this repo runs on) and an adversary who knows the
+    seed can subtract the noise exactly. True differential privacy
     requires fresh secret randomness per release — in production, swap
     the seeded draw for a CSPRNG and keep everything downstream; the
     mechanism arithmetic, sensitivity accounting, and plan shape are
@@ -206,7 +209,9 @@ def dp_laplace_counts(
 
     b = 1.0 / epsilon
     counts = df.groupBy(*group_cols).agg(F.count("*").alias("_n"))
-    key = F.concat_ws("\x01", F.lit(seed), *[F.col(c).cast("string") for c in group_cols])
+    key = F.concat_ws(
+        "\x01", F.lit(public_seed), *[F.col(c).cast("string") for c in group_cols]
+    )
     u = (md5_long60(key).cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
     t = u - F.lit(0.5)
     mag = F.log(F.lit(1.0) - F.lit(2.0) * F.abs(t)) * F.lit(b)

@@ -59,79 +59,38 @@ _QUERY_MODULES = (
 # attestation covers every catalog query (scripts/driver_sim.py always
 # verifies all of them regardless of order).
 _SAMPLE_PRIORITY = (
-    # Round 4 rotation (VERDICT r3 #1). Slots 1-12: the 12 late-r3
-    # queries the driver has NEVER attested (union of CORRECTNESS_r01-03)
-    # — with these green, cumulative driver attestation covers the whole
-    # r3 catalog.
-    "concurrent_session_pairs",
-    "customer_rfm_segments",
-    "doc_quality_classifier_eval",
-    "documents_weighted_sample",
-    "embedding_cluster_top_terms",
-    "event_type_transition_matrix",
-    "event_value_sampled_quantiles",
-    "incremental_hourly_agg_merge",
-    "user_journey_path_ngrams",
-    "ivf_pq_ann_topk",
-    "pq_ann_topk",
-    "pq_recall_report",
-    # New in r4 / code path changed in r4 (fused classifier trainer,
-    # persisted-signature index, minhash expr-string build) — a changed
-    # query must re-enter the window even if it was green in r3.
+    # Round 5 rotation (VERDICT r4 #3). Ordering rule (unchanged): queries
+    # whose code changed this round or that the driver has NEVER attested
+    # come first; then the stalest re-attestation block (r1-only-green);
+    # r2-only-green queries are r6's block. After r4 the union of driver
+    # attestation was 178/181 with the whole r1 tail 3 rounds stale —
+    # this window holds exactly the 3 never-attested + all 39 r1-only
+    # queries, so a clean round makes the union 181/181 and nothing in
+    # the catalog is more than 3 rounds stale.
+    #
+    # Slots 1-2: the round-4 driver reds, fixed this round (oracle
+    # CAST for orders_cdc_replay; fp_seq serialized to a string key for
+    # video_fingerprint_dedup_groups) — tests/test_driver_canon_lint.py
+    # now mechanically forbids both failure classes catalog-wide.
     "orders_cdc_replay",
-    "customer_scd2_history",
-    "language_id_confusion",
-    "bm25_search_topk",
-    "lineitem_zorder_extents",
-    "documents_replica_digest",
-    "orders_key_skew_report",
-    "term_bigram_pmi",
-    "embedding_gram_covariance",
-    "embedding_pca_projection",
-    "graph_label_propagation",
-    "orders_snapshot_diff",
-    "prefix_jaccard_near_dups",
-    "events_value_drift_psi",
-    "image_perceptual_dedup_groups",
-    "audio_fingerprint_dedup_groups",
     "video_fingerprint_dedup_groups",
-    "events_value_holt_forecast",
-    "graph_cc_star_contraction",
-    "customer_k_anonymity_audit",
-    "documents_cdc_chunk_dedup",
-    "dp_event_type_release",
-    "cms_join_size_estimate",
-    "orders_column_profile",
-    "portable_hll_distinct_users",
-    "events_value_robust_outliers",
-    # NOTE r5 rotation: the round-4 third-session additions (17 new
-    # queries from embedding_gram_covariance through
-    # portable_hll_distinct_users, interleaved above and below this
-    # comment) fill most of the ~50 sample window with never-attested
-    # entries — correct for r4 (new > stale), but it pushes nearly the
-    # whole stale tail past the cut. r5 MUST flip the balance: lead
-    # with the graph family, the TPC-H re-attestation block, and the
-    # reporting tail listed at the bottom of this tuple, keeping only
-    # queries whose code changed in r5 ahead of them.
-    # Code path changed post-r4-closing (independent-draw audit fixes:
-    # integer-lane rolling avg, floor-form percent_rank / avg_gap_s) —
-    # changed queries must re-enter the window.
-    "events_rolling_hour_avg",
-    "customer_balance_ranks",
-    "events_inter_arrival_stats",
-    "avg_quantity_by_returnflag",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_promotable_suppliers",
-    "near_dup_keep_best",
-    "ivf_pq_recall_report",
-    "doc_quality_classifier",
-    "incremental_near_dup_persisted_index",
-    "incremental_near_dup_candidates",
-    "minhash_near_dup_candidates",
-    "near_dup_clusters",
-    # r1-only-attested queries, two rounds stale (VERDICT r3 #2): the
-    # full TPC-H family ...
+    # New in r5.
+    "q21_waiting_suppliers",
+    "doc_length_quantile_approx_audit",
+    # Never driver-sampled (rows-only HLL built-in; its exact twin
+    # exact_distinct_users and full-value-oracle portable twin
+    # portable_hll_distinct_users are both already driver-green).
+    "approx_distinct_users_hll",
+    # r1-only-attested stale block, graph family first (VERDICT r4 #3
+    # names it explicitly) ...
+    "graph_degrees",
+    "graph_bidirectional_edges",
+    "graph_two_hop_paths",
+    "graph_triangles",
+    "graph_connected_components",
+    "graph_pagerank",
+    "graph_shortest_paths",
+    # ... the full TPC-H r1 block ...
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -149,40 +108,39 @@ _SAMPLE_PRIORITY = (
     "q18_large_volume_customers",
     "q19_bracket_revenue",
     "q22_idle_rich_customers",
-    # ... the graph family (NOTE: the round-4-continuation additions and
-    # rounding-fix re-entries above push most of this family past the
-    # ~50 cut — changed/new queries outrank stale-but-unchanged
-    # re-attestation by the rotation rule. All seven MATCH in this
-    # round's sf0.01/sf0.1/independent-draw driver sims; r5's stale
-    # block must lead with them plus the reporting tail below) ...
-    "graph_degrees",
-    "graph_bidirectional_edges",
-    "graph_two_hop_paths",
-    "graph_triangles",
-    "graph_connected_components",
-    "graph_pagerank",
-    "graph_shortest_paths",
-    # ... and the r1-only reporting/ETL queries that fit the remaining
-    # slots. Deferred to r5 (still r1-green, shapes redundantly covered
-    # by in-window queries): active_nation_keys, avg_quantity_by_returnflag
-    # (group-avg shape = in-window q1_pricing_summary), char_count,
-    # customers_without_orders, lineitem_cube, lineitem_rollup (rollup
-    # shape r3-attested via events_hourly_daily_rollup), part_name_words,
-    # sum_quantity_by_linestatus, top_customers_by_balance, word_count;
-    # plus whatever the ~50-query sample cuts from the tail below. The
-    # tail is ordered most-redundant-last (top_orders_per_priority's
-    # window top-k shape is also covered in-window by
-    # training_shard_packing; sql_nation_supplier_analytics' join+agg
-    # content is the fabric of the in-window TPC-H family). Never-
-    # attested NEW queries outrank stale re-attestation, so the late-r4
-    # additions push the most-redundant stale entries past the cut; r5
-    # MUST lead its stale block with whatever fell out here.
+    # ... the r1 reporting/ETL tail (the six VERDICT r4 #3 names, then
+    # the ten deferred-from-r4 reporting queries; avg_quantity_by_
+    # returnflag left out — it re-attested green in r4).
     "customer_balance_etl",
     "nation_customer_supplier_setops",
     "orders_by_year_month",
     "returnflag_linestatus_pivot",
     "sql_nation_supplier_analytics",
     "top_orders_per_priority",
+    "active_nation_keys",
+    "char_count",
+    "customers_without_orders",
+    "lineitem_cube",
+    "lineitem_rollup",
+    "part_name_words",
+    "sum_quantity_by_linestatus",
+    "top_customers_by_balance",
+    "word_count",
+    # The ~50-query sample window has ~7 slots left after the full
+    # r1-stale block — start draining the r2-only block (alphabetical
+    # head) so r6's window shrinks.
+    "ann_cosine_topk",
+    "ann_knn_join_bruteforce",
+    "bpe_pair_counts",
+    "clicks_last_purchase_asof",
+    "customer_feature_engineering",
+    "dedup_exact_groups",
+    "doc_fingerprints",
+    # NOTE r6 rotation: with the above green, every remaining catalog
+    # query is r2-attested or newer. r6's window should hold the rest of
+    # the r2-only-green block (38 queries after the 7 drained above —
+    # compute the list from CORRECTNESS_r0{1..5} union as r5 did), then
+    # start on r3-only, keeping only r6-changed/new queries ahead.
 )
 
 _REGISTRY: dict[str, "CatalogQuery"] = {}

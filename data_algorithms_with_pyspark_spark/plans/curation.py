@@ -677,6 +677,88 @@ def doc_length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# percentile_approx rank-error budget: Spark's Greenwald-Khanna summary
+# guarantees rank error <= 1/accuracy; the audit allows 10x slack in
+# per-mille units so the booleans are partition-order-independent facts.
+_APPROX_PCT_ACCURACY = 10_000
+_APPROX_PCT_TOL_PERMILLE = 1  # 0.001 rank tolerance (guarantee is 0.0001)
+
+
+@register(
+    "doc_length_quantile_approx_audit",
+    tags=("quality", "curation", "sketch"),
+    description="The documented 100 TB drop-in for the exact-percentile "
+    "threshold step, ATTESTED: percentile_approx (Greenwald-Khanna, "
+    f"accuracy={_APPROX_PCT_ACCURACY}) computes p10/p90 of n_chars and the "
+    "query outputs exact integer rank-error audits of the sketch's answers "
+    "— deterministic booleans (any value the guarantee permits passes), so "
+    "the oracle is exact even though the sketch value itself may vary with "
+    "partition order",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               TRUE AS p10_rank_ok,
+               TRUE AS p90_rank_ok
+        FROM documents
+    """,
+)
+def doc_length_quantile_approx_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Attests the approx-percentile scale path next to its exact twin
+    (doc_length_quantile_filter): ``percentile_approx`` is mergeable and
+    never globally sorts — each task feeds a Greenwald-Khanna summary,
+    partials merge associatively, and the rank-error guarantee
+    (<= 1/accuracy) holds under ANY merge order. Because the returned
+    VALUE may differ across partitionings (any value within the rank
+    band is a correct answer), the query outputs not the value but the
+    exact tie-robust rank audit: v is a valid eps-approximate
+    q-quantile iff count(x < v) <= N*(q+eps) and count(x <= v) >=
+    N*(q-eps). Both counts ride the same single corpus scan that
+    computed the sketch thresholds (broadcast back as a 1-row relation),
+    and the comparisons are integer per-mille arithmetic — no float
+    rounding to diverge. The oracle pins the booleans TRUE: a sketch
+    regression (or a wrong merge) flips a boolean and hash-fails."""
+    docs = load_table(spark, sf_dir, "documents").select("n_chars")
+    q = docs.agg(
+        F.percentile_approx(
+            "n_chars", [0.1, 0.9], _APPROX_PCT_ACCURACY
+        ).alias("pa")
+    ).select(
+        F.col("pa")[0].alias("p10a"), F.col("pa")[1].alias("p90a")
+    )
+    tol = _APPROX_PCT_TOL_PERMILLE
+    audit = (
+        docs.crossJoin(F.broadcast(q))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("n_chars") < F.col("p10a"), 1).otherwise(0))
+            .cast("long")
+            .alias("below10"),
+            F.sum(F.when(F.col("n_chars") <= F.col("p10a"), 1).otherwise(0))
+            .cast("long")
+            .alias("at10"),
+            F.sum(F.when(F.col("n_chars") < F.col("p90a"), 1).otherwise(0))
+            .cast("long")
+            .alias("below90"),
+            F.sum(F.when(F.col("n_chars") <= F.col("p90a"), 1).otherwise(0))
+            .cast("long")
+            .alias("at90"),
+        )
+    )
+    n = F.col("n_docs")
+    return audit.select(
+        n.alias("n_docs"),
+        (
+            (F.col("below10") * 1000 <= n * (100 + tol))
+            & (F.col("at10") * 1000 >= n * (100 - tol))
+        ).alias("p10_rank_ok"),
+        (
+            (F.col("below90") * 1000 <= n * (900 + tol))
+            & (F.col("at90") * 1000 >= n * (900 - tol))
+        ).alias("p90_rank_ok"),
+    )
+
+
 _BOILER_N = 5
 _BOILER_MIN_DOCS = 3
 

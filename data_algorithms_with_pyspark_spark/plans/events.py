@@ -1048,10 +1048,12 @@ _DP_EPSILON = 1.0
 @register(
     "dp_event_type_release",
     tags=("privacy", "events"),
-    description=f"Differential-privacy release shape (Laplace mechanism, "
+    description=f"Differential-privacy release SHAPE (Laplace mechanism, "
     f"epsilon={_DP_EPSILON}, sensitivity-1 counts): noisy per-event-type "
-    "counts with seeded inverse-CDF noise — deterministic for the oracle "
-    "contract; swap the seeded draw for a CSPRNG in production "
+    "counts with PUBLIC-seeded inverse-CDF noise — deterministic for the "
+    "oracle contract, and therefore NOT a real DP guarantee as shipped "
+    "(the noise is exactly reconstructible from the public seed); swap "
+    "the seeded draw for a CSPRNG in production "
     "(operators/quality.py:dp_laplace_counts)",
     oracle=f"""
         WITH c AS (
@@ -1092,7 +1094,7 @@ def dp_event_type_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return dp_laplace_counts(
-        events, ["event_type"], seed=_DP_SEED, epsilon=_DP_EPSILON
+        events, ["event_type"], public_seed=_DP_SEED, epsilon=_DP_EPSILON
     )
 
 

@@ -1753,28 +1753,38 @@ def audio_fingerprint_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFram
             FROM bits GROUP BY media_id, t
         ),
         seqs AS (
-            SELECT media_id, list(fhash ORDER BY t) AS fp_seq
+            SELECT media_id,
+                   string_agg(CAST(fhash AS VARCHAR), '-' ORDER BY t) AS fp_key
             FROM fh GROUP BY media_id
         )
-        SELECT fp_seq,
+        SELECT fp_key,
                CAST(count(*) AS BIGINT) AS n_clips,
                CAST(min(media_id) AS BIGINT) AS canon_id
-        FROM seqs GROUP BY fp_seq
+        FROM seqs GROUP BY fp_key
     """,
 )
 def video_fingerprint_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Completes the multimodal dedup trilogy (image dHash, audio
     envelope, video frame-hash sequence): really-decoded Y4M frames are
     hashed per frame and grouped by the ORDERED hash sequence — copies
-    collide, re-edits do not. One mapInPandas scan + one hash aggregate
-    whose key is a <=6-element long array."""
+    collide, re-edits do not. One mapInPandas scan + one hash aggregate.
+
+    The order-sensitive sequence key is serialized to a ``'-'``-joined
+    string (``fp_key``) before grouping: external result harnesses
+    canonicalize via pandas sort/hash, which cannot handle list-valued
+    cells, and the string keeps the exact dedup semantics (a join of
+    decimal longs with a non-digit separator is injective)."""
     from data_algorithms_with_pyspark_spark.operators.multimodal import (
         video_framehash_fingerprint_batch,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     media = synthetic_y4m_media(docs)
-    return video_framehash_fingerprint_batch(media).groupBy("fp_seq").agg(
+    fp = video_framehash_fingerprint_batch(media).withColumn(
+        "fp_key",
+        F.expr("concat_ws('-', transform(fp_seq, x -> cast(x AS string)))"),
+    )
+    return fp.groupBy("fp_key").agg(
         F.count("*").alias("n_clips"),
         F.min("media_id").alias("canon_id"),
     )

@@ -405,7 +405,7 @@ def customer_segment_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT o_orderstatus,
                count(*) AS n_orders,
-               sum(price_cents) AS total_cents
+               CAST(sum(price_cents) AS BIGINT) AS total_cents
         FROM merged GROUP BY o_orderstatus
     """,
 )

@@ -975,3 +975,123 @@ def lineitem_zorder_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.max("l_suppkey") - F.min("l_suppkey") + 1)
         ).alias("extent_area"),
     )
+
+
+# --- Q21: the last classic TPC-H shape (derived receipt/commit dates) -------
+#
+# The testdata lacks l_receiptdate/l_commitdate (the round-4 VERDICT's one
+# remaining TPC-H gap). Same closure pattern as derived_partsupp: both
+# engines derive the dates deterministically from columns that DO exist —
+# commitdate = shipdate + 30 days, receiptdate = shipdate + a modular
+# polynomial of (orderkey, linenumber, suppkey) in [0, 60] days — so a line
+# is "late" (receipt > commit) iff its offset exceeds 30, identically on
+# both engines, and the query keeps Q21's real date comparison.
+
+_Q21_NATIONS = ("NATION_3", "NATION_8", "NATION_13", "NATION_18", "NATION_23")
+
+
+@register(
+    "q21_waiting_suppliers",
+    tags=("relational", "join", "exists", "anti-join", "tpch"),
+    description="TPC-H Q21 shape over derived receipt/commit dates: "
+    "suppliers in a nation group who were the SOLE late supplier on a "
+    "multi-supplier finalized order (exists + not-exists decorrelated as "
+    "one per-order distinct-count aggregate joined back)",
+    oracle=f"""
+        WITH li AS (
+            SELECT l_orderkey, l_suppkey,
+                   CAST(l_shipdate AS DATE) + 30 AS l_commitdate,
+                   CAST(l_shipdate AS DATE)
+                       + CAST((l_orderkey * 31 + l_linenumber * 7
+                               + l_suppkey * 13) % 61 AS INTEGER)
+                       AS l_receiptdate
+            FROM lineitem
+        ),
+        late AS (
+            SELECT * FROM li WHERE l_receiptdate > l_commitdate
+        )
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM late l1
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+                     AND o.o_orderstatus = 'F'
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN {_Q21_NATIONS!r}
+          AND EXISTS (SELECT 1 FROM li l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 (suppliers who kept orders waiting), decorrelated the way the
+    classic optimizers rewrite it: instead of re-scanning lineitem for the
+    EXISTS (another supplier on the order) and NOT EXISTS (no OTHER late
+    supplier), ONE per-order aggregate computes n_supp = countDistinct
+    (supplier) and n_late_supp = countDistinct(late supplier); a late line
+    qualifies iff n_supp >= 2 and n_late_supp == 1 (the sole late supplier
+    is then necessarily its own). One fact scan + one orderkey-partitioned
+    aggregate + one orderkey join-back replace two extra fact joins —
+    the shuffles share the o_orderkey key, and at 100 TB the per-order
+    relation is ~|orders| rows of three ints. orders prunes to status 'F'
+    before its join; supplier⨝nation (filtered to the nation group —
+    testdata nations are uniform, so a 5-nation group keeps the filter
+    selective but non-empty at every SF) broadcasts. The derived dates
+    make the real receipt>commit comparison engine-exact: offsets are
+    integer-modular, and DATE + k days is exact calendar arithmetic in
+    both engines. LIMIT rides a total order (numwait DESC, unique s_name).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    ship_date = F.col("l_shipdate").cast("date")
+    recv_off = (
+        (
+            F.col("l_orderkey") * 31
+            + F.col("l_linenumber").cast("long") * 7
+            + F.col("l_suppkey") * 13
+        )
+        % 61
+    ).cast("int")
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.date_add(ship_date, 30).alias("l_commitdate"),
+        F.date_add(ship_date, recv_off).alias("l_receiptdate"),
+    )
+    is_late = F.col("l_receiptdate") > F.col("l_commitdate")
+
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(is_late, F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    nat_sup = supplier.join(
+        F.broadcast(nation.where(F.col("n_name").isin(*_Q21_NATIONS))),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", "s_name")
+
+    cand = (
+        li.where(is_late)
+        .join(
+            orders.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        cand.join(F.broadcast(nat_sup), cand.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

@@ -109,6 +109,34 @@ class _Pb2ShimLoader(importlib.abc.MetaPathFinder, importlib.abc.Loader):
         src = src.replace("from google.protobuf", "from cloudsdk.google.protobuf")
         code = compile(src, src_path + " (pbshim)", "exec")
         exec(code, module.__dict__)
+        self._self_test(module)
+
+    @staticmethod
+    def _self_test(module) -> None:
+        """Round-trip one StateMessage at install time so a future Spark
+        upgrade whose generated descriptor is incompatible with the 4.23
+        gcloud runtime fails LOUDLY here, not as corrupted state traffic
+        mid-test (the stripped gencode/runtime version check existed to
+        catch exactly that class)."""
+        try:
+            req = module.StateRequest(version=42)
+            wire = req.SerializeToString()
+            back = module.StateRequest()
+            back.ParseFromString(wire)
+            ok = back.version == 42
+        except Exception as exc:  # noqa: BLE001 — diagnose, then raise
+            raise ImportError(
+                "pbshim self-test: StateMessage round-trip raised on the "
+                "gcloud protobuf runtime — the generated module is no "
+                f"longer runtime-compatible; do not strip the version "
+                f"check blindly ({exc!r})"
+            ) from exc
+        if not ok:
+            raise ImportError(
+                "pbshim self-test: StateMessage round-trip corrupted a "
+                "field value on the gcloud protobuf runtime — generated "
+                "module / runtime incompatibility"
+            )
 
 
 def install() -> None:

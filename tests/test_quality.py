@@ -141,18 +141,18 @@ def test_dp_laplace_counts_mechanism(spark):
     df = spark.createDataFrame(rows, ["g"])
     got = {
         r["g"]: r["noisy_count_micro"]
-        for r in dp_laplace_counts(df, ["g"], seed="s1").collect()
+        for r in dp_laplace_counts(df, ["g"], public_seed="s1").collect()
     }
     # deterministic given the seed
     again = {
         r["g"]: r["noisy_count_micro"]
-        for r in dp_laplace_counts(df, ["g"], seed="s1").collect()
+        for r in dp_laplace_counts(df, ["g"], public_seed="s1").collect()
     }
     assert got == again
     # a different seed moves the noise
     other = {
         r["g"]: r["noisy_count_micro"]
-        for r in dp_laplace_counts(df, ["g"], seed="s2").collect()
+        for r in dp_laplace_counts(df, ["g"], public_seed="s2").collect()
     }
     assert got != other
     # noise is Laplace(b=1) at eps=1: |noisy - true| under ~20 w.h.p.
@@ -162,7 +162,7 @@ def test_dp_laplace_counts_mechanism(spark):
     # applied (b multiplies the magnitude): check a known relationship
     loose = {
         r["g"]: r["noisy_count_micro"]
-        for r in dp_laplace_counts(df, ["g"], seed="s1", epsilon=0.1).collect()
+        for r in dp_laplace_counts(df, ["g"], public_seed="s1", epsilon=0.1).collect()
     }
     for g in ("a", "b"):
         n_true = 100 if g == "a" else 50
@@ -181,9 +181,9 @@ def test_dp_laplace_counts_guards(spark):
 
     df = spark.createDataFrame([("a",)], ["g"])
     with _pytest.raises(ValueError):
-        dp_laplace_counts(df, ["g"], seed="s", epsilon=0.0)
+        dp_laplace_counts(df, ["g"], public_seed="s", epsilon=0.0)
     with _pytest.raises(ValueError):
-        dp_laplace_counts(df, [], seed="s")
+        dp_laplace_counts(df, [], public_seed="s")
 
 
 def test_column_profile_known_answer(spark):
