@@ -77,6 +77,7 @@ _SAMPLE_PRIORITY = (
     # New in r5.
     "q21_waiting_suppliers",
     "doc_length_quantile_approx_audit",
+    "corpus_train_ready_pipeline",
     # Never driver-sampled (rows-only HLL built-in; its exact twin
     # exact_distinct_users and full-value-oracle portable twin
     # portable_hll_distinct_users are both already driver-green).

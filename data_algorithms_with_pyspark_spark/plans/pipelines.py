@@ -1134,3 +1134,159 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return column_profile(orders, list(_PROFILE_COLS))
+
+
+# --- the end-to-end train-ready composite: curate -> dedup -> split -> pack --
+#
+# The strongest single demonstration the engine is a coherent tool, not a
+# query zoo: every stage above exists as its own attested query
+# (corpus_curation_pipeline, documents_leakage_safe_split,
+# training_shard_packing); this chains them into the manifest a training
+# job actually consumes, in the minimal number of shuffles.
+
+_E2E_TEST_NUM = 1  # test split rate = 1/5, keyed on the content hash
+_E2E_TEST_DEN = 5
+
+
+@register(
+    "corpus_train_ready_pipeline",
+    bench=True,
+    tags=("pipeline", "llm-pipeline", "text", "dedup", "packing"),
+    description=f"END-TO-END corpus preparation: language/quality curation "
+    f"-> exact content-hash dedup (window top-1) -> leakage-safe "
+    f"{_E2E_TEST_NUM}/{_E2E_TEST_DEN} train/test split keyed on the content "
+    f"hash -> {_PACK_BUDGET}-token greedy shard packing per (split, source, "
+    f"bucket) -> the shard manifest a training job consumes; three shuffles "
+    "total at any scale",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, source, text, {_lang_scores_sql()}
+            FROM documents
+        ),
+        featured AS (
+            SELECT doc_id, source,
+                   {_pred_lang_case_sql()} AS pred_lang,
+                   floor(({_quality_score_sql()}) * 10000 + 0.5) / 10000
+                       AS quality_score,
+                   CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+                   md5({_NORMALIZED}) AS content_hash
+            FROM scored
+        ),
+        deduped AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY content_hash ORDER BY doc_id
+                ) AS rn FROM featured
+            ) WHERE rn = 1
+        ),
+        kept AS (
+            SELECT doc_id, source, n_tokens, content_hash
+            FROM deduped
+            WHERE pred_lang = '{_CURATION_LANG}'
+              AND quality_score >= {_QUALITY_THRESHOLD}
+        ),
+        tagged AS (
+            SELECT doc_id, source, n_tokens,
+                   CASE WHEN ('0x' || substring(content_hash, 1, 6))::BIGINT
+                             * {_E2E_TEST_DEN} < {16**6} * {_E2E_TEST_NUM}
+                        THEN 'test' ELSE 'train' END AS split,
+                   doc_id % {_PACK_BUCKETS} AS pack_bucket
+            FROM kept
+        ),
+        packed AS (
+            SELECT *,
+                   CAST(floor((sum(n_tokens) OVER (
+                            PARTITION BY split, source, pack_bucket
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS shard_id
+            FROM tagged
+        )
+        SELECT split, source, pack_bucket, shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM packed
+        GROUP BY split, source, pack_bucket, shard_id
+    """,
+)
+def corpus_train_ready_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curate -> dedup -> split -> pack in one lazy plan, three shuffles:
+
+    1. ONE projection pass computes every per-doc feature (language vote,
+       quality score, token count, content hash) — the CPU hot spot stays
+       map-side and is evaluated once.
+    2. Exact dedup is a top-1-per-content-hash window (row_number -> the
+       WindowGroupLimit rewrite prunes to one row per hash BEFORE the
+       exchange moves anything) — shuffle #1, keyed on the hash. The
+       window form is used instead of corpus_curation_pipeline's
+       measured-faster struct-min aggregate because this plan needs the
+       surviving row's content_hash downstream for the split key, and the
+       window keeps the lint allowlist frozen.
+    3. The train/test split keys on the CONTENT HASH (the
+       documents_leakage_safe_split rule) — after dedup each hash is
+       unique, so the split is leakage-free by construction, and the
+       all-integer rational-rate draw replays exactly in the oracle.
+    4. Packing is ONE window shuffle on (split, source, pack_bucket)
+       (shuffle #2): the exclusive prefix sum of token counts floor-divided
+       by the budget assigns shard ids greedily; the manifest roll-up
+       groups by a SUPERSET of the window's partition keys, so Catalyst
+       reuses the partitioning — no third exchange for the aggregate.
+
+    At 100 TB: parallelism of the pack stage is splits x sources x
+    buckets — raise _PACK_BUCKETS to spread; the dedup window's key is
+    the full md5 hash (uniform, no skew); nothing here collects, crosses,
+    or re-scans the corpus."""
+    from pyspark.sql.window import Window
+
+    from data_algorithms_with_pyspark_spark.operators.packing import (
+        pack_by_token_budget,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    featured = spread_partitions(
+        docs.select("doc_id", "source", "text")
+    ).select(
+        "doc_id",
+        "source",
+        pred_lang_expr("text").alias("pred_lang"),
+        quality_score_expr("text").alias("quality_score"),
+        F.size(words("text")).cast("long").alias("n_tokens"),
+        F.md5(normalize_text("text")).alias("content_hash"),
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    deduped = (
+        featured.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    kept = deduped.where(
+        (F.col("pred_lang") == _CURATION_LANG)
+        & (F.col("quality_score") >= _QUALITY_THRESHOLD)
+    ).select("doc_id", "source", "n_tokens", "content_hash")
+    u = F.conv(F.substring("content_hash", 1, 6), 16, 10).cast("long")
+    tagged = kept.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.when(
+            u * F.lit(_E2E_TEST_DEN) < F.lit(16**6 * _E2E_TEST_NUM), "test"
+        )
+        .otherwise("train")
+        .alias("split"),
+        (F.col("doc_id") % _PACK_BUCKETS).alias("pack_bucket"),
+    )
+    packed = pack_by_token_budget(
+        tagged,
+        token_col="n_tokens",
+        budget=_PACK_BUDGET,
+        partition_cols=["split", "source", "pack_bucket"],
+        order_col="doc_id",
+    )
+    return packed.groupBy("split", "source", "pack_bucket", "shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
