@@ -55,14 +55,27 @@ def main() -> None:
     # cache artifact.
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+
+    def timed_pass(name: str, q) -> None:
+        start = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        rows[name] = df.count()
+        elapsed = round(time.perf_counter() - start, 3)
+        timings[name] = min(timings.get(name, elapsed), elapsed)
+        spark.catalog.clearCache()
+
     for _pass in range(2):
         for name, q in headline.items():
-            start = time.perf_counter()
-            df = q.fn(spark, sf_dir)
-            rows[name] = df.count()
-            elapsed = round(time.perf_counter() - start, 3)
-            timings[name] = min(timings.get(name, elapsed), elapsed)
-            spark.catalog.clearCache()
+            timed_pass(name, q)
+    # Sub-second queries get a THIRD pass: their timings are dominated by
+    # scheduler jitter (round 4 vs 3 showed unchanged-code sub-second
+    # queries drifting up to 1.42x while multi-second queries stayed
+    # within a few percent), and min-of-3 tightens the floor where the
+    # noise-to-signal ratio is worst for ~a second of extra bench time
+    # per query.
+    for name, q in headline.items():
+        if timings[name] < 1.0:
+            timed_pass(name, q)
     for name in headline:
         print(
             f"# {name}: {timings[name]:.3f}s ({rows[name]} rows)",

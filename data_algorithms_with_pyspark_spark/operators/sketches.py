@@ -22,6 +22,8 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "kmv_distinct",
+    "misra_gries_candidates",
+    "certified_heavy_hitters",
     "bloom_positions",
     "bloom_build",
     "bloom_probe",
@@ -243,4 +245,85 @@ def hll_distinct(
         (F.floor(est * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)).alias(
             "hll_estimate"
         ),
+    )
+
+
+def misra_gries_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries frequent-items summaries, unioned into a
+    candidate-key relation — pass 1 of the two-pass certified heavy
+    hitters (`certified_heavy_hitters`).
+
+    Misra-Gries with ``k`` counters guarantees: any key ABSENT from a
+    partition's summary has true in-partition count <= n_p/(k+1) (each
+    decrement event removes >= k+1 units of total mass). Summing over
+    partitions: a key absent from EVERY summary has global count
+    <= N/(k+1) — so the union of summaries contains every key with
+    global count > N/(k+1), under ANY partitioning. That superset
+    property is what pass 2 certifies against exact counts.
+
+    Memory is k counters per partition, period — the reason this scales
+    to a 100 TB key stream where an exact groupBy would shuffle the full
+    key universe. The summary is built per PARTITION (the mapInPandas
+    callable folds its whole batch iterator into one dict), each Arrow
+    batch pre-reduced vectorized (value_counts) so the Python-level work
+    is O(distinct-per-batch), not O(rows). Weighted updates (add the
+    batch count in one step) keep the same guarantee.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for key, cnt in pdf[key_col].value_counts().items():
+                if key in counters:
+                    counters[key] += int(cnt)
+                elif len(counters) < k:
+                    counters[key] = int(cnt)
+                else:
+                    counters[key] = int(cnt)
+                    m = min(counters.values())
+                    counters = {
+                        kk: cc - m for kk, cc in counters.items() if cc > m
+                    }
+        yield pd.DataFrame({key_col: list(counters.keys())})
+
+    return df.select(key_col).mapInPandas(
+        summarize, schema=f"{key_col} string"
+    )
+
+
+def certified_heavy_hitters(
+    df: DataFrame, key_col: str, k: int
+) -> DataFrame:
+    """All keys whose frequency strictly exceeds 1/k of the stream, with
+    EXACT counts — the "top URLs in 100 TB" two-pass pattern:
+
+    1. sketch pass: per-partition Misra-Gries summaries (bounded memory,
+       no shuffle) union into a small candidate relation; the MG
+       guarantee makes it a SUPERSET of every key with count > N/(k+1),
+       hence of every key with count*k > N.
+    2. exact pass: the corpus joins the BROADCAST candidate set and
+       counts only survivors — the aggregate's key space is |candidates|
+       (<= partitions * k), never the full key universe.
+
+    The output is therefore deterministic (exact counts + threshold)
+    even though the intermediate summaries vary with partitioning —
+    which is what lets a differential oracle value-check a
+    sketch-powered plan. Returns ``(key_col, n_occurrences)`` for keys
+    with ``n_occurrences * k > N`` (strict).
+    """
+    cands = misra_gries_candidates(df, key_col, k).distinct()
+    total = df.agg(F.count("*").alias("_n_total"))
+    counts = (
+        df.join(F.broadcast(cands), key_col)
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("n_occurrences") * k > F.col("_n_total"))
+        .select(key_col, "n_occurrences")
     )

@@ -2923,3 +2923,48 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overestimate"
         ),
     )
+
+
+_HH_K = 150  # certify every term above 1/150 of the token stream
+
+
+@register(
+    "term_heavy_hitters",
+    tags=("sketch", "text"),
+    description=f"Certified heavy hitters (Misra-Gries two-pass, k={_HH_K}): "
+    "every term whose frequency strictly exceeds 1/k of the token stream, "
+    "with EXACT counts — pass 1 builds bounded per-partition MG summaries "
+    "(union is a guaranteed candidate superset under any partitioning), "
+    "pass 2 exact-counts ONLY the broadcast candidates; the full vocabulary "
+    "is never shuffled (operators/sketches.py:certified_heavy_hitters)",
+    oracle=f"""
+        WITH t AS (SELECT unnest({_TOKENS}) AS term FROM documents),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t)
+        SELECT term, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM t, tot
+        GROUP BY term, tot.n_total
+        HAVING count(*) * {_HH_K} > tot.n_total
+    """,
+)
+def term_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "top keys in 100 TB" shape done scale-correctly: an exact
+    groupBy would shuffle the whole vocabulary to find a handful of
+    frequent terms; here the Misra-Gries sketch pass (k counters per
+    partition, mapInPandas folding Arrow batches, value_counts-vectorized
+    updates) proposes <= partitions*k candidates, and only those are
+    exactly counted (broadcast join, candidate-keyed partial aggregate).
+    The output is the deterministic exact answer — the MG superset
+    guarantee (absent => count <= N/(k+1) < N/k) makes the sketch's
+    partition-dependence invisible — so the oracle is one exact HAVING
+    clause. Complements the CMS (estimates a GIVEN key's count; this
+    FINDS the keys)."""
+    from data_algorithms_with_pyspark_spark.functions.text_functions import (
+        words,
+    )
+    from data_algorithms_with_pyspark_spark.operators.sketches import (
+        certified_heavy_hitters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(words("text")).alias("term"))
+    return certified_heavy_hitters(tokens, "term", _HH_K)

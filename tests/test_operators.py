@@ -771,3 +771,59 @@ def test_portable_hll_accuracy_and_merge(spark):
         for r in hll_distinct(half1.unionByName(half2), "g", "k").collect()
     }
     assert merged == est
+
+
+def test_certified_heavy_hitters_exact_under_any_partitioning(spark):
+    from collections import Counter
+
+    from data_algorithms_with_pyspark_spark.operators.sketches import (
+        certified_heavy_hitters,
+    )
+
+    # Skewed stream with a key sitting EXACTLY at the threshold (strict >
+    # must exclude it): N = 660, k = 5 -> cutoff 132.
+    stream = (
+        ["alpha"] * 300
+        + ["beta"] * 132          # exactly N/k: excluded by strictness
+        + ["gamma"] * 140         # just above: included
+        + [f"tail{i}" for i in range(88) for _ in [0]]
+    )
+    assert len(stream) == 660
+    truth = Counter(stream)
+    want = {
+        kk: c for kk, c in truth.items() if c * 5 > len(stream)
+    }  # {'alpha': 300, 'gamma': 140}
+
+    df = spark.createDataFrame([(s,) for s in stream], ["term"])
+    # The MG summaries differ per layout; the certified output must not.
+    for parts in (1, 2, 7):
+        got = {
+            r["term"]: r["n_occurrences"]
+            for r in certified_heavy_hitters(
+                df.repartition(parts), "term", 5
+            ).collect()
+        }
+        assert got == want, (parts, got)
+
+
+def test_misra_gries_candidates_superset_guarantee(spark):
+    from data_algorithms_with_pyspark_spark.operators.sketches import (
+        misra_gries_candidates,
+    )
+
+    # Adversarial tail: every heavy key interleaved with mass that forces
+    # constant decrements; k barely above the number of heavies.
+    stream = []
+    for i in range(200):
+        stream += ["hot1", "hot2", f"cold{i}", f"cold{i}x"]
+    df = spark.createDataFrame([(s,) for s in stream], ["term"])
+    for parts in (1, 3, 8):
+        cands = {
+            r["term"]
+            for r in misra_gries_candidates(
+                df.repartition(parts), "term", 4
+            ).collect()
+        }
+        # hot1/hot2 have count 200 = N/4 each (N=800, k=4 -> N/(k+1)=160
+        # < 200): the guarantee says they MUST survive every layout.
+        assert {"hot1", "hot2"} <= cands, (parts, cands)
