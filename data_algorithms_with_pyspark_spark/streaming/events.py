@@ -633,3 +633,98 @@ def stream_continuous_aggregate(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_timer_sessions(
+    events: DataFrame,
+    key_cols: list[str],
+    value_col: str = "value",
+    gap_seconds: int = 30,
+) -> DataFrame:
+    """Idle-timeout sessionization with EXPLICIT STATE TIMERS — the
+    transformWithStateInPandas feature the TTL dedup operator does not
+    exercise: ``handle.registerTimer`` + ``handleExpiredTimer``.
+
+    Each key accumulates an open session in ValueState (event count,
+    exact micro-unit value sum, last-activity processing time); every
+    arrival re-arms a timer ``gap_seconds`` ahead. When a timer fires,
+    the session is emitted ONLY if the key has stayed quiet for the full
+    gap since its last activity — a stale timer superseded by later
+    arrivals no-ops (cheaper than delete-and-re-register on every event:
+    state stores one row either way, and expired timers self-remove).
+    This is the push-based emission pattern ``session_window`` cannot
+    express: the closed-session row materializes from the TIMER path,
+    with no new input required downstream of the trigger, which is how
+    an alerting / abandoned-cart / sequence-flush operator behaves at
+    100 TB (state per key is O(1); timers are per-key, not per-event).
+
+    Value sums ride integer micro-units (floor(v*1e6+0.5), the repo
+    grid) so emitted totals are batch-order-independent. Output:
+    ``(*key_cols, n_events, value_sum_micro)``, append mode. Requires
+    the RocksDB state store and ``timeMode="processingTime"`` — drain
+    with ``drain_to_memory_sink`` (sink polling; see its docstring).
+    batch/stream parity: the same accumulation as a batch
+    ``groupBy(key).agg(count, sum)`` once every session has closed,
+    asserted in tests/test_streaming.py.
+    """
+    import pandas as pd  # worker-side
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in events.select(*key_cols).schema.fields
+    )
+    out_schema = f"{key_schema}, n_events long, value_sum_micro long"
+    gap_ms = gap_seconds * 1000
+
+    class _Sessions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._sess = handle.getValueState(
+                "sess", "n bigint, vsum bigint, last_ms bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
+            n = 0
+            vsum = 0
+            for pdf in rows:
+                n += len(pdf)
+                vsum += int(
+                    np.floor(
+                        pdf[value_col].to_numpy(dtype="float64") * 1e6 + 0.5
+                    ).sum()
+                )
+            now = timerValues.getCurrentProcessingTimeInMs()
+            if self._sess.exists():
+                n0, v0, _ = self._sess.get()
+                n, vsum = n0 + n, v0 + vsum
+            self._sess.update((n, vsum, now))
+            self._h.registerTimer(now + gap_ms)
+            return iter([])
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._sess.exists():
+                return iter([])  # already flushed by an earlier timer
+            n, vsum, last_ms = self._sess.get()
+            if expiredTimerInfo.getExpiryTimeInMs() < last_ms + gap_ms:
+                return iter([])  # superseded: the key was active again
+            self._sess.clear()
+            row = dict(zip(key_cols, key))
+            row["n_events"] = n
+            row["value_sum_micro"] = vsum
+            return iter([pd.DataFrame([row])])
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(*key_cols).transformWithStateInPandas(
+        _Sessions(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="processingTime",
+    )

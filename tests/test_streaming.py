@@ -559,3 +559,91 @@ def test_stream_continuous_aggregate_matches_batch(spark, events_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_timer_sessions_plan_construction(spark):
+    from data_algorithms_with_pyspark_spark.streaming.events import (
+        streaming_timer_sessions,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value % 3 AS user_id", "CAST(value AS DOUBLE) AS value")
+    )
+    out = streaming_timer_sessions(stream, ["user_id"], gap_seconds=5)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id",
+        "n_events",
+        "value_sum_micro",
+    ]
+
+
+def test_streaming_timer_sessions_emit_on_idle_timeout(spark, tmp_path):
+    """transformWithState TIMERS e2e: sessions accumulate across
+    micro-batches and are emitted from the handleExpiredTimer path once
+    the key stays quiet for the gap — no further input rows for that key
+    exist when the session row materializes. Emitted totals must equal
+    the batch groupBy over the same rows (stream/batch parity after all
+    sessions close)."""
+    from tests.pbshim import sitecustomize as pbshim
+
+    if not pbshim.available():
+        pytest.skip(
+            "transformWithState needs a protobuf runtime: neither "
+            "google.protobuf nor the gcloud pure-Python runtime "
+            "(tests/pbshim/sitecustomize.py) is present"
+        )
+    from pyspark.sql import Row
+
+    from data_algorithms_with_pyspark_spark.streaming.events import (
+        drain_to_memory_sink,
+        streaming_timer_sessions,
+    )
+
+    src = tmp_path / "sess_src"
+    b1 = spark.createDataFrame(
+        [Row(user_id=1, value=1.5), Row(user_id=1, value=2.25),
+         Row(user_id=2, value=10.0)]
+    )
+    b2 = spark.createDataFrame(
+        [Row(user_id=1, value=0.25)]
+    )
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema("user_id bigint, value double")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        out = streaming_timer_sessions(stream, ["user_id"], gap_seconds=2)
+        # both keys' sessions close after 2 quiet seconds; the state-
+        # cleanup batch loop under processingTime keeps firing timers,
+        # so polling for 2 rows drains both emissions
+        drain_to_memory_sink(
+            out, "timer_sessions_out", output_mode="append", min_rows=2,
+            timeout_sec=180.0,
+        )
+        rows = {
+            r.user_id: (r.n_events, r.value_sum_micro)
+            for r in spark.sql("SELECT * FROM timer_sessions_out").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    # batch parity: user 1 saw 3 rows / 4.0 total across two batches,
+    # user 2 saw 1 row / 10.0 — exactly one closed session each
+    assert rows == {1: (3, 4_000_000), 2: (1, 10_000_000)}
