@@ -31,7 +31,14 @@ def main() -> None:
     from data_algorithms_with_pyspark_spark.plans.catalog import all_queries
     from data_algorithms_with_pyspark_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
+    # The default 1g single-JVM heap is tight for 32 executor threads +
+    # the headline set's persisted relations: GC pressure showed up as a
+    # ~1.3x in-bench-only slowdown of the minhash family (solo re-times
+    # were 1.07x of round 4). A real cluster sizes executor memory; this
+    # sizes the one local JVM.
+    spark = get_spark(
+        app_name="bench", extra_conf={"spark.driver.memory": "8g"}
+    )
 
     catalog = all_queries()
     headline = {name: q for name, q in catalog.items() if q.bench}
@@ -67,14 +74,14 @@ def main() -> None:
     for _pass in range(2):
         for name, q in headline.items():
             timed_pass(name, q)
-    # Sub-second queries get a THIRD pass: their timings are dominated by
+    # Queries under 2s get a THIRD pass: their timings are dominated by
     # scheduler jitter (round 4 vs 3 showed unchanged-code sub-second
-    # queries drifting up to 1.42x while multi-second queries stayed
-    # within a few percent), and min-of-3 tightens the floor where the
-    # noise-to-signal ratio is worst for ~a second of extra bench time
-    # per query.
+    # queries drifting up to 1.42x, and round 5's min-of-2 still showed
+    # 1.3-1.5x swings on 1-2s queries that re-timed solo at 1.07x), and
+    # min-of-3 tightens the floor where the noise-to-signal ratio is
+    # worst for a bounded amount of extra bench time.
     for name, q in headline.items():
-        if timings[name] < 1.0:
+        if timings[name] < 2.0:
             timed_pass(name, q)
     for name in headline:
         print(
