@@ -79,6 +79,7 @@ _SAMPLE_PRIORITY = (
     "doc_length_quantile_approx_audit",
     "corpus_train_ready_pipeline",
     "term_heavy_hitters",
+    "part_name_typo_pairs",
     # Never driver-sampled (rows-only HLL built-in; its exact twin
     # exact_distinct_users and full-value-oracle portable twin
     # portable_hll_distinct_users are both already driver-green).

@@ -2968,3 +2968,39 @@ def term_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tokens = docs.select(F.explode(words("text")).alias("term"))
     return certified_heavy_hitters(tokens, "term", _HH_K)
+
+
+@register(
+    "part_name_typo_pairs",
+    tags=("join", "fuzzy", "dedup"),
+    description="Edit-distance-1 typo join over the distinct part-name "
+    "vocabulary via SymSpell deletion neighborhoods: explode len+1 "
+    "one-char-deletion variants, equi-join on the variant (COMPLETE for "
+    "d=1 by the pigeonhole argument), exact levenshtein verify on "
+    "candidates only — no cross join anywhere "
+    "(operators/fuzzy.py:edit_distance_one_pairs); the oracle IS the "
+    "brute-force cross join, proving candidate completeness",
+    oracle="""
+        WITH n AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b
+        FROM n a JOIN n b ON a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 1
+    """,
+)
+def part_name_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-edit-distance companion to the trigram-Jaccard fuzzy
+    join (part_name_similarity_join): Jaccard catches token-level
+    rewording, ed<=1 catches TYPOS — the dedup rule record-linkage
+    actually ships. Scale shape: everything downstream of the distinct()
+    runs on the vocabulary (names, then len+1 deletion variants per
+    name); the variant equi-join's key space is ~total characters, and
+    the exact levenshtein runs only on proposed candidates. The DuckDB
+    oracle brute-forces the quadratic truth at test SFs, so a missing
+    candidate (a completeness bug in the neighborhood scheme) is a
+    row-count mismatch, not a silent recall loss."""
+    from data_algorithms_with_pyspark_spark.operators.fuzzy import (
+        edit_distance_one_pairs,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    return edit_distance_one_pairs(part, "p_name")

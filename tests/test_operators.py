@@ -827,3 +827,41 @@ def test_misra_gries_candidates_superset_guarantee(spark):
         # hot1/hot2 have count 200 = N/4 each (N=800, k=4 -> N/(k+1)=160
         # < 200): the guarantee says they MUST survive every layout.
         assert {"hot1", "hot2"} <= cands, (parts, cands)
+
+
+def test_edit_distance_one_pairs_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from data_algorithms_with_pyspark_spark.operators.fuzzy import (
+        edit_distance_one_pairs,
+    )
+
+    def ed(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(5)
+    # small alphabet + short strings -> dense ed<=1 neighborhoods,
+    # including duplicates, repeated chars, and the ''/'x' boundary
+    vocab = {""} | {
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 4)))
+        for _ in range(60)
+    }
+    df = spark.createDataFrame([(w,) for w in vocab], ["w"])
+    got = {
+        (r.name_a, r.name_b)
+        for r in edit_distance_one_pairs(df.repartition(5), "w").collect()
+    }
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(vocab), 2)
+        if ed(a, b) <= 1
+    }
+    assert got == want
