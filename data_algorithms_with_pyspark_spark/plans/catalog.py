@@ -80,6 +80,7 @@ _SAMPLE_PRIORITY = (
     "corpus_train_ready_pipeline",
     "term_heavy_hitters",
     "part_name_typo_pairs",
+    "sql_recursive_referral_chain",
     # Never driver-sampled (rows-only HLL built-in; its exact twin
     # exact_distinct_users and full-value-oracle portable twin
     # portable_hll_distinct_users are both already driver-green).

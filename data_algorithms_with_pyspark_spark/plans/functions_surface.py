@@ -192,3 +192,52 @@ def brand_type_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(F.col("m"))).alias("n_types"),
         F.explode("m").alias("p_type", "n"),
     ).select("p_brand", "p_type", "n", "n_types")
+
+
+_CHAIN_SEEDS = 5
+_CHAIN_MAX_DEPTH = 12
+
+# ONE SQL text for both engines: the Spark side runs this string verbatim
+# over a temp view, the DuckDB oracle runs it over its registered view —
+# cross-engine agreement of the recursive-CTE semantics is tested on the
+# identical query text, not a re-expression.
+_CHAIN_SQL = f"""
+        WITH RECURSIVE walk(seed, node, depth) AS (
+            SELECT c_custkey, c_custkey, CAST(0 AS BIGINT)
+            FROM customer WHERE c_custkey < {_CHAIN_SEEDS}
+            UNION ALL
+            SELECT w.seed, (w.node * 7 + 3) % (SELECT count(*) FROM customer),
+                   w.depth + 1
+            FROM walk w WHERE w.depth < {_CHAIN_MAX_DEPTH}
+        )
+        SELECT seed, CAST(count(DISTINCT node) AS BIGINT) AS n_distinct_nodes,
+               max(depth) AS max_depth
+        FROM walk GROUP BY seed
+"""
+
+
+@register(
+    "sql_recursive_referral_chain",
+    tags=("sql", "recursive-cte", "iterative"),
+    description=f"Spark 4 WITH RECURSIVE surface: walk the deterministic "
+    f"referral successor function cust -> (cust*7+3) mod |customers| from "
+    f"{_CHAIN_SEEDS} seeds for up to {_CHAIN_MAX_DEPTH} hops and report "
+    "distinct nodes visited + walk length per seed — the declarative SQL "
+    "twin of the operators/iterative.py driver-loop algorithms; the oracle "
+    "is the IDENTICAL query text run by DuckDB",
+    oracle=_CHAIN_SQL,
+)
+def sql_recursive_referral_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE as shipped in Spark 4 (UNION ALL form — Spark rejects
+    recursive UNION DISTINCT, so bounded recursion needs either a depth
+    guard or an out-degree-1 step; this walk has both). The successor is a
+    pure modular function of the previous node, so each recursion step is
+    a narrow projection of the prior iteration's frontier — Spark executes
+    the same loop operators/iterative.py drives by hand, but declared in
+    SQL, and the DuckDB oracle runs the IDENTICAL text (_CHAIN_SQL).
+    Frontier size is |seeds| rows at every depth: UNION ALL recursion
+    cannot blow up on a functional graph, cycles are cut by the depth
+    bound, and the rho-shaped revisits collapse in the count(DISTINCT)
+    roll-up. The per-seed output is |seeds| rows at any scale."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_CHAIN_SQL)
