@@ -64,9 +64,10 @@ _SAMPLE_PRIORITY = (
     # come first; then the stalest re-attestation block (r1-only-green);
     # r2-only-green queries are r6's block. After r4 the union of driver
     # attestation was 178/181 with the whole r1 tail 3 rounds stale —
-    # this window holds exactly the 3 never-attested + all 39 r1-only
-    # queries, so a clean round makes the union 181/181 and nothing in
-    # the catalog is more than 3 rounds stale.
+    # this window holds the 6 new r5 queries, the 2 fixed reds, the 1
+    # never-sampled rows-only query, and ALL 39 r1-only queries (48
+    # entries before the r2-drain tail), so a clean round brings the
+    # union to 187/187 minus whatever the ~50 cut drops from the tail.
     #
     # Slots 1-2: the round-4 driver reds, fixed this round (oracle
     # CAST for orders_cdc_replay; fp_seq serialized to a string key for
