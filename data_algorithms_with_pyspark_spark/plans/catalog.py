@@ -82,6 +82,7 @@ _SAMPLE_PRIORITY = (
     "term_heavy_hitters",
     "part_name_typo_pairs",
     "sql_recursive_referral_chain",
+    "session_funnel_report_pipeline",
     # Never driver-sampled (rows-only HLL built-in; its exact twin
     # exact_distinct_users and full-value-oracle portable twin
     # portable_hll_distinct_users are both already driver-green).

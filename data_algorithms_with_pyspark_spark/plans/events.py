@@ -1180,3 +1180,126 @@ def events_value_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("robust_z") >= F.lit(_ROBUST_K))
     )
+
+
+_FUNNEL_GAP_MIN = 30
+
+
+@register(
+    "session_funnel_report_pipeline",
+    bench=True,
+    tags=("pipeline", "events", "window", "funnel"),
+    description=f"END-TO-END behavioral composite (the events-side twin of "
+    f"corpus_train_ready_pipeline): {_FUNNEL_GAP_MIN}-min gap sessionization "
+    "-> per-session ordered view<click<purchase funnel classification + "
+    "integer-cent purchase totals -> per-stage report; ONE user-keyed "
+    "window shuffle feeds everything (the session aggregate groups on a "
+    "superset of the window key, the stage report is a 4-row final)",
+    oracle=f"""
+        WITH marked AS (
+            SELECT user_id, ts, event_type, value, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w)
+                                > {_FUNNEL_GAP_MIN * 60}
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT *, sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+            FROM marked
+        ),
+        per_sess AS (
+            SELECT user_id, session_id,
+                   count(*) AS n,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS t_purchase,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS p_cents
+            FROM sess GROUP BY user_id, session_id
+        ),
+        staged AS (
+            SELECT *,
+                   CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                             AND t_purchase IS NOT NULL
+                             AND t_view < t_click AND t_click < t_purchase
+                        THEN 'purchased'
+                        WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                             AND t_view < t_click
+                        THEN 'clicked'
+                        WHEN t_view IS NOT NULL THEN 'viewed'
+                        ELSE 'other' END AS funnel_stage
+            FROM per_sess
+        )
+        SELECT funnel_stage,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(sum(p_cents) AS BIGINT) AS purchase_cents
+        FROM staged GROUP BY funnel_stage
+    """,
+)
+def session_funnel_report_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize -> classify -> report in one lazy plan, ONE data-sized
+    shuffle: the gap sessionization's per-user window (lag + running sum,
+    operators/windows.py:sessionize) partitions on user_id; the
+    per-session aggregate groups on (user_id, session_id) — a superset of
+    the window key, so Catalyst reuses the partitioning — and the stage
+    report is a |stages|-row final over pre-combined partials. The funnel
+    rule is session-scoped and ORDERED (earliest view strictly before
+    earliest click strictly before earliest purchase — a click-first
+    session is not 'clicked'), the classification a conversion report
+    actually wants; purchase revenue rides exact integer cents. At 100 TB
+    user_id is the natural high-cardinality partition key and no stage
+    widens beyond the per-session relation."""
+    from data_algorithms_with_pyspark_spark.operators.windows import (
+        sessionize,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    sess = sessionize(events, gap_minutes=_FUNNEL_GAP_MIN)
+    t_of = lambda et: F.min(  # noqa: E731 — tiny local expression builder
+        F.when(F.col("event_type") == et, F.col("ts"))
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n"),
+        t_of("view").alias("t_view"),
+        t_of("click").alias("t_click"),
+        t_of("purchase").alias("t_purchase"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("p_cents"),
+    )
+    ordered_all = (
+        F.col("t_view").isNotNull()
+        & F.col("t_click").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_view") < F.col("t_click"))
+        & (F.col("t_click") < F.col("t_purchase"))
+    )
+    ordered_click = (
+        F.col("t_view").isNotNull()
+        & F.col("t_click").isNotNull()
+        & (F.col("t_view") < F.col("t_click"))
+    )
+    staged = per_sess.withColumn(
+        "funnel_stage",
+        F.when(ordered_all, "purchased")
+        .when(ordered_click, "clicked")
+        .when(F.col("t_view").isNotNull(), "viewed")
+        .otherwise("other"),
+    )
+    return staged.groupBy("funnel_stage").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("p_cents").cast("long").alias("purchase_cents"),
+    )
