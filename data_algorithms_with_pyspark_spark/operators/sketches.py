@@ -24,6 +24,8 @@ __all__ = [
     "kmv_distinct",
     "misra_gries_candidates",
     "certified_heavy_hitters",
+    "misra_gries_candidates_grouped",
+    "certified_heavy_hitters_grouped",
     "bloom_positions",
     "bloom_build",
     "bloom_probe",
@@ -326,4 +328,69 @@ def certified_heavy_hitters(
         counts.crossJoin(F.broadcast(total))
         .where(F.col("n_occurrences") * k > F.col("_n_total"))
         .select(key_col, "n_occurrences")
+    )
+
+
+def misra_gries_candidates_grouped(
+    df: DataFrame, group_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Per-(partition, group) Misra-Gries summaries -> the union
+    (group, key) candidate relation — the grouped form of
+    ``misra_gries_candidates`` with the same guarantee applied within
+    each group: a key absent from every partition's summary FOR THAT
+    GROUP has group-local count <= N(group)/(k+1). Memory is k counters
+    per (partition, group-seen-in-partition)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    import pandas as pd
+
+    def summarize(batches):
+        state: dict[str, dict[str, int]] = {}
+        for pdf in batches:
+            sizes = pdf.groupby([group_col, key_col], sort=False).size()
+            for (g, key), cnt in sizes.items():
+                counters = state.setdefault(g, {})
+                if key in counters:
+                    counters[key] += int(cnt)
+                elif len(counters) < k:
+                    counters[key] = int(cnt)
+                else:
+                    counters[key] = int(cnt)
+                    m = min(counters.values())
+                    state[g] = {
+                        kk: cc - m for kk, cc in counters.items() if cc > m
+                    }
+        rows = [
+            (g, kk) for g, counters in state.items() for kk in counters
+        ]
+        yield pd.DataFrame(rows, columns=[group_col, key_col])
+
+    return df.select(group_col, key_col).mapInPandas(
+        summarize, schema=f"{group_col} string, {key_col} string"
+    )
+
+
+def certified_heavy_hitters_grouped(
+    df: DataFrame, group_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Per-group certified heavy hitters: all (group, key) whose
+    frequency strictly exceeds 1/k of THAT GROUP's stream, with exact
+    counts — ``certified_heavy_hitters`` with per-group thresholds
+    ("top terms per language/domain"). Pass 2's aggregate keys on
+    (group, candidate) — candidates only, never the full per-group key
+    universe; group totals are a |groups|-row broadcast. Output:
+    ``(group_col, key_col, n_occurrences)``, deterministic under any
+    partitioning by the same superset-guarantee argument."""
+    cands = misra_gries_candidates_grouped(df, group_col, key_col, k).distinct()
+    totals = df.groupBy(group_col).agg(F.count("*").alias("_n_total"))
+    counts = (
+        df.join(F.broadcast(cands), [group_col, key_col])
+        .groupBy(group_col, key_col)
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    return (
+        counts.join(F.broadcast(totals), group_col)
+        .where(F.col("n_occurrences") * k > F.col("_n_total"))
+        .select(group_col, key_col, "n_occurrences")
     )

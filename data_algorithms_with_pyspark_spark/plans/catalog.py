@@ -83,6 +83,7 @@ _SAMPLE_PRIORITY = (
     "part_name_typo_pairs",
     "sql_recursive_referral_chain",
     "session_funnel_report_pipeline",
+    "source_term_heavy_hitters",
     # Never driver-sampled (rows-only HLL built-in; its exact twin
     # exact_distinct_users and full-value-oracle portable twin
     # portable_hll_distinct_users are both already driver-green).

@@ -3004,3 +3004,53 @@ def part_name_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = load_table(spark, sf_dir, "part")
     return edit_distance_one_pairs(part, "p_name")
+
+
+_HH_GROUP_K = 40  # per-source threshold: 1/40 of that source's tokens
+
+
+@register(
+    "source_term_heavy_hitters",
+    tags=("sketch", "text"),
+    description=f"PER-GROUP certified heavy hitters (grouped Misra-Gries "
+    f"two-pass, k={_HH_GROUP_K}): every term above 1/k of ITS SOURCE's "
+    "token stream with exact counts — per-(partition, group) bounded "
+    "summaries, guaranteed per-group candidate superset, exact counts on "
+    "broadcast candidates only; per-group key universes never shuffle "
+    "(operators/sketches.py:certified_heavy_hitters_grouped)",
+    oracle=f"""
+        WITH t AS (
+            SELECT source, unnest({_TOKENS}) AS term FROM documents
+        ),
+        tot AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_total
+            FROM t GROUP BY source
+        )
+        SELECT t.source, t.term,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM t JOIN tot USING (source)
+        GROUP BY t.source, t.term, tot.n_total
+        HAVING count(*) * {_HH_GROUP_K} > tot.n_total
+    """,
+)
+def source_term_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-domain/per-language form of term_heavy_hitters — "which
+    terms dominate EACH source" — with the same two-pass determinism
+    argument applied group-wise: the grouped MG summaries are a
+    guaranteed per-group candidate superset under any partitioning, the
+    exact second pass kills the partition-dependence, and the per-group
+    threshold (count * k > that group's total) makes the output the
+    deterministic exact answer a one-clause per-group HAVING oracle
+    checks. Group totals ride a |groups|-row broadcast."""
+    from data_algorithms_with_pyspark_spark.functions.text_functions import (
+        words,
+    )
+    from data_algorithms_with_pyspark_spark.operators.sketches import (
+        certified_heavy_hitters_grouped,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "source", F.explode(words("text")).alias("term")
+    )
+    return certified_heavy_hitters_grouped(tokens, "source", "term", _HH_GROUP_K)

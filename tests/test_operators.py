@@ -865,3 +865,40 @@ def test_edit_distance_one_pairs_matches_bruteforce(spark):
         if ed(a, b) <= 1
     }
     assert got == want
+
+
+def test_certified_heavy_hitters_grouped_exact_under_any_partitioning(spark):
+    from collections import Counter
+
+    from data_algorithms_with_pyspark_spark.operators.sketches import (
+        certified_heavy_hitters_grouped,
+    )
+
+    # Two groups with DIFFERENT totals and different heavy sets; g2's
+    # 'x' is heavy for g2 but would not be for g1's larger stream —
+    # per-group thresholds must separate them.
+    stream = (
+        [("g1", "a")] * 200
+        + [("g1", "b")] * 90          # 90*4 > 400: heavy in g1
+        + [("g1", f"t{i}") for i in range(110)]
+        + [("g2", "x")] * 30          # 30*4 > 40: heavy in g2
+        + [("g2", f"u{i}") for i in range(10)]
+    )
+    truth: dict[str, Counter] = {}
+    for g, kk in stream:
+        truth.setdefault(g, Counter())[kk] += 1
+    want = {
+        (g, kk, c)
+        for g, cnt in truth.items()
+        for kk, c in cnt.items()
+        if c * 4 > sum(cnt.values())
+    }
+    df = spark.createDataFrame(stream, ["g", "t"])
+    for parts in (1, 3, 8):
+        got = {
+            (r.g, r.t, r.n_occurrences)
+            for r in certified_heavy_hitters_grouped(
+                df.repartition(parts), "g", "t", 4
+            ).collect()
+        }
+        assert got == want, (parts, got)
