@@ -84,6 +84,7 @@ _SAMPLE_PRIORITY = (
     "sql_recursive_referral_chain",
     "session_funnel_report_pipeline",
     "source_term_heavy_hitters",
+    "event_value_quantile_approx_audit",
     # Never driver-sampled (rows-only HLL built-in; its exact twin
     # exact_distinct_users and full-value-oracle portable twin
     # portable_hll_distinct_users are both already driver-green).

@@ -810,3 +810,72 @@ def portable_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return hll_distinct(events, "event_type", "user_id")
+
+
+_GRP_APPROX_ACCURACY = 10_000
+_GRP_APPROX_TOL_PERMILLE = 1  # 10x the GK guarantee of 1/accuracy
+
+
+@register(
+    "event_value_quantile_approx_audit",
+    tags=("sketch", "stats", "events"),
+    description="PER-GROUP attestation of the approx-percentile drop-in "
+    "event_value_percentiles documents: percentile_approx p25/p50/p75 of "
+    "value per event_type, audited by exact tie-robust integer rank bounds "
+    "— one boolean per quantile per group, deterministic under any "
+    "partition order, so the oracle pins them TRUE per group",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+        FROM events GROUP BY event_type
+    """,
+)
+def event_value_quantile_approx_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The grouped twin of doc_length_quantile_approx_audit: the
+    Greenwald-Khanna summary is built PER GROUP inside one hash
+    aggregate (mergeable partials, no per-group sort — the exact
+    percentile's full-sort cost is what the drop-in removes at 100 TB),
+    and the same corpus scan joins the |groups|-row threshold relation
+    back to compute exact below/at counts per group. v is a valid
+    eps-approximate q-quantile of its group iff count(x < v) <=
+    n_g*(q+eps) and count(x <= v) >= n_g*(q-eps) — integer per-mille
+    arithmetic per group, partition-order-independent booleans."""
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    qs = events.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", [0.25, 0.50, 0.75], _GRP_APPROX_ACCURACY
+        ).alias("pa")
+    ).select(
+        "event_type",
+        F.col("pa")[0].alias("q25"),
+        F.col("pa")[1].alias("q50"),
+        F.col("pa")[2].alias("q75"),
+    )
+    j = events.join(F.broadcast(qs), "event_type")
+    aggs = [F.count("*").alias("n_rows")]
+    for q in (25, 50, 75):
+        aggs.append(
+            F.sum(F.when(F.col("value") < F.col(f"q{q}"), 1).otherwise(0))
+            .cast("long")
+            .alias(f"below{q}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("value") <= F.col(f"q{q}"), 1).otherwise(0))
+            .cast("long")
+            .alias(f"at{q}")
+        )
+    audit = j.groupBy("event_type").agg(*aggs)
+    tol = _GRP_APPROX_TOL_PERMILLE
+    n = F.col("n_rows")
+    cols = [F.col("event_type"), n.alias("n_rows")]
+    for q in (25, 50, 75):
+        cols.append(
+            (
+                (F.col(f"below{q}") * 1000 <= n * (q * 10 + tol))
+                & (F.col(f"at{q}") * 1000 >= n * (q * 10 - tol))
+            ).alias(f"p{q}_ok")
+        )
+    return audit.select(*cols)
