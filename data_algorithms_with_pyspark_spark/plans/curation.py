@@ -3054,3 +3054,151 @@ def source_term_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(words("text")).alias("term")
     )
     return certified_heavy_hitters_grouped(tokens, "source", "term", _HH_GROUP_K)
+
+
+_CARD_SPLIT_NUM = 1  # 1/5 test, the leakage-safe content-hash rate
+_CARD_SPLIT_DEN = 5
+
+# The quality-score SQL twin lives in plans/pipelines.py (loaded before
+# this module; no import cycle — pipelines does not import curation).
+from data_algorithms_with_pyspark_spark.plans.pipelines import (  # noqa: E402
+    _quality_score_sql as _quality_score_sql_shared,
+)
+
+
+@register(
+    "corpus_dataset_card",
+    tags=("pipeline", "quality", "reporting"),
+    description="Dataset card manifest — the release artifact an LLM-data "
+    "drop ships: global corpus stats (docs, distinct content hashes, "
+    "tokens, chars, mean quality on the 1e4 grid, leakage-safe test-split "
+    "size) + per-lang and per-source doc counts, as one long-form "
+    "(section, metric, value) relation; ONE feature projection feeds "
+    "three small aggregates, everything integer-exact",
+    oracle=f"""
+        WITH featured AS (
+            SELECT lang, source,
+                   CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(floor(({_quality_score_sql_shared()}) * 10000 + 0.5)
+                        AS BIGINT) AS q_e4,
+                   md5({_NORMALIZED_SQL}) AS content_hash,
+                   CASE WHEN ('0x' || substring(md5({_NORMALIZED_SQL}), 1, 6))
+                             ::BIGINT * {_CARD_SPLIT_DEN}
+                             < {16**6} * {_CARD_SPLIT_NUM}
+                        THEN 1 ELSE 0 END AS is_test
+            FROM documents
+        )
+        SELECT 'global' AS section, metric, value FROM (
+            SELECT unnest(['n_docs', 'n_distinct_hashes', 'total_tokens',
+                           'total_chars', 'mean_quality_e4',
+                           'n_test_docs']) AS metric,
+                   unnest([CAST(count(*) AS BIGINT),
+                           CAST(count(DISTINCT content_hash) AS BIGINT),
+                           CAST(sum(n_tokens) AS BIGINT),
+                           CAST(sum(n_chars) AS BIGINT),
+                           CAST(sum(q_e4) // count(*) AS BIGINT),
+                           CAST(sum(is_test) AS BIGINT)]) AS value
+            FROM featured
+        )
+        UNION ALL
+        SELECT 'lang', lang, CAST(count(*) AS BIGINT)
+        FROM featured GROUP BY lang
+        UNION ALL
+        SELECT 'source', source, CAST(count(*) AS BIGINT)
+        FROM featured GROUP BY source
+    """,
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One long-form manifest a data release attaches: corpus size,
+    exact-dup rate inputs (distinct content hashes), token/char volume,
+    mean quality (1e4 grid, integer division — engine-exact), the
+    leakage-safe test-split size (same content-hash rational-rate draw
+    as documents_leakage_safe_split), and per-lang / per-source doc
+    counts. ONE projection computes every per-doc feature; it is
+    persisted and feeds one global aggregate (partial-combined 1-row),
+    one per-lang and one per-source hash aggregate — all three outputs
+    are |distinct-values|-sized, unioned into the (section, metric,
+    value) long form every card renderer consumes."""
+    from data_algorithms_with_pyspark_spark.functions.text_functions import (
+        normalize_text,
+        words,
+    )
+    from data_algorithms_with_pyspark_spark.operators.text import (
+        quality_score_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fingerprint = F.md5(normalize_text("text"))
+    u = F.conv(F.substring(fingerprint, 1, 6), 16, 10).cast("long")
+    featured = docs.select(
+        "lang",
+        "source",
+        F.size(words("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        # 1e4 grid — the repo's established quality quantization; 1e6 is
+        # finer than the double expression's cross-engine agreement (one
+        # flipped floor per ~1e5 docs bit the sf0.1 check)
+        F.floor(quality_score_expr("text") * 10_000 + F.lit(0.5))
+        .cast("long")
+        .alias("q_e4"),
+        fingerprint.alias("content_hash"),
+        F.when(
+            u * F.lit(_CARD_SPLIT_DEN) < F.lit(16**6 * _CARD_SPLIT_NUM), 1
+        )
+        .otherwise(0)
+        .alias("is_test"),
+    ).persist()
+    g = featured.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("content_hash").alias("n_distinct_hashes"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("q_e4").cast("long").alias("_sum_q"),
+        F.sum("is_test").cast("long").alias("n_test_docs"),
+    ).withColumn(
+        # exact integer floor division — (sum/count).cast("long") rounds
+        # the DOUBLE quotient first and can differ by one micro-unit
+        # from the oracle's BIGINT // (bit at sf0.1)
+        "mean_quality_e4",
+        F.expr("_sum_q DIV n_docs"),
+    )
+    metrics = [
+        "n_docs",
+        "n_distinct_hashes",
+        "total_tokens",
+        "total_chars",
+        "mean_quality_e4",
+        "n_test_docs",
+    ]
+    global_rows = g.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("metric"), F.col(m).alias("value")
+                    )
+                    for m in metrics
+                ]
+            )
+        ).alias("kv")
+    ).select(
+        F.lit("global").alias("section"),
+        F.col("kv.metric").alias("metric"),
+        F.col("kv.value").alias("value"),
+    )
+    lang_rows = featured.groupBy("lang").agg(
+        F.count("*").alias("value")
+    ).select(
+        F.lit("lang").alias("section"),
+        F.col("lang").alias("metric"),
+        "value",
+    )
+    source_rows = featured.groupBy("source").agg(
+        F.count("*").alias("value")
+    ).select(
+        F.lit("source").alias("section"),
+        F.col("source").alias("metric"),
+        "value",
+    )
+    return global_rows.unionByName(lang_rows).unionByName(source_rows)
