@@ -69,3 +69,18 @@ def test_empty_at_smoke_queries_verify_at_sf001(spark, name):
         pytest.skip("rows-only query")
     con = make_duckdb(SF_CORRECTNESS)
     compare_spark_duckdb(q.fn(spark, SF_CORRECTNESS), con, q.oracle)
+
+
+def test_sample_priority_names_exist():
+    """A typo'd name in _SAMPLE_PRIORITY silently drops out of the
+    driver's sample window (all_queries skips unknown names) — the
+    rotation would burn a slot on nothing. Fail loudly instead."""
+    from data_algorithms_with_pyspark_spark.plans.catalog import (
+        _SAMPLE_PRIORITY,
+        all_queries,
+    )
+
+    qs = all_queries()
+    missing = [n for n in _SAMPLE_PRIORITY if n not in qs]
+    assert not missing, f"_SAMPLE_PRIORITY names not in registry: {missing}"
+    assert len(set(_SAMPLE_PRIORITY)) == len(_SAMPLE_PRIORITY), "duplicates"
