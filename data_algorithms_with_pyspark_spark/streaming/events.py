@@ -38,6 +38,8 @@ __all__ = [
     "stream_upsert_sink",
     "stream_continuous_aggregate",
     "streaming_ttl_dedup",
+    "streaming_timer_sessions",
+    "streaming_frequent_terms",
 ]
 
 
@@ -727,4 +729,99 @@ def streaming_timer_sessions(
         outputStructType=out_schema,
         outputMode="append",
         timeMode="processingTime",
+    )
+
+
+def streaming_frequent_terms(
+    events: DataFrame,
+    group_col: str,
+    term_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Streaming Misra-Gries frequent items per group — the streaming
+    twin of ``operators/sketches.certified_heavy_hitters`` and the one
+    transformWithState state type the other operators don't exercise:
+    **MapState** (term -> counter), updated batch-by-batch with the
+    weighted MG rule (fold the batch's per-term counts in; on counter
+    overflow subtract the minimum from all and evict zeros). State per
+    group key is O(k) forever — the bounded-memory contract an unbounded
+    token stream needs; an exact streaming groupBy-count would grow
+    state with the vocabulary.
+
+    After absorbing each batch the processor EMITS the group's current
+    summary (``group, term, mg_count``, append mode) — downstream
+    consumers see candidates-so-far per micro-batch, the same
+    guaranteed-superset semantics as the batch operator: a term whose
+    true running count exceeds 1/(k+1) of the group's stream so far is
+    always present. As in the batch form, counts are LOWER BOUNDS
+    (within N/(k+1) of truth), suitable for candidate generation, not
+    billing — pair with an exact count over the candidate set (the
+    two-pass pattern) when exact numbers matter.
+    """
+    import pandas as pd  # worker-side
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in events.select(group_col).schema.fields
+    )
+    out_schema = f"{key_schema}, {term_col} string, mg_count long"
+
+    class _Frequent(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counters = handle.getMapState(
+                "mg", "term string", "cnt bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            counters: dict[str, int] = {
+                t: c
+                for (t,), (c,) in self._counters.iterator()
+            } if self._counters.exists() else {}
+            for pdf in rows:
+                for term, cnt in pdf[term_col].value_counts().items():
+                    if term in counters:
+                        counters[term] += int(cnt)
+                    elif len(counters) < k:
+                        counters[term] = int(cnt)
+                    else:
+                        counters[term] = int(cnt)
+                        m = min(counters.values())
+                        evicted = {
+                            t for t, c in counters.items() if c <= m
+                        }
+                        counters = {
+                            t: c - m
+                            for t, c in counters.items()
+                            if c > m
+                        }
+                        for t in evicted:
+                            if self._counters.containsKey((t,)):
+                                self._counters.removeKey((t,))
+            for t, c in counters.items():
+                self._counters.updateValue((t,), (c,))
+            g = key[0]
+            return iter(
+                [
+                    pd.DataFrame(
+                        {
+                            group_col: [g] * len(counters),
+                            term_col: list(counters.keys()),
+                            "mg_count": list(counters.values()),
+                        }
+                    )
+                ]
+            ) if counters else iter([])
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(group_col).transformWithStateInPandas(
+        _Frequent(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="none",
     )

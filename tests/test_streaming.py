@@ -647,3 +647,69 @@ def test_streaming_timer_sessions_emit_on_idle_timeout(spark, tmp_path):
     # batch parity: user 1 saw 3 rows / 4.0 total across two batches,
     # user 2 saw 1 row / 10.0 — exactly one closed session each
     assert rows == {1: (3, 4_000_000), 2: (1, 10_000_000)}
+
+
+def test_streaming_frequent_terms_mapstate_across_batches(spark, tmp_path):
+    """transformWithState MapState e2e: Misra-Gries counters accumulate
+    across micro-batches (k large enough that no decrement fires, so the
+    final emission's counts are EXACT running counts), and with a tiny k
+    the guaranteed-superset property still surfaces the heavy term."""
+    from tests.pbshim import sitecustomize as pbshim
+
+    if not pbshim.available():
+        pytest.skip(
+            "transformWithState needs a protobuf runtime: neither "
+            "google.protobuf nor the gcloud pure-Python runtime "
+            "(tests/pbshim/sitecustomize.py) is present"
+        )
+    from pyspark.sql import Row
+
+    from data_algorithms_with_pyspark_spark.streaming.events import (
+        drain_to_memory_sink,
+        streaming_frequent_terms,
+    )
+
+    src = tmp_path / "freq_src"
+    b1 = spark.createDataFrame(
+        [Row(g="s1", term=t) for t in ["hot"] * 5 + ["t1", "t2"]]
+    )
+    b2 = spark.createDataFrame(
+        [Row(g="s1", term=t) for t in ["hot"] * 4 + ["t1"]]
+    )
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema("g string, term string")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        out = streaming_frequent_terms(stream, "g", "term", k=10)
+        # per-batch emissions: batch1 emits 3 terms, batch2 re-emits the
+        # updated summary (3 terms) -> 6 rows total
+        drain_to_memory_sink(
+            out, "freq_terms_out", output_mode="append", min_rows=6,
+            timeout_sec=120.0,
+        )
+        rows = spark.sql("SELECT * FROM freq_terms_out").collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    # the LAST emission for 'hot' must be the exact accumulated count
+    # (k=10 > 3 distinct terms -> no MG decrement ever fires)
+    hot_counts = sorted(r.mg_count for r in rows if r.term == "hot")
+    assert hot_counts[-1] == 9, rows  # 5 (batch 1) + 4 (batch 2)
+    t1_counts = sorted(r.mg_count for r in rows if r.term == "t1")
+    assert t1_counts[-1] == 2, rows
