@@ -29,10 +29,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL per query. As of round 3 every query has one
-    except ``approx_distinct_users_hll`` (HLL internals are not
-    replayable in another engine; its exact-distinct twin
-    ``exact_distinct_users`` brackets the estimate and IS oracle-checked)."""
+    """DuckDB oracle SQL per query. Every catalog query has one except
+    ``approx_distinct_users_hll`` (built-in HLL internals are not
+    replayable in another engine; its exact twin ``exact_distinct_users``
+    brackets the estimate and the md5-lane ``portable_hll_distinct_users``
+    carries a full value oracle for the estimate itself)."""
     return {
         name: q.oracle for name, q in all_queries().items() if q.oracle is not None
     }
