@@ -86,6 +86,7 @@ _SAMPLE_PRIORITY = (
     "source_term_heavy_hitters",
     "event_value_quantile_approx_audit",
     "corpus_dataset_card",
+    "orders_bloom_prefilter_join",
     # Never driver-sampled (rows-only HLL built-in; its exact twin
     # exact_distinct_users and full-value-oracle portable twin
     # portable_hll_distinct_users are both already driver-green).

@@ -3202,3 +3202,137 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return global_rows.unionByName(lang_rows).unionByName(source_rows)
+
+
+_BJOIN_M = 65536
+_BJOIN_K = 3
+_BJOIN_NATIONS = (3, 8, 13, 18, 23)  # the Q21 nation group, ~1/5 of customers
+
+
+def _bjoin_pos_sql(expr: str) -> str:
+    """DuckDB twin of bloom_positions at the join pre-filter's m."""
+    lanes = ", ".join(
+        f"('0x' || substring(md5({expr}), {1 + 8 * i}, 8))::BIGINT % {_BJOIN_M}"
+        for i in range(_BJOIN_K)
+    )
+    return f"[{lanes}]"
+
+
+@register(
+    "orders_bloom_prefilter_join",
+    tags=("sketch", "join", "relational"),
+    description=f"Bloom-prefiltered fact/dim join audit (m={_BJOIN_M}, "
+    f"k={_BJOIN_K}): build the filter over a selective customer subset's "
+    "keys, probe every distinct orders key BEFORE the join, and report the "
+    "key- and row-level pass/true/false-positive counts plus the "
+    "must-be-zero false-negative count — the sketch-semi-join that prunes "
+    "a 100 TB fact scan down to near-matching rows before any shuffle",
+    oracle=f"""
+        WITH dim AS (
+            SELECT c_custkey FROM customer
+            WHERE c_nationkey % 25 IN {_BJOIN_NATIONS!r}
+        ),
+        bloom AS (
+            SELECT DISTINCT pos FROM (
+                SELECT unnest({_bjoin_pos_sql('CAST(c_custkey AS VARCHAR)')})
+                    AS pos
+                FROM dim
+            )
+        ),
+        okeys AS (
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY o_custkey
+        ),
+        probe AS (
+            SELECT o_custkey,
+                   unnest({_bjoin_pos_sql('CAST(o_custkey AS VARCHAR)')})
+                       AS pos
+            FROM okeys
+        ),
+        verdict AS (
+            SELECT p.o_custkey, (count(b.pos) = {_BJOIN_K}) AS in_bloom
+            FROM probe p LEFT JOIN bloom b USING (pos)
+            GROUP BY p.o_custkey
+        ),
+        keyed AS (
+            SELECT k.o_custkey, k.n_orders, v.in_bloom,
+                   (d.c_custkey IS NOT NULL) AS in_dim
+            FROM okeys k
+            JOIN verdict v USING (o_custkey)
+            LEFT JOIN dim d ON k.o_custkey = d.c_custkey
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(CASE WHEN in_bloom THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keys_pass,
+               CAST(sum(CASE WHEN in_dim THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keys_true,
+               CAST(sum(CASE WHEN in_bloom AND NOT in_dim THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_keys_false_pos,
+               CAST(sum(CASE WHEN in_dim AND NOT in_bloom THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_false_negatives,
+               CAST(sum(n_orders) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN in_bloom THEN n_orders ELSE 0 END)
+                   AS BIGINT) AS n_orders_pass,
+               CAST(sum(CASE WHEN in_dim THEN n_orders ELSE 0 END) AS BIGINT)
+                   AS n_orders_true
+        FROM keyed
+    """,
+)
+def orders_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-semi-join a 100 TB fact/dim join wants when the dim is
+    selective but too big to broadcast whole: build the md5-lane Bloom
+    over the dim's join keys (<= m rows however large the dim), probe
+    the fact's DISTINCT keys against it (one equi-join against the
+    broadcastable positions table), and only bloom-passing rows proceed
+    to the exact join — the manual form of the
+    spark.sql.optimizer.runtime.bloomFilter rewrite session.py enables,
+    made auditable: the report quantifies key- and row-level pruning,
+    the false-positive overshoot the exact join must still discard, and
+    the FALSE-NEGATIVE count, which the no-false-negative Bloom property
+    guarantees is zero (the oracle recomputes it — a broken hash lane
+    would surface here, not as silently missing join rows). All counts
+    integer-exact; fact rows aggregate per key FIRST, so the audit's
+    joins are key-sized."""
+    from data_algorithms_with_pyspark_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = customer.where(
+        (F.col("c_nationkey") % 25).isin(*_BJOIN_NATIONS)
+    ).select("c_custkey")
+    bloom = bloom_build(dim, "c_custkey", m=_BJOIN_M, k=_BJOIN_K)
+    okeys = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    verdict = bloom_probe(okeys, "o_custkey", bloom, m=_BJOIN_M, k=_BJOIN_K)
+    keyed = (
+        okeys.join(verdict, "o_custkey")
+        .join(
+            F.broadcast(dim.withColumn("_in_dim", F.lit(1))),
+            okeys.o_custkey == dim.c_custkey,
+            "left",
+        )
+        .select(
+            "n_orders",
+            "in_bloom",
+            F.col("_in_dim").isNotNull().alias("in_dim"),
+        )
+    )
+    b = F.col("in_bloom")
+    d = F.col("in_dim")
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return keyed.agg(
+        F.count("*").alias("n_keys"),
+        one(b).alias("n_keys_pass"),
+        one(d).alias("n_keys_true"),
+        one(b & ~d).alias("n_keys_false_pos"),
+        one(d & ~b).alias("n_false_negatives"),
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.sum(F.when(b, F.col("n_orders")).otherwise(0))
+        .cast("long")
+        .alias("n_orders_pass"),
+        F.sum(F.when(d, F.col("n_orders")).otherwise(0))
+        .cast("long")
+        .alias("n_orders_true"),
+    )
