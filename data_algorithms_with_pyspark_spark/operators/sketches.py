@@ -270,14 +270,24 @@ def misra_gries_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
     batch pre-reduced vectorized (value_counts) so the Python-level work
     is O(distinct-per-batch), not O(rows). Weighted updates (add the
     batch count in one step) keep the same guarantee.
+
+    NULL keys are excluded up front (explicit ``isNotNull`` filter):
+    pass 2's equi-join could never match a NULL candidate anyway, so the
+    heavy-hitter contract is defined over non-null keys — stated here
+    rather than left to pandas ``value_counts``'s silent dropna. The
+    output schema carries the INPUT column's type (bigint keys stay
+    bigint through the Arrow boundary instead of being coerced through
+    a hardcoded string schema).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
 
     import pandas as pd
 
+    key_type = df.schema[key_col].dataType.simpleString()
+
     def summarize(batches):
-        counters: dict[str, int] = {}
+        counters: dict = {}
         for pdf in batches:
             for key, cnt in pdf[key_col].value_counts().items():
                 if key in counters:
@@ -290,10 +300,12 @@ def misra_gries_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
                     counters = {
                         kk: cc - m for kk, cc in counters.items() if cc > m
                     }
-        yield pd.DataFrame({key_col: list(counters.keys())})
+        yield pd.DataFrame({key_col: pd.Series(list(counters.keys()))})
 
-    return df.select(key_col).mapInPandas(
-        summarize, schema=f"{key_col} string"
+    return (
+        df.select(key_col)
+        .where(F.col(key_col).isNotNull())
+        .mapInPandas(summarize, schema=f"{key_col} {key_type}")
     )
 
 
@@ -339,14 +351,19 @@ def misra_gries_candidates_grouped(
     ``misra_gries_candidates`` with the same guarantee applied within
     each group: a key absent from every partition's summary FOR THAT
     GROUP has group-local count <= N(group)/(k+1). Memory is k counters
-    per (partition, group-seen-in-partition)."""
+    per (partition, group-seen-in-partition). NULL groups/keys are
+    excluded up front and the output schema carries the input columns'
+    types — same contract as ``misra_gries_candidates``."""
     if k < 1:
         raise ValueError("k must be >= 1")
 
     import pandas as pd
 
+    group_type = df.schema[group_col].dataType.simpleString()
+    key_type = df.schema[key_col].dataType.simpleString()
+
     def summarize(batches):
-        state: dict[str, dict[str, int]] = {}
+        state: dict = {}
         for pdf in batches:
             sizes = pdf.groupby([group_col, key_col], sort=False).size()
             for (g, key), cnt in sizes.items():
@@ -366,8 +383,12 @@ def misra_gries_candidates_grouped(
         ]
         yield pd.DataFrame(rows, columns=[group_col, key_col])
 
-    return df.select(group_col, key_col).mapInPandas(
-        summarize, schema=f"{group_col} string, {key_col} string"
+    return (
+        df.select(group_col, key_col)
+        .where(F.col(group_col).isNotNull() & F.col(key_col).isNotNull())
+        .mapInPandas(
+            summarize, schema=f"{group_col} {group_type}, {key_col} {key_type}"
+        )
     )
 
 

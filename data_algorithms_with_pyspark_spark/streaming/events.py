@@ -696,11 +696,11 @@ def streaming_timer_sessions(
             vsum = 0
             for pdf in rows:
                 n += len(pdf)
-                vsum += int(
-                    np.floor(
-                        pdf[value_col].to_numpy(dtype="float64") * 1e6 + 0.5
-                    ).sum()
-                )
+                # NULL values sum as 0 (SQL sum-skips-nulls semantics);
+                # without the fillna a NaN would poison the integer
+                # conversion and kill the streaming query.
+                vals = pdf[value_col].fillna(0.0).to_numpy(dtype="float64")
+                vsum += int(np.floor(vals * 1e6 + 0.5).sum())
             now = timerValues.getCurrentProcessingTimeInMs()
             if self._sess.exists():
                 n0, v0, _ = self._sess.get()

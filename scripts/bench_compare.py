@@ -28,8 +28,18 @@ def load(path: str) -> dict[str, float]:
     except (json.JSONDecodeError, ValueError):
         pass
     pairs = re.findall(r'\\?"([a-z0-9_]+)\\?": ([0-9][0-9.]*)', txt)
-    drop = {"sf", "value", "n", "rc", "cpus"}
-    return {k: float(v) for k, v in pairs if k not in drop}
+    # Allowlist by catalog query name so a new numeric record field can
+    # never pollute the ratio report; fall back to the old denylist only
+    # if the catalog itself is unimportable in this environment.
+    try:
+        sys.path.insert(0, __file__.rsplit("/", 2)[0])
+        from data_algorithms_with_pyspark_spark.plans.catalog import all_queries
+
+        known = set(all_queries())
+        return {k: float(v) for k, v in pairs if k in known}
+    except Exception:
+        drop = {"sf", "value", "n", "rc", "cpus"}
+        return {k: float(v) for k, v in pairs if k not in drop}
 
 
 def main() -> None:
