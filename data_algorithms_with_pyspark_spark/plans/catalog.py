@@ -51,6 +51,8 @@ _QUERY_MODULES = (
     "data_algorithms_with_pyspark_spark.plans.tpch_extended",
     "data_algorithms_with_pyspark_spark.plans.reference_algorithms",
     "data_algorithms_with_pyspark_spark.plans.curation",
+    "data_algorithms_with_pyspark_spark.plans.streaming_parity",
+    "data_algorithms_with_pyspark_spark.plans.maintenance",
 )
 
 # Queries floated to the FRONT of the catalog iteration order, ahead of

@@ -1,0 +1,115 @@
+"""Table-maintenance catalog queries: the compaction audit.
+
+Proves ``operators/maintenance.compact_partitioned_table`` end-to-end,
+cross-engine: deliberately fragment a hive-partitioned copy of orders
+(a multi-task write scatters every year's rows across many small files —
+the layout a streaming ingester or daily backfill leaves behind), compact
+it back to one size-targeted file per partition, and report per-partition
+row counts + content digests THAT THE ORACLE COMPUTES FROM THE ORIGINAL
+TABLE — identical output proves the rewrite moved every row exactly once.
+File-count columns (files_after, had_fragments) come from the real
+filesystem listing, so the driver row also attests the compaction did
+physically happen.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_algorithms_with_pyspark_spark.plans.catalog import register
+from data_algorithms_with_pyspark_spark.sources.readers import load_table
+
+__all__ = ["orders_compaction_audit"]
+
+# One (fragmented, compacted) pair per (process, sf_dir); the returned
+# DataFrame reads the compacted dir lazily, so both live for the process.
+_CACHE: dict[str, tuple[str, str, dict, list]] = {}
+
+
+def _build(spark: SparkSession, sf_dir: str):
+    cached = _CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(cached[1]):
+        return cached
+    from data_algorithms_with_pyspark_spark.operators.maintenance import (
+        compact_partitioned_table,
+        partition_file_stats,
+    )
+
+    frag = tempfile.mkdtemp(prefix="orders_fragmented_")
+    comp = tempfile.mkdtemp(prefix="orders_compacted_")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("long")
+    )
+    # 8 hash-scattered tasks x partitionBy => every year lands in ~8
+    # small files: the accreted-small-files layout under maintenance.
+    orders.repartition(8, F.col("o_orderkey")).write.mode(
+        "overwrite"
+    ).partitionBy("o_year").parquet(frag)
+    report = compact_partitioned_table(
+        spark,
+        frag,
+        comp,
+        partition_cols=("o_year",),
+        # far above any sf's per-year bytes -> exactly 1 file/partition
+        target_file_bytes=1 << 36,
+    )
+    before = {
+        s.values[0]: s.n_files
+        for s in partition_file_stats(spark, frag, ("o_year",))
+    }
+    after = partition_file_stats(spark, comp, ("o_year",))
+    per_year = [
+        (int(s.values[0]), before[s.values[0]], s.n_files) for s in after
+    ]
+    _CACHE[sf_dir] = (frag, comp, report, per_year)
+    return _CACHE[sf_dir]
+
+
+@register(
+    "orders_compaction_audit",
+    tags=("maintenance", "io", "audit"),
+    description="Small-file compaction audit: fragment orders into ~8 "
+    "files per year-partition, compact to 1 size-targeted file per "
+    "partition (operators/maintenance.py), then prove row identity per "
+    "partition against the ORIGINAL table (count + key/price digests "
+    "replayed by the oracle) and physical success from the real file "
+    "listing (files_after=1, had_fragments=1)",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS price_sum,
+               CAST(1 AS BIGINT) AS files_after,
+               CAST(1 AS BIGINT) AS had_fragments
+        FROM orders
+        GROUP BY 1
+    """,
+)
+def orders_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The digest columns are computed from the COMPACTED files and the
+    oracle recomputes them from the pristine orders table — equality is
+    the row-identity proof (sum digests are order/partitioning
+    independent). files_after/had_fragments join in from the driver-side
+    filesystem listings (bounded: one row per partition)."""
+    _frag, comp, _report, per_year = _build(spark, sf_dir)
+    compacted = spark.read.parquet(comp)
+    agg = compacted.groupBy(F.col("o_year").cast("long").alias("o_year")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            / 100.0
+        ).alias("price_sum"),
+    )
+    stats = spark.createDataFrame(
+        [
+            (y, after_n, 1 if before_n > after_n else 0)
+            for (y, before_n, after_n) in per_year
+        ],
+        schema="o_year long, files_after long, had_fragments long",
+    )
+    return agg.join(F.broadcast(stats), on="o_year", how="inner")

@@ -1,0 +1,97 @@
+"""Small-file compaction operator: layout, identity, idempotency."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_algorithms_with_pyspark_spark.operators.maintenance import (
+    compact_partitioned_table,
+    partition_file_stats,
+)
+from data_algorithms_with_pyspark_spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _fragment_orders(spark, path: str, n_tasks: int = 6) -> None:
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("long")
+    )
+    orders.repartition(n_tasks, F.col("o_orderkey")).write.mode(
+        "overwrite"
+    ).partitionBy("o_year").parquet(path)
+
+
+def _rows(spark, path: str):
+    df = spark.read.parquet(path)
+    return sorted(
+        tuple(r) for r in df.select(*sorted(df.columns)).collect()
+    )
+
+
+def test_compact_collapses_small_files(spark, tmp_path):
+    frag, comp = str(tmp_path / "frag"), str(tmp_path / "comp")
+    _fragment_orders(spark, frag)
+    before = partition_file_stats(spark, frag, ("o_year",))
+    assert all(s.n_files > 1 for s in before), "fixture must be fragmented"
+    report = compact_partitioned_table(
+        spark, frag, comp, ("o_year",), target_file_bytes=1 << 36
+    )
+    after = partition_file_stats(spark, comp, ("o_year",))
+    assert [s.values for s in after] == [s.values for s in before]
+    assert all(s.n_files == 1 for s in after)
+    assert report["files_after"] == len(before)
+    assert report["files_before"] == sum(s.n_files for s in before)
+    # row identity: the rewrite moved every row exactly once
+    assert _rows(spark, comp) == _rows(spark, frag)
+
+
+def test_compact_splits_oversized_partition(spark, tmp_path):
+    frag, comp = str(tmp_path / "frag"), str(tmp_path / "comp")
+    _fragment_orders(spark, frag)
+    stats = partition_file_stats(spark, frag, ("o_year",))
+    # a target far below any partition's bytes forces every partition to
+    # SPLIT into multiple size-bounded files — the case coalesce-style
+    # compaction cannot express
+    target = max(1, min(s.total_bytes for s in stats) // 3)
+    compact_partitioned_table(
+        spark, frag, comp, ("o_year",), target_file_bytes=target
+    )
+    after = partition_file_stats(spark, comp, ("o_year",))
+    assert all(s.n_files >= 2 for s in after)
+    assert _rows(spark, comp) == _rows(spark, frag)
+
+
+def test_compact_is_idempotent(spark, tmp_path):
+    frag = str(tmp_path / "frag")
+    c1, c2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    _fragment_orders(spark, frag)
+    r1 = compact_partitioned_table(
+        spark, frag, c1, ("o_year",), target_file_bytes=1 << 36
+    )
+    # compacting an already-compacted table changes nothing: same
+    # partition layout, same file counts, same rows
+    r2 = compact_partitioned_table(
+        spark, c1, c2, ("o_year",), target_file_bytes=1 << 36
+    )
+    assert r2["files_before"] == r1["files_after"] == r2["files_after"]
+    assert _rows(spark, c2) == _rows(spark, frag)
+
+
+def test_partition_file_stats_rejects_wrong_layout(spark, tmp_path):
+    flat = str(tmp_path / "flat")
+    load_table(spark, SF_SMOKE, "region").write.parquet(flat)
+    stats = partition_file_stats(spark, flat, ())
+    assert len(stats) == 1 and stats[0].values == ()
+    with pytest.raises(ValueError, match="does not match partition column"):
+        # files sit at the root, so there is no r_name=... segment
+        _fragment = str(tmp_path / "frag2")
+        _fragment_orders(spark, _fragment, n_tasks=2)
+        partition_file_stats(spark, _fragment, ("wrong_col",))
+
+
+def test_compact_empty_source_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="no data files"):
+        compact_partitioned_table(
+            spark, str(tmp_path / "nothing"), str(tmp_path / "out"), ("x",)
+        )
