@@ -1575,6 +1575,128 @@ def ivf_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_pq_ann_persisted_index",
+    bench=True,
+    tags=("similarity", "ann", "bucketed", "io"),
+    description=f"IVF-PQ ANN top-{_ANN_K} against a PERSISTED index: PQ "
+    "codes + coarse assignment written ONCE as a catalog table "
+    "hive-partitioned on the IVF list id (pay-once encode+assign, the "
+    "near-dup band-index pattern), so query time is probe-only — a "
+    "static IN filter on 4-of-16 list partitions prunes 3/4 of the "
+    "codes table at planning time and the raw float corpus is never "
+    "re-encoded; result identical to ivf_pq_ann_topk (same oracle)",
+    oracle=f"""{_IVF_PQ_TOPK_CTES}
+        SELECT t.vec_id, t.cid, t.adc_nano,
+               CAST(floor(list_aggregate(list_transform(
+                   range(1, {_PQ_M * _PQ_W} + 1),
+                   i -> (v.vec[i] - q.qvec[i]) * (v.vec[i] - q.qvec[i])),
+                   'sum') * 1e9 + 0.5) AS BIGINT) AS true_nano
+        FROM topk t JOIN v USING (vec_id), q
+        ORDER BY t.adc_nano, t.vec_id
+    """,
+)
+def ivf_pq_ann_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pay-once ANN index VERDICT r5 #3 ordered: ``ivf_pq_ann_topk``
+    re-derives codes + assignment inside every query run — a plan nobody
+    would run at 100 TB, where index CONSTRUCTION (one full-corpus Arrow
+    encode pass + one broadcast assign) is paid at build time and
+    queries touch only the probed inverted lists. Here the index is a
+    hive-partitioned table (partition = IVF list id ``cid``; rows =
+    ``vec_id, pq_code``), built at most once per (session, corpus);
+    query time collects the 4 probe list ids (bounded driver state, 4
+    rows — the same quantized 1e15 cosine grid the oracle replays) and
+    scans ONLY those partitions via a static IN filter, then ADC-ranks
+    the 64x-compressed codes. true squared-L2 rides along as audit,
+    exactly as in the in-query variant."""
+    import hashlib
+
+    from data_algorithms_with_pyspark_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        _sub_d2,
+        ivf_assign,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+    from data_algorithms_with_pyspark_spark.sources.writers import (
+        write_partitioned_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", to_double_array("embedding").alias("vec"))
+    # codebook = the ksub lowest-id vectors: a 16-row bounded collect,
+    # deterministic, identical at build and query time — persisting it
+    # would save nothing (the codes table is the expensive artifact)
+    cb = pq_codebook(vecs, m=_PQ_M, ksub=_PQ_KSUB, vec_col="vec")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = f"ann_ivfpq_idx_{key}"
+    if not spark.catalog.tableExists(idx):
+        codes = pq_encode(vecs, cb, vec_col="vec").join(
+            ivf_assign(vecs, 16), on="vec_id"
+        )
+        # repartition on the list id first: each of the 16 lists is owned
+        # by one task -> exactly one file per list partition
+        write_partitioned_table(
+            codes.repartition(F.col("cid")), idx, partition_cols=("cid",)
+        )
+    qrow = vecs.where(F.col("vec_id") == _ANN_QUERY_ID).collect()[0]
+    qv = [float(x) for x in qrow["vec"]]
+    cents = vecs.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    probe_rows = (
+        cents.crossJoin(
+            F.broadcast(
+                vecs.where(F.col("vec_id") == _ANN_QUERY_ID).select(
+                    F.col("vec").alias("qvec")
+                )
+            )
+        )
+        .select(
+            "cid",
+            # same 1e15 grid as ivf_assign / the oracle's probes CTE
+            F.floor(
+                (cosine_similarity(F.col("cvec"), F.col("qvec")) + F.lit(1.0))
+                * F.lit(1e15)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("qc_q"),
+        )
+        .orderBy(F.col("qc_q").desc(), "cid")
+        .limit(4)
+        .collect()
+    )
+    probe_cids = [int(r["cid"]) for r in probe_rows]
+    cand = (
+        spark.table(idx)
+        .where(F.col("cid").isin(probe_cids))
+        .where(F.col("vec_id") != _ANN_QUERY_ID)
+    )
+    topk = pq_adc_topk(cand, cb, qv, k=_ANN_K)
+    true_nano = (
+        F.floor(_sub_d2(F.col("vec"), 0, qv) * F.lit(1e9) + F.lit(0.5))
+        .cast("long")
+        .alias("true_nano")
+    )
+    return (
+        # cid joins back from the PROBED candidate scan (not a second
+        # full-index pass); hive partition discovery types cid as INT,
+        # cast back to the oracle's BIGINT
+        topk.join(cand.select("vec_id", "cid"), on="vec_id")
+        .join(vecs, on="vec_id")
+        .select(
+            "vec_id", F.col("cid").cast("long").alias("cid"), "adc_nano",
+            true_nano,
+        )
+        .orderBy("adc_nano", "vec_id")
+    )
+
+
+@register(
     "image_perceptual_dedup_groups",
     tags=("multimodal", "dedup", "pandas-udf"),
     description="Image dedup by 56-bit perceptual dHash over REALLY-decoded "

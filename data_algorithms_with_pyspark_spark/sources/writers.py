@@ -27,6 +27,7 @@ __all__ = [
     "write_orc",
     "write_range_clustered",
     "write_bucketed_table",
+    "write_partitioned_table",
 ]
 
 
@@ -123,30 +124,55 @@ def write_bucketed_table(
     co-location story it never reaches.
     """
     spark = df.sparkSession
-    if mode == "overwrite" and not spark.catalog.tableExists(table_name):
-        # A managed-table LOCATION can outlive its (session-scoped,
-        # in-memory) catalog entry — e.g. a previous process wrote the
-        # table and exited. saveAsTable refuses to adopt the orphaned
-        # directory even in overwrite mode (LOCATION_ALREADY_EXISTS), so
-        # clear it the way DROP TABLE would have.
-        import shutil
-        from urllib.parse import urlparse
-
-        warehouse = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        )
-        local = urlparse(warehouse)
-        if local.scheme in ("", "file"):
-            shutil.rmtree(
-                f"{local.path or warehouse}/{table_name.lower()}",
-                ignore_errors=True,
-            )
+    if mode == "overwrite":
+        _clear_orphaned_location(spark, table_name)
     writer = df.write.mode(mode).format(format).bucketBy(
         num_buckets, *bucket_cols
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def _clear_orphaned_location(spark, table_name: str) -> None:
+    """A managed-table LOCATION can outlive its (session-scoped,
+    in-memory) catalog entry — e.g. a previous process wrote the table
+    and exited. saveAsTable refuses to adopt the orphaned directory even
+    in overwrite mode (LOCATION_ALREADY_EXISTS), so clear it the way
+    DROP TABLE would have."""
+    if spark.catalog.tableExists(table_name):
+        return
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    local = urlparse(warehouse)
+    if local.scheme in ("", "file"):
+        shutil.rmtree(
+            f"{local.path or warehouse}/{table_name.lower()}",
+            ignore_errors=True,
+        )
+
+
+def write_partitioned_table(
+    df: DataFrame,
+    table_name: str,
+    partition_cols: tuple[str, ...],
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Persist as a hive-partitioned catalog table: each partition value
+    becomes a directory, so an equality / IN filter on the partition
+    column prunes whole directories at PLANNING time — zero I/O for
+    unprobed partitions. This is the inverted-list layout the persisted
+    ANN index uses (partition = IVF list id): query-time work is
+    probed-lists-only by construction, the FAISS on-disk contract."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        _clear_orphaned_location(spark, table_name)
+    df.write.mode(mode).format(format).partitionBy(
+        *partition_cols
+    ).saveAsTable(table_name)
 
 
 def write_range_clustered(
