@@ -53,6 +53,7 @@ _QUERY_MODULES = (
     "data_algorithms_with_pyspark_spark.plans.curation",
     "data_algorithms_with_pyspark_spark.plans.streaming_parity",
     "data_algorithms_with_pyspark_spark.plans.maintenance",
+    "data_algorithms_with_pyspark_spark.plans.suite",
 )
 
 # Queries floated to the FRONT of the catalog iteration order, ahead of
@@ -61,86 +62,30 @@ _QUERY_MODULES = (
 # attestation covers every catalog query (scripts/driver_sim.py always
 # verifies all of them regardless of order).
 _SAMPLE_PRIORITY = (
-    # Round 5 rotation (VERDICT r4 #3). Ordering rule (unchanged): queries
-    # whose code changed this round or that the driver has NEVER attested
-    # come first; then the stalest re-attestation block (r1-only-green);
-    # r2-only-green queries are r6's block. After r4 the union of driver
-    # attestation was 178/181 with the whole r1 tail 3 rounds stale —
-    # this window holds the 6 new r5 queries, the 2 fixed reds, the 1
-    # never-sampled rows-only query, and ALL 39 r1-only queries (48
-    # entries before the r2-drain tail), so a clean round brings the
-    # union to 187/187 minus whatever the ~50 cut drops from the tail.
+    # Round 6 rotation (VERDICT r5 #1). Ordering rule (unchanged):
+    # new-this-round queries first, then the stalest re-attestation
+    # blocks. After r5 the union of driver attestation is 192/192;
+    # staleness from the five CORRECTNESS files: 3 queries are
+    # r1-only-green, 45 are r2-only-green (computed exactly as the
+    # r5 rotation did). This window = 5 new + 3 r1 + 45 r2 = 53;
+    # a ~50 sample covers all but the last ~3 r2 entries, which lead
+    # r7's window together with the r3-only block.
     #
-    # Slots 1-2: the round-4 driver reds, fixed this round (oracle
-    # CAST for orders_cdc_replay; fp_seq serialized to a string key for
-    # video_fingerprint_dedup_groups) — tests/test_driver_canon_lint.py
-    # now mechanically forbids both failure classes catalog-wide.
-    "orders_cdc_replay",
-    "video_fingerprint_dedup_groups",
-    # New in r5.
-    "q21_waiting_suppliers",
-    "doc_length_quantile_approx_audit",
-    "corpus_train_ready_pipeline",
-    "term_heavy_hitters",
-    "part_name_typo_pairs",
-    "sql_recursive_referral_chain",
-    "session_funnel_report_pipeline",
-    "source_term_heavy_hitters",
-    "event_value_quantile_approx_audit",
-    "corpus_dataset_card",
-    "orders_bloom_prefilter_join",
-    # Never driver-sampled (rows-only HLL built-in; its exact twin
-    # exact_distinct_users and full-value-oracle portable twin
-    # portable_hll_distinct_users are both already driver-green).
-    "approx_distinct_users_hll",
-    # r1-only-attested stale block, graph family first (VERDICT r4 #3
-    # names it explicitly) ...
-    "graph_degrees",
-    "graph_bidirectional_edges",
-    "graph_two_hop_paths",
-    "graph_triangles",
-    "graph_connected_components",
-    "graph_pagerank",
-    "graph_shortest_paths",
-    # ... the full TPC-H r1 block ...
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_nation_profit",
-    "q10_returned_items",
-    "q12_priority_by_linestatus",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_bracket_revenue",
-    "q22_idle_rich_customers",
-    # ... the r1 reporting/ETL tail (the six VERDICT r4 #3 names, then
-    # the ten deferred-from-r4 reporting queries; avg_quantity_by_
-    # returnflag left out — it re-attested green in r4).
-    "customer_balance_etl",
-    "nation_customer_supplier_setops",
-    "orders_by_year_month",
-    "returnflag_linestatus_pivot",
-    "sql_nation_supplier_analytics",
-    "top_orders_per_priority",
-    "active_nation_keys",
-    "char_count",
-    "customers_without_orders",
-    "lineitem_cube",
-    "lineitem_rollup",
-    "part_name_words",
+    # New in r6: streaming engine attested through a REAL
+    # StreamingQuery (x2), the compaction audit, the persisted ANN
+    # index, and the 22-query TPC-H suite smoke row.
+    "streaming_hourly_windows_parity",
+    "streaming_session_windows_parity",
+    "orders_compaction_audit",
+    "ivf_pq_ann_persisted_index",
+    "tpch_suite_rowcounts",
+    # r1-only-attested stragglers (cut from r5's window tail).
     "sum_quantity_by_linestatus",
     "top_customers_by_balance",
     "word_count",
-    # The ~50-query sample window has ~7 slots left after the full
-    # r1-stale block — start draining the r2-only block (alphabetical
-    # head) so r6's window shrinks.
+    # The full r2-only-green block, bench watch item first, the
+    # rest alphabetical (deterministic tail for the r7 cut).
+    "term_count_min_sketch",
     "ann_cosine_topk",
     "ann_knn_join_bruteforce",
     "bpe_pair_counts",
@@ -148,11 +93,46 @@ _SAMPLE_PRIORITY = (
     "customer_feature_engineering",
     "dedup_exact_groups",
     "doc_fingerprints",
-    # NOTE r6 rotation: with the above green, every remaining catalog
-    # query is r2-attested or newer. r6's window should hold the rest of
-    # the r2-only-green block (38 queries after the 7 drained above —
-    # compute the list from CORRECTNESS_r0{1..5} union as r5 did), then
-    # start on r3-only, keeping only r6-changed/new queries ahead.
+    "doc_language_id",
+    "doc_quality_scores",
+    "doc_tfidf_top_terms",
+    "doc_token_counts",
+    "documents_global_row_index",
+    "documents_leakage_safe_split",
+    "documents_per_source_sample",
+    "documents_vocab_encode",
+    "embedding_cosine_near_dups",
+    "embedding_kmeans_assign",
+    "embedding_label_centroids",
+    "event_type_stats",
+    "event_value_percentiles",
+    "events_cohort_retention",
+    "events_funnel_stages",
+    "events_hourly_gap_fill",
+    "events_hourly_windows",
+    "events_props_extraction",
+    "events_seasonal_anomalies",
+    "events_sessionization",
+    "events_sliding_windows",
+    "events_user_running_totals",
+    "events_value_histogram",
+    "events_value_outliers",
+    "events_value_stats",
+    "events_value_trend",
+    "ivf_ann_topk",
+    "latest_event_per_user",
+    "lineitem_grouping_sets",
+    "lineitem_price_quantity_stats",
+    "linestatus_metrics_unpivot",
+    "multimodal_binary_metadata",
+    "ngram_jaccard_near_dups",
+    "part_name_similarity_join",
+    "part_price_band_range_join",
+    "q13_customer_distribution",
+    "srp_lsh_cosine_near_dups",
+    # NOTE r7 rotation: whatever the ~50 cut drops from the tail
+    # above leads r7, followed by the r3-only-green block (46
+    # queries as of r5; recompute from CORRECTNESS_r0{1..6} union).
 )
 
 _REGISTRY: dict[str, "CatalogQuery"] = {}

@@ -72,9 +72,17 @@ def _single_partition_violations(plan: str) -> bool:
             continue
         child = lines[i + 1] if i + 1 < len(lines) else ""
         # "partial_" -> one pre-combined row per task (global aggregate);
-        # TakeOrderedAndProject -> the exchanged relation is LIMIT-bounded
-        # (top-K), constant-sized at any corpus scale.
-        if "partial_" not in child and "TakeOrderedAndProject" not in child:
+        # an EMPTY-function keyless HashAggregate is the same thing (it
+        # prints no partial_ marker but still emits <=1 row per task —
+        # Spark plans count-of-an-aggregate this way, e.g. the suite
+        # row's count over q6's own global agg); TakeOrderedAndProject ->
+        # the exchanged relation is LIMIT-bounded (top-K), constant-sized
+        # at any corpus scale.
+        if (
+            "partial_" not in child
+            and "HashAggregate(keys=[], functions=[]" not in child
+            and "TakeOrderedAndProject" not in child
+        ):
             return True
     return False
 
