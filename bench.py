@@ -74,14 +74,17 @@ def main() -> None:
     for _pass in range(2):
         for name, q in headline.items():
             timed_pass(name, q)
-    # Queries under 2s get a THIRD pass: their timings are dominated by
+    # Queries under 2.5s get a THIRD pass: their timings are dominated by
     # scheduler jitter (round 4 vs 3 showed unchanged-code sub-second
     # queries drifting up to 1.42x, and round 5's min-of-2 still showed
-    # 1.3-1.5x swings on 1-2s queries that re-timed solo at 1.07x), and
-    # min-of-3 tightens the floor where the noise-to-signal ratio is
-    # worst for a bounded amount of extra bench time.
+    # 1.3-1.5x swings on 1-2s queries that re-timed solo at 1.07x). The
+    # band was 2.0s in round 5; both round-5 watch items with unchanged
+    # code (term_count_min_sketch 1.46->2.09s, minhash_near_dup_candidates
+    # 1.32->1.73s) sat just above/below that cut in the driver's record, so
+    # round 6 widens it to 2.5s (VERDICT r5 #4) — min-of-3 now covers the
+    # whole noise-dominated band for a bounded amount of extra bench time.
     for name, q in headline.items():
-        if timings[name] < 2.0:
+        if timings[name] < 2.5:
             timed_pass(name, q)
     for name in headline:
         print(

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fixed_width_bin", "psi_drift"]
+__all__ = ["fixed_width_bin", "psi_drift", "rolling_psi_by_period"]
 
 NANO = 1_000_000_000
 
@@ -110,6 +110,97 @@ def psi_drift(
     term = (p_new - p_ref) * F.log(p_new / p_ref)
     return filled.select(
         *group_cols,
+        "bin",
+        "n_ref",
+        "n_new",
+        F.floor(term * F.lit(float(NANO)) + F.lit(0.5))
+        .cast("long")
+        .alias("psi_nano"),
+    )
+
+
+def rolling_psi_by_period(
+    df: DataFrame,
+    group_cols: list[str],
+    period_col: Column,
+    bin_col: Column,
+    n_bins: int,
+) -> DataFrame:
+    """ROLLING drift monitor: PSI of every period against its immediately
+    preceding period, per group — the windowed form of ``psi_drift``
+    (one fixed reference) that a scheduled ingest runs as a time series.
+    Returns one row per (group, period, bin) for every period after the
+    group's first: ``(*group_cols, period, bin, n_ref, n_new, psi_nano)``
+    where n_ref counts period-1 and n_new counts the period itself; the
+    same +1-smoothed integer-nano PSI term as ``psi_drift``.
+
+    A period with zero rows inside the group's observed span still gets
+    compared (its smoothed distribution is uniform) — an empty day IS
+    drift a monitor must flag; periods outside [min+1, max] are not
+    emitted (there is nothing to compare against).
+
+    Scale shape: ONE corpus scan into a (group, period, bin) hash
+    aggregate; the consecutive-period alignment is a self-join of that
+    aggregate (|groups| x |periods| x |bins| rows) on (group, period+1,
+    bin) — the corpus never shuffles twice and nothing is collected.
+    Per-(group, period) totals ride windows over the joined frame: every
+    bin a period actually held appears there, so the window sums are
+    exact totals, no extra pass.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(
+            *group_cols, period_col.alias("period"), bin_col.alias("bin")
+        )
+        .groupBy(*group_cols, "period", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    new_side = counts.select(
+        *group_cols, "period", "bin", F.col("n").alias("n_new")
+    )
+    ref_side = counts.select(
+        *group_cols,
+        (F.col("period") + F.lit(1)).alias("period"),
+        "bin",
+        F.col("n").alias("n_ref"),
+    )
+    joined = new_side.join(
+        ref_side, on=[*group_cols, "period", "bin"], how="full_outer"
+    )
+    bounds = counts.groupBy(*group_cols).agg(
+        F.min("period").alias("_pmin"), F.max("period").alias("_pmax")
+    )
+    w = Window.partitionBy(*group_cols, "period")
+    n_ref = F.coalesce(F.col("n_ref"), F.lit(0)).cast("long")
+    n_new = F.coalesce(F.col("n_new"), F.lit(0)).cast("long")
+    framed = (
+        joined.join(F.broadcast(bounds), on=list(group_cols))
+        .where(
+            (F.col("period") > F.col("_pmin"))
+            & (F.col("period") <= F.col("_pmax"))
+        )
+        .select(
+            *group_cols,
+            "period",
+            "bin",
+            n_ref.alias("n_ref"),
+            n_new.alias("n_new"),
+        )
+        .withColumn("_tr", F.sum("n_ref").over(w))
+        .withColumn("_tn", F.sum("n_new").over(w))
+    )
+    b = F.lit(float(n_bins))
+    p_ref = (F.col("n_ref") + F.lit(1.0)) / (F.col("_tr") + b)
+    p_new = (F.col("n_new") + F.lit(1.0)) / (F.col("_tn") + b)
+    term = (p_new - p_ref) * F.log(p_new / p_ref)
+    return framed.select(
+        *group_cols,
+        "period",
         "bin",
         "n_ref",
         "n_new",

@@ -1041,6 +1041,99 @@ def events_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RPSI_P = f"(tn + {float(_PSI_BINS)})"
+_RPSI_R = f"(tr + {float(_PSI_BINS)})"
+
+
+@register(
+    "events_daily_psi_monitor",
+    tags=("events", "quality", "monitoring", "window"),
+    description="ROLLING drift monitor (VERDICT r5 #7b): per-event-type "
+    "PSI time series, each day compared against the previous day over "
+    f"fixed value bins (width {_PSI_WIDTH}, {_PSI_BINS} bins) — the "
+    "windowed form of events_value_drift_psi a scheduled ingest charts "
+    "(operators/drift.py:rolling_psi_by_period)",
+    oracle=f"""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '1970-01-01',
+                                  CAST(ts AS DATE)) AS BIGINT) AS period,
+                   LEAST(CAST(floor(value / {_PSI_WIDTH}) AS BIGINT),
+                         {_PSI_BINS - 1}) AS bin,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2, 3
+        ),
+        nw AS (SELECT event_type, period, bin, n AS n_new FROM c),
+        rf AS (SELECT event_type, period + 1 AS period, bin, n AS n_ref
+               FROM c),
+        j AS (
+            SELECT COALESCE(nw.event_type, rf.event_type) AS event_type,
+                   COALESCE(nw.period, rf.period) AS period,
+                   COALESCE(nw.bin, rf.bin) AS bin,
+                   CAST(COALESCE(nw.n_new, 0) AS BIGINT) AS n_new,
+                   CAST(COALESCE(rf.n_ref, 0) AS BIGINT) AS n_ref
+            FROM nw FULL OUTER JOIN rf
+              ON nw.event_type = rf.event_type
+             AND nw.period = rf.period AND nw.bin = rf.bin
+        ),
+        b AS (SELECT event_type, min(period) AS pmin, max(period) AS pmax
+              FROM c GROUP BY 1),
+        jj AS (
+            SELECT j.*,
+                   CAST(sum(n_new) OVER (PARTITION BY j.event_type, j.period)
+                        AS BIGINT) AS tn,
+                   CAST(sum(n_ref) OVER (PARTITION BY j.event_type, j.period)
+                        AS BIGINT) AS tr
+            FROM j JOIN b ON j.event_type = b.event_type
+            WHERE j.period > b.pmin AND j.period <= b.pmax
+        ),
+        terms AS (
+            SELECT event_type, period, n_ref, n_new,
+                   CAST(floor(
+                       ((n_new + 1.0) / {_RPSI_P} - (n_ref + 1.0) / {_RPSI_R})
+                       * ln(((n_new + 1.0) / {_RPSI_P})
+                            / ((n_ref + 1.0) / {_RPSI_R}))
+                       * 1000000000.0 + 0.5) AS BIGINT) AS psi_nano
+            FROM jj
+        )
+        SELECT event_type, period AS day_idx,
+               CAST(sum(n_ref) AS BIGINT) AS n_ref,
+               CAST(sum(n_new) AS BIGINT) AS n_new,
+               CAST(sum(psi_nano) AS BIGINT) AS psi_nano
+        FROM terms GROUP BY 1, 2
+    """,
+)
+def events_daily_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day PSI per event type: one (event_type, day) row with
+    the summed integer-nano PSI (bin-level floors summed as exact longs,
+    so the series is engine-replayable) plus both days' event totals.
+    Day index = days since epoch (integer — cross-engine-stable, unlike
+    a timestamp at the month boundary). Plan: one corpus scan into the
+    (type, day, bin) aggregate, consecutive-day self-join of that tiny
+    aggregate, window totals, pure-expression PSI — see
+    operators/drift.py:rolling_psi_by_period."""
+    from data_algorithms_with_pyspark_spark.operators.drift import (
+        fixed_width_bin,
+        rolling_psi_by_period,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    per_bin = rolling_psi_by_period(
+        events,
+        ["event_type"],
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long"),
+        fixed_width_bin(F.col("value"), _PSI_WIDTH, _PSI_BINS),
+        _PSI_BINS,
+    )
+    return per_bin.groupBy(
+        "event_type", F.col("period").alias("day_idx")
+    ).agg(
+        F.sum("n_ref").alias("n_ref"),
+        F.sum("n_new").alias("n_new"),
+        F.sum("psi_nano").alias("psi_nano"),
+    )
+
+
 _DP_SEED = "dp-v1"
 _DP_EPSILON = 1.0
 

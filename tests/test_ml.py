@@ -207,6 +207,67 @@ def test_psi_drift_known_answer(spark):
     assert len(got) == 4
 
 
+def test_rolling_psi_by_period_known_answer(spark):
+    """Day-over-day PSI: consecutive alignment, gap-day handling (an
+    empty period inside the span is compared as zero-count), and the
+    [min+1, max] emission window."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_algorithms_with_pyspark_spark.operators.drift import (
+        fixed_width_bin,
+        rolling_psi_by_period,
+    )
+
+    rows = (
+        [("a", 1, 1.0)] * 6 + [("a", 1, 15.0)] * 4      # period 1
+        + [("a", 2, 1.0)] * 2 + [("a", 2, 15.0)] * 8    # period 2
+        + [("a", 4, 25.0)] * 3                          # period 4 (gap at 3)
+    )
+    df = spark.createDataFrame(rows, ["g", "p", "v"])
+    out = rolling_psi_by_period(
+        df,
+        ["g"],
+        F.col("p").cast("long"),
+        fixed_width_bin(F.col("v"), 10.0, 3),
+        3,
+    ).collect()
+    got = {
+        (r["g"], r["period"], r["bin"]): (r["n_ref"], r["n_new"], r["psi_nano"])
+        for r in out
+    }
+
+    def term(nr, nn, tr, tn, b=3):
+        pr = (nr + 1.0) / (tr + float(b))
+        pn = (nn + 1.0) / (tn + float(b))
+        return math.floor((pn - pr) * math.log(pn / pr) * 1e9 + 0.5)
+
+    # period 2 vs 1: both present, totals 10/10
+    assert got[("a", 2, 0)] == (6, 2, term(6, 2, 10, 10))
+    assert got[("a", 2, 1)] == (4, 8, term(4, 8, 10, 10))
+    # period 3 is an EMPTY day inside the span: compared as zero-count
+    assert got[("a", 3, 0)] == (2, 0, term(2, 0, 10, 0))
+    assert got[("a", 3, 1)] == (8, 0, term(8, 0, 10, 0))
+    # period 4 vs the empty 3: ref total 0
+    assert got[("a", 4, 2)] == (0, 3, term(0, 3, 0, 3))
+    # nothing before min+1 (no period-1 rows) and nothing past max
+    assert len(got) == 5
+    # guards shared with psi_drift
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rolling_psi_by_period(
+            df, [], F.col("p").cast("long"),
+            fixed_width_bin(F.col("v"), 10.0, 3), 3,
+        )
+    with _pytest.raises(ValueError):
+        rolling_psi_by_period(
+            df, ["g"], F.col("p").cast("long"),
+            fixed_width_bin(F.col("v"), 10.0, 1), 1,
+        )
+
+
 def test_psi_drift_guards(spark):
     import pytest as _pytest
     from pyspark.sql import functions as F
