@@ -76,6 +76,7 @@ _SAMPLE_PRIORITY = (
     # index, and the 22-query TPC-H suite smoke row.
     "streaming_hourly_windows_parity",
     "streaming_session_windows_parity",
+    "streaming_cdc_sink_parity",
     "orders_compaction_audit",
     "ivf_pq_ann_persisted_index",
     "tpch_suite_rowcounts",

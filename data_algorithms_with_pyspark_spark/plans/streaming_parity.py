@@ -37,6 +37,7 @@ from data_algorithms_with_pyspark_spark.sources.readers import load_table
 __all__ = [
     "streaming_hourly_windows_parity",
     "streaming_session_windows_parity",
+    "streaming_cdc_sink_parity",
 ]
 
 # One stream-source dir per (process, sf_dir): the events parquet rewritten
@@ -196,5 +197,145 @@ def streaming_session_windows_parity(
         .agg(
             F.count("*").alias("n_sessions"),
             F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "streaming_cdc_sink_parity",
+    tags=("streaming", "merge", "cdc"),
+    description="REAL StreamingQuery through the foreachBatch CDC merge "
+    "sink (streaming/events.py:stream_cdc_sink): the orders_cdc_replay "
+    "changelog split into three seq-ordered micro-batch files, applied "
+    "batch-by-batch onto the parquet snapshot with checkpointed "
+    "exactly-once replay — the final serving table matches the batch "
+    "MERGE oracle exactly",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+            FROM orders
+        ),
+        target AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+        changelog AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, price_cents,
+                   'I' AS op, CAST(1 AS BIGINT) AS seq
+            FROM base WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, price_cents + 100,
+                   'U', CAST(1 AS BIGINT)
+            FROM base WHERE o_orderkey % 5 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, price_cents + 250,
+                   'U', CAST(2 AS BIGINT)
+            FROM base WHERE o_orderkey % 5 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, price_cents,
+                   'D', CAST(3 AS BIGINT)
+            FROM base WHERE o_orderkey % 11 = 0
+        ),
+        latest AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY o_orderkey ORDER BY seq DESC
+                ) AS rn FROM changelog
+            ) WHERE rn = 1
+        ),
+        merged AS (
+            SELECT t.* FROM target t
+            WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
+            FROM latest WHERE op <> 'D'
+        )
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               CAST(sum(price_cents) AS BIGINT) AS total_cents
+        FROM merged GROUP BY o_orderstatus
+    """,
+)
+def streaming_cdc_sink_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders_cdc_replay executed AS A STREAM: the same derived I/U/D
+    changelog, but arriving as three micro-batches (one file per seq
+    epoch, written sequentially so the file source's (mtime, path) order
+    replays them in seq order) through ``stream_cdc_sink`` — a real
+    ``foreachBatch`` StreamingQuery with a checkpoint, upserting each
+    batch into the parquet serving table. Because batch i carries
+    exactly the seq-i images, "later batches win by application order"
+    coincides with the batch MERGE's "highest seq wins": the final table
+    — and therefore the per-status report — is bit-identical to
+    orders_cdc_replay's (same oracle). Fresh target/checkpoint/source
+    dirs per invocation keep the replay self-contained.
+
+    Within batch 1, keys in both the I and U seq-1 images (%35) are an
+    intra-batch tie the window breaks arbitrarily — immaterial, since
+    batch 2's seq-2 update overwrites every %5 key."""
+    import glob
+    import shutil
+
+    from data_algorithms_with_pyspark_spark.streaming.events import (
+        stream_cdc_sink,
+    )
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+    )
+    key = F.col("o_orderkey")
+
+    def image(where, price, op, seq):
+        return base.where(where).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            price.cast("long").alias("price_cents"),
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+
+    price = F.col("price_cents")
+    batches = [
+        image(key % 7 == 0, price, "I", 1).unionByName(
+            image(key % 5 == 0, price + 100, "U", 1)
+        ),
+        image(key % 5 == 0, price + 250, "U", 2),
+        image(key % 11 == 0, price, "D", 3),
+    ]
+    root = tempfile.mkdtemp(prefix="cdc_stream_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for i, b in enumerate(batches, 1):
+        staging = os.path.join(root, f"stage_{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        # sequential writes -> strictly later mtimes AND ascending names:
+        # the file source's (timestamp, path) order replays seq order
+        shutil.move(part, os.path.join(src, f"{i:02d}.parquet"))
+    target_path = os.path.join(root, "target")
+    base.where(key % 7 != 0).write.parquet(target_path)
+    changelog_stream = (
+        spark.readStream.schema(
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "price_cents long, op string, seq long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_cdc_sink(
+        changelog_stream,
+        target_path,
+        keys=["o_orderkey"],
+        checkpoint_dir=os.path.join(root, "ckpt"),
+    )
+    return (
+        spark.read.parquet(target_path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("price_cents").alias("total_cents"),
         )
     )
