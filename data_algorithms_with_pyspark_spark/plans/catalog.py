@@ -81,6 +81,7 @@ _SAMPLE_PRIORITY = (
     "ivf_pq_ann_persisted_index",
     "tpch_suite_rowcounts",
     "events_daily_psi_monitor",
+    "events_selfjoin_explosion_audit",
     # r1-only-attested stragglers (cut from r5's window tail).
     "sum_quantity_by_linestatus",
     "top_customers_by_balance",

@@ -2925,6 +2925,110 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXPLODE_FACTOR = 10  # flag a self-join whose output exceeds 10x the input
+
+
+@register(
+    "events_selfjoin_explosion_audit",
+    tags=("sketch", "optimizer"),
+    description=f"Join-planning GUARD wired from the CMS estimator "
+    f"(VERDICT r5 #7a): |events SELF-JOIN on user_id| priced from one "
+    f"{_CMS_ROWS}x{_CMS_WIDTH} sketch's self inner product BEFORE "
+    "running it, flagged would_explode when the estimate exceeds "
+    f"{_EXPLODE_FACTOR}x the input — the pre-flight check that stops a "
+    "quadratic per-key blowup from ever being submitted; the exact size "
+    "(from per-key counts, the join itself never materializes) rides "
+    "along to show the decision was right",
+    oracle=f"""
+        WITH rows_ AS (SELECT unnest(range(0, {_CMS_ROWS})) AS r),
+        c AS (
+            SELECT r, ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' ||
+                           CAST(user_id AS VARCHAR)), 1, 6))::BIGINT
+                          % {_CMS_WIDTH} AS bucket,
+                   count(*) AS n
+            FROM events CROSS JOIN rows_ GROUP BY 1, 2
+        ),
+        dot AS (
+            SELECT r, CAST(sum(n * n) AS BIGINT) AS d FROM c GROUP BY r
+        ),
+        est AS (SELECT CAST(min(d) AS BIGINT) AS cms_estimate FROM dot),
+        truth AS (
+            SELECT CAST(sum(n * n) AS BIGINT) AS true_join_size,
+                   CAST(sum(n) AS BIGINT) AS input_rows
+            FROM (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+        )
+        SELECT truth.input_rows, truth.true_join_size, est.cms_estimate,
+               est.cms_estimate > {_EXPLODE_FACTOR} * truth.input_rows
+                   AS would_explode,
+               truth.true_join_size > {_EXPLODE_FACTOR} * truth.input_rows
+                   AS does_explode
+        FROM truth, est
+    """,
+)
+def events_selfjoin_explosion_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The optimizer-primitive USE case for the CMS join estimator: a
+    self-join on a hot key is the classic accidental O(sum n_k^2)
+    explosion, and the sketch prices it from ONE pass over the input
+    (the self inner product needs only one sketch). would_explode is
+    the planner's decision (estimate vs a 10x-input budget);
+    does_explode recomputes it from the exact size — CMS overestimates
+    only (one-sided error), so would_explode=false PROVES safe-to-run,
+    while a true explosion can never sneak under the guard. All-integer
+    and exactly replayed by the oracle."""
+    events = load_table(spark, sf_dir, "events")
+
+    def bucket(r: int, col) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"{r}:"), col.cast("string")))
+        return F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % _CMS_WIDTH
+
+    cells = (
+        events.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).cast("long").alias("r"),
+                            bucket(r, F.col("user_id")).alias("bucket"),
+                        )
+                        for r in range(_CMS_ROWS)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .select("cell.r", "cell.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    est = (
+        cells.groupBy("r")
+        .agg(F.sum(F.col("n") * F.col("n")).alias("d"))
+        .agg(F.min("d").alias("cms_estimate"))
+    )
+    truth = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum(F.col("n") * F.col("n")).alias("true_join_size"),
+            F.sum("n").alias("input_rows"),
+        )
+    )
+    return truth.crossJoin(est).select(
+        "input_rows",
+        "true_join_size",
+        "cms_estimate",
+        (
+            F.col("cms_estimate")
+            > F.lit(_EXPLODE_FACTOR) * F.col("input_rows")
+        ).alias("would_explode"),
+        (
+            F.col("true_join_size")
+            > F.lit(_EXPLODE_FACTOR) * F.col("input_rows")
+        ).alias("does_explode"),
+    )
+
+
 _HH_K = 150  # certify every term above 1/150 of the token stream
 
 
