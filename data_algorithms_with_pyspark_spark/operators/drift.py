@@ -140,12 +140,15 @@ def rolling_psi_by_period(
     emitted (there is nothing to compare against).
 
     Scale shape: ONE corpus scan into a (group, period, bin) hash
-    aggregate; the consecutive-period alignment is a self-join of that
-    aggregate (|groups| x |periods| x |bins| rows) on (group, period+1,
-    bin) — the corpus never shuffles twice and nothing is collected.
-    Per-(group, period) totals ride windows over the joined frame: every
-    bin a period actually held appears there, so the window sums are
-    exact totals, no extra pass.
+    aggregate; each aggregate row then EXPLODES into its two roles --
+    (period, n_new) and (period+1, n_ref) -- and a second,
+    aggregate-sized aggregation realigns them. No self-join and no
+    second corpus scan: the naive full-outer-self-join form planned
+    THREE parquet scans because Catalyst would not reuse the shifted
+    aggregate subtree (caught by plan audit, round 6); everything past
+    the first aggregate is |groups| x |periods| x |bins| rows.
+    Per-(group, period) totals and the group's observed [min, max]
+    period bounds ride windows over that same small frame.
     """
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
@@ -160,39 +163,49 @@ def rolling_psi_by_period(
         .groupBy(*group_cols, "period", "bin")
         .agg(F.count("*").alias("n"))
     )
-    new_side = counts.select(
-        *group_cols, "period", "bin", F.col("n").alias("n_new")
-    )
-    ref_side = counts.select(
+    roles = counts.select(
         *group_cols,
-        (F.col("period") + F.lit(1)).alias("period"),
         "bin",
-        F.col("n").alias("n_ref"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("period").alias("p"),
+                    F.col("n").alias("n_new"),
+                    F.lit(0).cast("long").alias("n_ref"),
+                ),
+                F.struct(
+                    (F.col("period") + F.lit(1)).alias("p"),
+                    F.lit(0).cast("long").alias("n_new"),
+                    F.col("n").alias("n_ref"),
+                ),
+            )
+        ).alias("e"),
     )
-    joined = new_side.join(
-        ref_side, on=[*group_cols, "period", "bin"], how="full_outer"
-    )
-    bounds = counts.groupBy(*group_cols).agg(
-        F.min("period").alias("_pmin"), F.max("period").alias("_pmax")
+    aligned = roles.groupBy(
+        *group_cols, F.col("e.p").alias("period"), "bin"
+    ).agg(
+        F.sum("e.n_ref").alias("n_ref"),
+        F.sum("e.n_new").alias("n_new"),
     )
     w = Window.partitionBy(*group_cols, "period")
-    n_ref = F.coalesce(F.col("n_ref"), F.lit(0)).cast("long")
-    n_new = F.coalesce(F.col("n_new"), F.lit(0)).cast("long")
+    wg = Window.partitionBy(*group_cols)
     framed = (
-        joined.join(F.broadcast(bounds), on=list(group_cols))
+        aligned.withColumn("_tr", F.sum("n_ref").over(w))
+        .withColumn("_tn", F.sum("n_new").over(w))
+        # observed-period bounds from the same frame: a period with real
+        # data always carries n_new > 0 rows
+        .withColumn(
+            "_pmin",
+            F.min(F.when(F.col("n_new") > 0, F.col("period"))).over(wg),
+        )
+        .withColumn(
+            "_pmax",
+            F.max(F.when(F.col("n_new") > 0, F.col("period"))).over(wg),
+        )
         .where(
             (F.col("period") > F.col("_pmin"))
             & (F.col("period") <= F.col("_pmax"))
         )
-        .select(
-            *group_cols,
-            "period",
-            "bin",
-            n_ref.alias("n_ref"),
-            n_new.alias("n_new"),
-        )
-        .withColumn("_tr", F.sum("n_ref").over(w))
-        .withColumn("_tn", F.sum("n_new").over(w))
     )
     b = F.lit(float(n_bins))
     p_ref = (F.col("n_ref") + F.lit(1.0)) / (F.col("_tr") + b)
