@@ -64,12 +64,22 @@ def sessionize(
     lag + cumulative sum over a per-user window — the batch form of
     streaming ``session_window`` (streaming/events.py has that form).
     Output: input columns + ``session_id`` (0-based per user).
+
+    The gap is MICROSECOND-exact (``unix_micros``), matching the
+    oracles' fractional ``epoch()`` arithmetic (exact: micros-since-
+    epoch sit well inside double's 2^53 integer range). The original
+    ``cast(ts as long)`` truncated to whole seconds, so a gap of e.g.
+    1800.3s could truncate to exactly 1800 and land on the wrong side
+    of the strict-> rule — caught as three real mismatches by the
+    round-6 independently-seeded alt draw (seed 1313); the driver's
+    seeds and the seed-777 draw never produced a gap in the truncation
+    window.
     """
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col("event_id"))
-    prev_ts = F.lag(F.col(ts_col)).over(w)
-    gap_sec = F.col(ts_col).cast("long") - prev_ts.cast("long")
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    gap_us = F.unix_micros(F.col(ts_col)) - prev_us
     is_new = F.when(
-        prev_ts.isNull() | (gap_sec > gap_minutes * 60), F.lit(1)
+        prev_us.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     return events.withColumn(
         "session_id",
