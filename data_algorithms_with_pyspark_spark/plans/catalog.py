@@ -67,13 +67,15 @@ _SAMPLE_PRIORITY = (
     # blocks. After r5 the union of driver attestation is 192/192;
     # staleness from the five CORRECTNESS files: 3 queries are
     # r1-only-green, 45 are r2-only-green (computed exactly as the
-    # r5 rotation did). This window = 5 new + 3 r1 + 45 r2 = 53;
-    # a ~50 sample covers all but the last ~3 r2 entries, which lead
+    # r5 rotation did). This window = 8 new + 3 r1 + 45 r2 = 56;
+    # a ~50 sample covers all but the last ~6 r2 entries, which lead
     # r7's window together with the r3-only block.
     #
-    # New in r6: streaming engine attested through a REAL
-    # StreamingQuery (x2), the compaction audit, the persisted ANN
-    # index, and the 22-query TPC-H suite smoke row.
+    # New in r6: streaming engine attested through REAL
+    # StreamingQueries (windowed aggs x2 + the foreachBatch CDC merge
+    # sink), the compaction audit, the persisted ANN index, the
+    # 22-query TPC-H suite smoke row, the rolling PSI monitor, and the
+    # CMS self-join explosion guard.
     "streaming_hourly_windows_parity",
     "streaming_session_windows_parity",
     "streaming_cdc_sink_parity",
