@@ -272,14 +272,20 @@ def srp_banded_near_dup_pairs(
 
 
 def ivf_assign(
-    vecs: DataFrame, n_lists: int, id_col: str = "vec_id"
+    vecs: DataFrame,
+    n_lists: int,
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment ``(id_col, cid)`` for IVF / SemDeDup.
 
     ``vecs`` must carry ``(id_col, vec: array<double>)``; centroids are the
     vectors with the first ``n_lists`` ids (deterministic stand-in for
     trained k-means centroids — swap in trained ones without touching the
-    plan).
+    plan). Pass ``centroids`` (``(cid, cvec)`` rows) explicitly to assign a
+    SUBSET of the corpus against the full corpus's pinned centroids — the
+    incremental-index case, where deriving centroids from the subset's own
+    low ids would silently change the quantizer.
 
     Scale shape: broadcast nested-loop against n_lists rows (the corpus
     never shuffles) followed by one hash aggregate on id. The argmax packs
@@ -294,11 +300,18 @@ def ivf_assign(
     at |cos|<=1; exact ties still break to the lower centroid id via the
     packed low bits.
     """
-    cents = vecs.where(F.col(id_col) < n_lists).select(
-        F.col(id_col).alias("cid"),
-        F.col("vec").alias("cvec"),
-        l2_norm(F.col("vec")).alias("_cn"),
-    )
+    if centroids is None:
+        cents = vecs.where(F.col(id_col) < n_lists).select(
+            F.col(id_col).alias("cid"),
+            F.col("vec").alias("cvec"),
+            l2_norm(F.col("vec")).alias("_cn"),
+        )
+    else:
+        cents = centroids.select(
+            F.col("cid"),
+            F.col("cvec"),
+            l2_norm(F.col("cvec")).alias("_cn"),
+        )
     vecs = vecs.withColumn("_vn", l2_norm(F.col("vec")))
     cos_vc = cosine_with_norms(
         F.col("vec"), F.col("cvec"), F.col("_vn"), F.col("_cn")

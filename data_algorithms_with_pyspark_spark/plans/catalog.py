@@ -78,9 +78,11 @@ _SAMPLE_PRIORITY = (
     # CMS self-join explosion guard.
     "streaming_hourly_windows_parity",
     "streaming_session_windows_parity",
+    "streaming_sliding_windows_parity",
     "streaming_cdc_sink_parity",
     "orders_compaction_audit",
     "ivf_pq_ann_persisted_index",
+    "ivf_pq_ann_incremental_index",
     "tpch_suite_rowcounts",
     "events_daily_psi_monitor",
     "events_selfjoin_explosion_audit",

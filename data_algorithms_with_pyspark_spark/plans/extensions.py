@@ -1574,6 +1574,44 @@ def ivf_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_qv_and_probes(vecs):
+    """Query vector + the 4 probe list ids for the persisted-index ANN
+    queries: two bounded collects (1 row, 4 rows) on the same quantized
+    1e15 cosine grid ivf_assign and the oracle's probes CTE use."""
+    from data_algorithms_with_pyspark_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    qrow = vecs.where(F.col("vec_id") == _ANN_QUERY_ID).collect()[0]
+    qv = [float(x) for x in qrow["vec"]]
+    cents = vecs.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    probe_rows = (
+        cents.crossJoin(
+            F.broadcast(
+                vecs.where(F.col("vec_id") == _ANN_QUERY_ID).select(
+                    F.col("vec").alias("qvec")
+                )
+            )
+        )
+        .select(
+            "cid",
+            F.floor(
+                (cosine_similarity(F.col("cvec"), F.col("qvec")) + F.lit(1.0))
+                * F.lit(1e15)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("qc_q"),
+        )
+        .orderBy(F.col("qc_q").desc(), "cid")
+        .limit(4)
+        .collect()
+    )
+    return qv, [int(r["cid"]) for r in probe_rows]
+
+
 @register(
     "ivf_pq_ann_persisted_index",
     bench=True,
@@ -1611,7 +1649,6 @@ def ivf_pq_ann_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     from data_algorithms_with_pyspark_spark.functions.vectors import (
-        cosine_similarity,
         to_double_array,
     )
     from data_algorithms_with_pyspark_spark.operators.similarity import (
@@ -1642,35 +1679,7 @@ def ivf_pq_ann_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_partitioned_table(
             codes.repartition(F.col("cid")), idx, partition_cols=("cid",)
         )
-    qrow = vecs.where(F.col("vec_id") == _ANN_QUERY_ID).collect()[0]
-    qv = [float(x) for x in qrow["vec"]]
-    cents = vecs.where(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
-    )
-    probe_rows = (
-        cents.crossJoin(
-            F.broadcast(
-                vecs.where(F.col("vec_id") == _ANN_QUERY_ID).select(
-                    F.col("vec").alias("qvec")
-                )
-            )
-        )
-        .select(
-            "cid",
-            # same 1e15 grid as ivf_assign / the oracle's probes CTE
-            F.floor(
-                (cosine_similarity(F.col("cvec"), F.col("qvec")) + F.lit(1.0))
-                * F.lit(1e15)
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("qc_q"),
-        )
-        .orderBy(F.col("qc_q").desc(), "cid")
-        .limit(4)
-        .collect()
-    )
-    probe_cids = [int(r["cid"]) for r in probe_rows]
+    qv, probe_cids = _ann_qv_and_probes(vecs)
     cand = (
         spark.table(idx)
         .where(F.col("cid").isin(probe_cids))
@@ -1686,6 +1695,113 @@ def ivf_pq_ann_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cid joins back from the PROBED candidate scan (not a second
         # full-index pass); hive partition discovery types cid as INT,
         # cast back to the oracle's BIGINT
+        topk.join(cand.select("vec_id", "cid"), on="vec_id")
+        .join(vecs, on="vec_id")
+        .select(
+            "vec_id", F.col("cid").cast("long").alias("cid"), "adc_nano",
+            true_nano,
+        )
+        .orderBy("adc_nano", "vec_id")
+    )
+
+
+@register(
+    "ivf_pq_ann_incremental_index",
+    tags=("similarity", "ann", "bucketed", "io", "incremental"),
+    description=f"IVF-PQ ANN top-{_ANN_K} over a PERSISTED HISTORY index "
+    "plus a fresh daily increment: history codes (7/8 of the corpus) are "
+    "hive-partitioned on list id and written once; each run encodes ONLY "
+    "the 1/8 increment with the FROZEN codebook and unions it into the "
+    "probed scan — the day-2 operating shape of a production ANN "
+    "deployment (frozen quantizers, incremental list appends); result "
+    "identical to the full-corpus ivf_pq_ann_topk (same oracle)",
+    oracle=f"""{_IVF_PQ_TOPK_CTES}
+        SELECT t.vec_id, t.cid, t.adc_nano,
+               CAST(floor(list_aggregate(list_transform(
+                   range(1, {_PQ_M * _PQ_W} + 1),
+                   i -> (v.vec[i] - q.qvec[i]) * (v.vec[i] - q.qvec[i])),
+                   'sum') * 1e9 + 0.5) AS BIGINT) AS true_nano
+        FROM topk t JOIN v USING (vec_id), q
+        ORDER BY t.adc_nano, t.vec_id
+    """,
+)
+def ivf_pq_ann_incremental_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental half of the persisted-ANN story (the near-dup
+    family's ``incremental_near_dup_persisted_index`` pattern applied to
+    ANN): the HISTORY (vec_id % 8 != 0) is encoded + assigned once into
+    a list-partitioned table; the daily increment (vec_id % 8 == 0) is
+    encoded per run with the SAME FROZEN codebook and centroids (the
+    first-16-ids vectors of the full corpus — production codebooks are
+    trained once and pinned, which is exactly what makes incremental
+    encoding valid), filtered to the probe lists, and unioned with the
+    probed history partitions before ADC ranking. Per-run cost: encode
+    1/8 of the corpus + scan 4-of-16 history partitions; the 7/8
+    history is NEVER re-encoded. The top-k over history ∪ increment
+    equals the full-corpus top-k, so the oracle is ivf_pq_ann_topk's,
+    unchanged — a cross-engine proof that the incremental composition
+    loses nothing."""
+    import hashlib
+
+    from data_algorithms_with_pyspark_spark.functions.vectors import (
+        to_double_array,
+    )
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        _sub_d2,
+        ivf_assign,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+    from data_algorithms_with_pyspark_spark.sources.writers import (
+        write_partitioned_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", to_double_array("embedding").alias("vec"))
+    cb = pq_codebook(vecs, m=_PQ_M, ksub=_PQ_KSUB, vec_col="vec")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = f"ann_ivfpq_hist_{key}"
+    # the PINNED quantizer: full-corpus centroids (vec_id < 16), passed
+    # explicitly so history/increment subsets are assigned against the
+    # same lists the oracle's assign CTE replays — deriving centroids
+    # from a subset's own low ids would silently change the quantizer
+    pinned_cents = vecs.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    if not spark.catalog.tableExists(idx):
+        hist = vecs.where(F.col("vec_id") % 8 != 0)
+        codes = pq_encode(hist, cb, vec_col="vec").join(
+            ivf_assign(hist, 16, centroids=pinned_cents), on="vec_id"
+        )
+        write_partitioned_table(
+            codes.repartition(F.col("cid")), idx, partition_cols=("cid",)
+        )
+    qv, probe_cids = _ann_qv_and_probes(vecs)
+    increment = vecs.where(F.col("vec_id") % 8 == 0)
+    inc_codes = (
+        pq_encode(increment, cb, vec_col="vec")
+        .join(
+            ivf_assign(increment, 16, centroids=pinned_cents), on="vec_id"
+        )
+        .where(F.col("cid").isin(probe_cids))
+    )
+    hist_cand = (
+        spark.table(idx)
+        .where(F.col("cid").isin(probe_cids))
+        .select("vec_id", "pq_code", F.col("cid").cast("long").alias("cid"))
+    )
+    cand = hist_cand.unionByName(inc_codes).where(
+        F.col("vec_id") != _ANN_QUERY_ID
+    )
+    topk = pq_adc_topk(cand, cb, qv, k=_ANN_K)
+    true_nano = (
+        F.floor(_sub_d2(F.col("vec"), 0, qv) * F.lit(1e9) + F.lit(0.5))
+        .cast("long")
+        .alias("true_nano")
+    )
+    return (
         topk.join(cand.select("vec_id", "cid"), on="vec_id")
         .join(vecs, on="vec_id")
         .select(

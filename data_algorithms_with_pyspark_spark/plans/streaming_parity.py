@@ -37,6 +37,7 @@ from data_algorithms_with_pyspark_spark.sources.readers import load_table
 __all__ = [
     "streaming_hourly_windows_parity",
     "streaming_session_windows_parity",
+    "streaming_sliding_windows_parity",
     "streaming_cdc_sink_parity",
 ]
 
@@ -198,6 +199,66 @@ def streaming_session_windows_parity(
             F.count("*").alias("n_sessions"),
             F.sum("n_events").alias("n_events"),
         )
+    )
+
+
+@register(
+    "streaming_sliding_windows_parity",
+    tags=("streaming", "window", "events"),
+    description="REAL StreamingQuery: SLIDING 1h/30min event-time windows "
+    "per event type (each event in exactly 2 epoch-aligned windows, 2 "
+    "open window states per group closed as batches advance) over the "
+    "4-file multi-batch stream into a complete-mode memory sink; the "
+    "oracle replays the window expansion as batch SQL",
+    oracle="""
+        WITH w AS (
+            SELECT make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800
+                                        - 1800 * i) AS BIGINT) * 1000000)
+                       AS window_start,
+                   event_type, value
+            FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) offsets
+        )
+        SELECT window_start, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor((value) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   / 100.0 AS sum_value
+        FROM w
+        GROUP BY window_start, event_type
+    """,
+)
+def streaming_sliding_windows_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of events_sliding_windows executed AS A STREAM —
+    the overlapping-window state exercise (two live windows per
+    (window, type) group instead of tumbling's one). Same integer-cent
+    in-state aggregation and watermark as the hourly parity query."""
+    from data_algorithms_with_pyspark_spark.schemas import TABLE_SCHEMAS
+
+    src = _events_stream_source(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+    )
+    sink = _run_complete(agg, "sliding_parity")
+    return spark.table(sink).select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        (F.col("sum_cents") / 100.0).alias("sum_value"),
     )
 
 
