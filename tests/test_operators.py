@@ -902,3 +902,40 @@ def test_certified_heavy_hitters_grouped_exact_under_any_partitioning(spark):
             ).collect()
         }
         assert got == want, (parts, got)
+
+
+def test_ivf_assign_pinned_centroids(spark):
+    """A corpus SUBSET assigned against explicit full-corpus centroids
+    must agree with the full-corpus assignment restricted to that
+    subset — the incremental-index contract. Deriving centroids from
+    the subset's own low ids (the default) gives a different quantizer
+    when the subset is missing low-id vectors."""
+    from pyspark.sql import functions as F
+
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) for d in range(4)])
+        for i in range(40)
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "vec"])
+    full = {
+        r["vec_id"]: r["cid"] for r in ivf_assign(vecs, 4).collect()
+    }
+    cents = vecs.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    subset = vecs.where(F.col("vec_id") % 8 == 0)  # excludes ids 1-3
+    pinned = {
+        r["vec_id"]: r["cid"]
+        for r in ivf_assign(subset, 4, centroids=cents).collect()
+    }
+    assert pinned == {i: full[i] for i in pinned}
+    # and the default (subset-derived centroids) really is a different
+    # quantizer here — the guard this parameter exists for
+    unpinned = {
+        r["vec_id"]: r["cid"] for r in ivf_assign(subset, 4).collect()
+    }
+    assert unpinned != pinned
