@@ -107,6 +107,7 @@ def compact_partitioned_table(
     dest_path: str,
     partition_cols: tuple[str, ...],
     target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within: tuple[str, ...] = (),
 ) -> dict:
     """Rewrite the hive-partitioned parquet table at ``src_path`` to
     ``dest_path`` with the SAME partition layout and size-targeted files:
@@ -130,6 +131,12 @@ def compact_partitioned_table(
       partition is rewritten by ~n_files(p) tasks instead of one
       straggler. Hash collisions between salt groups merely co-locate
       writes; the record cap above still enforces the size invariant.
+
+    ``sort_within`` additionally clusters rows inside each output file
+    (``sortWithinPartitions``): compaction is the natural moment to
+    restore row-group min/max locality a churned table has lost, so a
+    later ``WHERE sort_col BETWEEN ...`` skips whole row groups (the
+    write_range_clustered layout, applied at maintenance time).
 
     Returns a report dict: partitions, files/bytes before, files after.
     """
@@ -165,6 +172,10 @@ def compact_partitioned_table(
         .repartition(*[F.col(c) for c in partition_cols], F.col("__salt"))
         .drop("__salt")
     )
+    if sort_within:
+        salted = salted.sortWithinPartitions(
+            *[F.col(c) for c in (*partition_cols, *sort_within)]
+        )
     salted.write.mode("overwrite").option(
         "maxRecordsPerFile", records_per_file
     ).partitionBy(*partition_cols).parquet(dest_path)

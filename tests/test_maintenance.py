@@ -95,3 +95,58 @@ def test_compact_empty_source_raises(spark, tmp_path):
         compact_partitioned_table(
             spark, str(tmp_path / "nothing"), str(tmp_path / "out"), ("x",)
         )
+
+
+def test_compact_multi_column_string_partitions(spark, tmp_path):
+    """Layout preservation with a (string, long) two-level hive layout —
+    the directory-name canonicalization path (string cast join)."""
+    frag, comp = str(tmp_path / "frag"), str(tmp_path / "comp")
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("long")
+    )
+    orders.repartition(5, F.col("o_orderkey")).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderpriority", "o_year").parquet(frag)
+    before = partition_file_stats(
+        spark, frag, ("o_orderpriority", "o_year")
+    )
+    assert any(s.n_files > 1 for s in before)
+    compact_partitioned_table(
+        spark,
+        frag,
+        comp,
+        ("o_orderpriority", "o_year"),
+        target_file_bytes=1 << 36,
+    )
+    after = partition_file_stats(spark, comp, ("o_orderpriority", "o_year"))
+    assert [s.values for s in after] == [s.values for s in before]
+    assert all(s.n_files == 1 for s in after)
+    assert _rows(spark, comp) == _rows(spark, frag)
+
+
+def test_compact_sort_within_clusters_files(spark, tmp_path):
+    """sort_within must cluster rows inside every output file (row-group
+    skipping restoration) while preserving the row multiset."""
+    frag, comp = str(tmp_path / "frag"), str(tmp_path / "comp")
+    _fragment_orders(spark, frag)
+    compact_partitioned_table(
+        spark,
+        frag,
+        comp,
+        ("o_year",),
+        target_file_bytes=1 << 36,
+        sort_within=("o_orderkey",),
+    )
+    assert _rows(spark, comp) == _rows(spark, frag)
+    out = spark.read.parquet(comp).select(
+        F.input_file_name().alias("f"), "o_orderkey"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
+    violations = (
+        out.withColumn("prev", F.lag("o_orderkey").over(w))
+        .where(F.col("prev").isNotNull() & (F.col("prev") > F.col("o_orderkey")))
+        .count()
+    )
+    assert violations == 0
