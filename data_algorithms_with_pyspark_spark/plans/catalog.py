@@ -79,6 +79,7 @@ _SAMPLE_PRIORITY = (
     "streaming_hourly_windows_parity",
     "streaming_session_windows_parity",
     "streaming_sliding_windows_parity",
+    "streaming_stream_join_parity",
     "streaming_cdc_sink_parity",
     "orders_compaction_audit",
     "ivf_pq_ann_persisted_index",

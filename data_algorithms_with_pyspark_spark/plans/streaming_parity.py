@@ -39,6 +39,7 @@ __all__ = [
     "streaming_session_windows_parity",
     "streaming_sliding_windows_parity",
     "streaming_cdc_sink_parity",
+    "streaming_stream_join_parity",
 ]
 
 # One stream-source dir per (process, sf_dir): the events parquet rewritten
@@ -71,6 +72,49 @@ def _run_complete(stream_df: DataFrame, prefix: str) -> str:
     name = f"{prefix}_{next(_SINK_SEQ)}"
     q = (
         stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+# Time-ORDERED stream source (separate cache): files hold disjoint
+# ascending ts ranges and carry strictly increasing mtimes, so the file
+# source replays the month in order — the arrival pattern under which a
+# watermark never drops in-time data (stream-stream joins REQUIRE
+# watermarks; the random-split source above would lose late batches).
+_ORDERED_SRC_CACHE: dict[str, str] = {}
+
+
+def _events_stream_source_ordered(spark: SparkSession, sf_dir: str) -> str:
+    path = _ORDERED_SRC_CACHE.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    out = tempfile.mkdtemp(prefix="events_stream_ordered_")
+    load_table(spark, sf_dir, "events").repartitionByRange(
+        4, F.col("ts")
+    ).write.mode("overwrite").parquet(out)
+    # part-0000i name order == ts-range order; bump mtimes to match so
+    # the source's (modTime, path) ordering is unambiguous
+    import time as _time
+
+    now = _time.time()
+    for i, name in enumerate(sorted(os.listdir(out))):
+        if name.startswith("part-"):
+            os.utime(os.path.join(out, name), (now + i, now + i))
+    _ORDERED_SRC_CACHE[sf_dir] = out
+    return out
+
+
+def _run_append(stream_df: DataFrame, prefix: str) -> str:
+    """availableNow run into an append-mode memory sink; returns the
+    sink table name after termination."""
+    name = f"{prefix}_{next(_SINK_SEQ)}"
+    q = (
+        stream_df.writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
@@ -259,6 +303,73 @@ def streaming_sliding_windows_parity(
         "event_type",
         "n_events",
         (F.col("sum_cents") / 100.0).alias("sum_value"),
+    )
+
+
+@register(
+    "streaming_stream_join_parity",
+    tags=("streaming", "join", "events"),
+    description="REAL stream-STREAM inner join (clicks x purchases, "
+    "1h event-time range condition, 2h watermarks bounding both sides' "
+    "state) over the time-ordered 4-file stream, append-mode memory "
+    "sink — the oracle replays the interval join as one batch SQL "
+    "self-join",
+    oracle="""
+        SELECT p.user_id,
+               p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               p.ts AS purchase_ts,
+               c.ts AS click_ts,
+               CAST(floor(p.value * 100 + 0.5) AS BIGINT) AS purchase_cents
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def streaming_stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/events.py:streaming_click_purchase_join driven to
+    completion: two independent file-source streams over the SAME
+    time-ordered directory (clicks filter, purchases filter), joined
+    with the event-time range condition. Inner stream-stream joins emit
+    matches in the micro-batch where both sides have arrived; with
+    in-order arrival the 2h watermark (eviction horizon, > the 1h join
+    horizon + one batch of slack) never evicts a click that a later
+    purchase still needs — so the append sink accumulates EXACTLY the
+    batch interval join, which the oracle replays. This is the state-
+    bounding contract of production stream-stream joins, attested
+    cross-engine."""
+    from data_algorithms_with_pyspark_spark.schemas import TABLE_SCHEMAS
+    from data_algorithms_with_pyspark_spark.streaming.events import (
+        streaming_click_purchase_join,
+    )
+
+    src = _events_stream_source_ordered(spark, sf_dir)
+
+    def read():
+        return (
+            spark.readStream.schema(TABLE_SCHEMAS["events"])
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    clicks = read().where(F.col("event_type") == "click")
+    purchases = read().where(F.col("event_type") == "purchase")
+    joined = streaming_click_purchase_join(
+        clicks, purchases, horizon="1 hour", watermark="2 hours"
+    )
+    sink = _run_append(joined, "ss_join_parity")
+    return spark.table(sink).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+        F.floor(F.col("purchase_value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("purchase_cents"),
     )
 
 
