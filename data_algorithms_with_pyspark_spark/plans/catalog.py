@@ -80,6 +80,7 @@ _SAMPLE_PRIORITY = (
     "streaming_session_windows_parity",
     "streaming_sliding_windows_parity",
     "streaming_stream_join_parity",
+    "streaming_stateful_totals_parity",
     "streaming_cdc_sink_parity",
     "orders_compaction_audit",
     "ivf_pq_ann_persisted_index",

@@ -40,6 +40,7 @@ __all__ = [
     "streaming_sliding_windows_parity",
     "streaming_cdc_sink_parity",
     "streaming_stream_join_parity",
+    "streaming_stateful_totals_parity",
 ]
 
 # One stream-source dir per (process, sf_dir): the events parquet rewritten
@@ -107,6 +108,21 @@ def _events_stream_source_ordered(spark: SparkSession, sf_dir: str) -> str:
             os.utime(os.path.join(out, name), (now + i, now + i))
     _ORDERED_SRC_CACHE[sf_dir] = out
     return out
+
+
+def _run_update(stream_df: DataFrame, prefix: str) -> str:
+    """availableNow run into an update-mode memory sink (appends each
+    batch's updated rows); returns the sink table name."""
+    name = f"{prefix}_{next(_SINK_SEQ)}"
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
 
 
 def _run_append(stream_df: DataFrame, prefix: str) -> str:
@@ -370,6 +386,63 @@ def streaming_stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("purchase_value") * 100 + F.lit(0.5))
         .cast("long")
         .alias("purchase_cents"),
+    )
+
+
+@register(
+    "streaming_stateful_totals_parity",
+    tags=("streaming", "stateful", "events"),
+    description="REAL applyInPandasWithState StreamingQuery: per-user "
+    "running (count, integer-cent total) state updated across the 4 "
+    "micro-batches, update-mode memory sink; the FINAL state per user "
+    "(max event count row) must equal the batch per-user aggregate the "
+    "oracle computes — attests the custom-stateful-operator path "
+    "(Arrow-batched state updates) end-to-end",
+    oracle="""
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   / 100.0 AS total_value
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def streaming_stateful_totals_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """streaming/events.py:streaming_user_running_totals driven to
+    completion. The update-mode sink holds one row per (user, batch
+    that touched the user); n_events is strictly increasing per user,
+    so max(struct(n_events, total_value)) picks the final state
+    deterministically. The state's integer-cent lane makes the totals
+    independent of how the random file split batches each user's rows —
+    the same order-independence rule the windowed parities rely on,
+    here inside CUSTOM state."""
+    from data_algorithms_with_pyspark_spark.schemas import TABLE_SCHEMAS
+    from data_algorithms_with_pyspark_spark.streaming.events import (
+        streaming_user_running_totals,
+    )
+
+    src = _events_stream_source(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    totals = streaming_user_running_totals(stream)
+    sink = _run_update(totals, "stateful_totals_parity")
+    # final state = the max-n_events row per user; rank-1 window filter
+    # plans as WindowGroupLimit (a max(struct(...)) aggregate would carry
+    # a struct buffer and fall back to SortAggregate — the ivf_assign
+    # lesson, enforced by the plan lint)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(sink)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "n_events", "total_value")
     )
 
 

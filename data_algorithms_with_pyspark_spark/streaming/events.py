@@ -283,24 +283,36 @@ def streaming_user_running_totals(events: DataFrame) -> DataFrame:
     plans/events.py:events_user_running_totals' final per-user totals.
     Arrow-batched (pandas) on the Python side: the per-group update is a
     vectorized sum, never row-at-a-time.
+
+    The money total accumulates in INTEGER CENTS inside the state
+    (floor(v*100+0.5) per row), not floats: micro-batch composition
+    varies with file arrival order, and a float running sum would make
+    the emitted totals depend on that order (the catalog cents_sum rule,
+    applied to streaming state); total_value formats as cents/100.0.
     """
-    import pandas as pd  # local import: worker-side dependency
+    import numpy as np  # local import: worker-side dependency
+    import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def _update(key, pdfs, state):
-        n, total = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            vals = pdf["value"].fillna(0.0).to_numpy(dtype="float64")
+            cents += int(np.floor(vals * 100.0 + 0.5).sum())
+        state.update((n, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+            }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
         _update,
         outputStructType="user_id long, n_events long, total_value double",
-        stateStructType="n long, total double",
+        stateStructType="n long, cents long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
