@@ -240,3 +240,40 @@ def test_round3_scans_are_column_pruned(spark):
         assert all(unneeded not in s for s in schemas), (
             f"{name}: a scan reads unused column {unneeded}: {schemas}"
         )
+
+
+def test_persisted_ann_index_prunes_partitions(spark):
+    """The persisted IVF-PQ index must scan ONLY the probed list
+    partitions: a static IN PartitionFilter over the hive layout, with
+    the codes scan schema pruned to (vec_id, pq_code). This is the
+    entire point of the index — a regression to a full-table scan would
+    silently re-read all 16 lists."""
+    df = all_queries()["ivf_pq_ann_persisted_index"].fn(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    scan = None
+    for block in plan.split("\n\n"):
+        if "ann_ivfpq_idx_" in block and "PartitionFilters" in block:
+            scan = block
+            break
+    # formatted-block parsing can differ across versions; fall back to
+    # whole-plan assertions
+    target = scan or plan
+    assert "PartitionFilters: [cid" in target and " IN (" in target
+    # 4-of-16 probed directories, never all 16
+    import re
+
+    m = re.search(r"PartitionFilters: \[cid#\d+L? IN \(([^)]*)\)", target)
+    assert m is not None, target[:2000]
+    assert len(m.group(1).split(",")) == 4
+
+
+def test_incremental_ann_history_scan_is_probe_only(spark):
+    df = all_queries()["ivf_pq_ann_incremental_index"].fn(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[cid#\d+L? IN \(([^)]*)\)", plan)
+    assert m is not None and len(m.group(1).split(",")) == 4
+    # the per-run encode touches ONLY the increment: the embeddings scan
+    # feeding pq_encode must carry the %8 pushdown-able filter upstream
+    assert "ann_ivfpq_hist_" in plan
