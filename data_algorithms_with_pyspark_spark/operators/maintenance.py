@@ -27,10 +27,15 @@ performs; no row data ever reaches the driver.
 from __future__ import annotations
 
 import math
+import urllib.parse
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Directory-segment value hive writes for a NULL partition value.
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 __all__ = [
     "PartitionStat",
@@ -41,11 +46,26 @@ __all__ = [
 
 @dataclass(frozen=True)
 class PartitionStat:
-    """File statistics for one hive partition directory."""
+    """File statistics for one hive partition directory.
 
-    values: tuple[str, ...]  # partition-column values, layout order
+    ``values`` holds the DECODED partition values: hive's ``%XX``
+    directory escaping is reversed and the ``__HIVE_DEFAULT_PARTITION__``
+    sentinel becomes ``None`` — so consumers compare against real column
+    values, not directory spellings.
+    """
+
+    values: tuple[str | None, ...]  # decoded values, layout order
     n_files: int
     total_bytes: int
+
+
+def _decode_segment(raw: str) -> str | None:
+    """Reverse hive's directory-name encoding for one partition value:
+    ``%XX`` escapes (``%`` ``:`` ``/`` ``=`` etc.) and the NULL
+    sentinel directory."""
+    if raw == _HIVE_NULL:
+        return None
+    return urllib.parse.unquote(raw)
 
 
 def _hadoop_list(spark: SparkSession, path: str):
@@ -90,14 +110,17 @@ def partition_file_stats(
                     f"unexpected layout under {path!r}: segment {seg!r} "
                     f"does not match partition column {col!r}"
                 )
-            values.append(seg[len(prefix) :])
+            values.append(_decode_segment(seg[len(prefix) :]))
         key = tuple(values)
         slot = agg.setdefault(key, [0, 0])
         slot[0] += 1
         slot[1] += size
     return [
         PartitionStat(values=k, n_files=v[0], total_bytes=v[1])
-        for k, v in sorted(agg.items())
+        for k, v in sorted(
+            agg.items(),
+            key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
+        )
     ]
 
 
