@@ -167,6 +167,12 @@ def compact_partitioned_table(
     if not stats:
         raise ValueError(f"no data files under {src_path!r}")
     df = spark.read.parquet(src_path)
+    # a partition column whose every value is NULL infers as VOID from the
+    # directory names (there is no data-file schema for partition columns);
+    # VOID cannot be written back with partitionBy — carry it as string.
+    for c in partition_cols:
+        if dict(df.dtypes).get(c) == "void":
+            df = df.withColumn(c, F.col(c).cast("string"))
     total_bytes = sum(s.total_bytes for s in stats)
     total_rows = df.count()  # parquet metadata count, no data scan
     bytes_per_row = max(1.0, total_bytes / max(1, total_rows))
@@ -178,12 +184,19 @@ def compact_partitioned_table(
     # partition values arrive as strings from the directory names; compare
     # against the table's own (possibly typed) columns by casting the
     # table side to string — the same canonicalization hive layout uses.
-    plan = spark.createDataFrame(
-        plan_rows, schema=[*(f"__{c}" for c in partition_cols), "__nf"]
+    # Explicit schema: a partition whose only value is NULL would otherwise
+    # fail name-only type inference.
+    plan_schema = T.StructType(
+        [T.StructField(f"__{c}", T.StringType()) for c in partition_cols]
+        + [T.StructField("__nf", T.LongType())]
     )
+    plan = spark.createDataFrame(plan_rows, schema=plan_schema)
     cond = None
     for c in partition_cols:
-        eq = F.col(c).cast("string") == F.col(f"__{c}")
+        # eqNullSafe: __HIVE_DEFAULT_PARTITION__ decodes to NULL, and
+        # NULL == NULL is NULL under plain equality — the inner join would
+        # silently drop every NULL-partition row.
+        eq = F.col(c).cast("string").eqNullSafe(F.col(f"__{c}"))
         cond = eq if cond is None else cond & eq
     data_cols = [c for c in df.columns]
     salt = F.pmod(
@@ -202,10 +215,18 @@ def compact_partitioned_table(
     salted.write.mode("overwrite").option(
         "maxRecordsPerFile", records_per_file
     ).partitionBy(*partition_cols).parquet(dest_path)
+    dest_rows = spark.read.parquet(dest_path).count()
+    if dest_rows != total_rows:
+        raise RuntimeError(
+            f"compaction row-count mismatch: source {total_rows} rows, "
+            f"destination {dest_rows} rows — refusing to report success "
+            f"on a rewrite that lost or duplicated data"
+        )
     after = partition_file_stats(spark, dest_path, partition_cols)
     return {
         "partitions": len(stats),
         "files_before": sum(s.n_files for s in stats),
         "bytes_before": sum(s.total_bytes for s in stats),
         "files_after": sum(s.n_files for s in after),
+        "rows": total_rows,
     }

@@ -124,6 +124,61 @@ def test_compact_multi_column_string_partitions(spark, tmp_path):
     assert _rows(spark, comp) == _rows(spark, frag)
 
 
+def test_compact_preserves_null_partition_rows(spark, tmp_path):
+    """NULL partition values land in __HIVE_DEFAULT_PARTITION__; the plan
+    join must be null-safe or those rows silently vanish (the r7 bug:
+    4-row table with 2 NULL-partition rows compacted to 2 rows)."""
+    frag, comp = str(tmp_path / "frag"), str(tmp_path / "comp")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, None)], "id long, k string"
+    )
+    df.repartition(2).write.mode("overwrite").partitionBy("k").parquet(frag)
+    before = partition_file_stats(spark, frag, ("k",))
+    assert any(s.values == (None,) for s in before)
+    report = compact_partitioned_table(
+        spark, frag, comp, ("k",), target_file_bytes=1 << 36
+    )
+    assert report["partitions"] == 2
+    after = partition_file_stats(spark, comp, ("k",))
+    assert [s.values for s in after] == [s.values for s in before]
+    assert _rows(spark, comp) == _rows(spark, frag)  # all 4 rows survive
+
+
+def test_compact_all_null_single_partition(spark, tmp_path):
+    """Single all-NULL partition: name-only plan schema would fail type
+    inference; the explicit StructType must carry it through."""
+    frag, comp = str(tmp_path / "frag"), str(tmp_path / "comp")
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None)], "id long, k string"
+    )
+    df.repartition(2).write.mode("overwrite").partitionBy("k").parquet(frag)
+    compact_partitioned_table(
+        spark, frag, comp, ("k",), target_file_bytes=1 << 36
+    )
+    assert _rows(spark, comp) == _rows(spark, frag)
+
+
+def test_compact_escaped_partition_values(spark, tmp_path):
+    """Hive %XX-escaped directory names (':' '=' '/' '%') must decode and
+    round-trip: every row survives and the layout is preserved."""
+    frag, comp = str(tmp_path / "frag"), str(tmp_path / "comp")
+    df = spark.createDataFrame(
+        [(1, "k:1"), (2, "k=2"), (3, "a/b"), (4, "100%"), (5, "plain")],
+        "id long, k string",
+    )
+    df.repartition(2).write.mode("overwrite").partitionBy("k").parquet(frag)
+    before = partition_file_stats(spark, frag, ("k",))
+    assert sorted(s.values[0] for s in before) == [
+        "100%", "a/b", "k:1", "k=2", "plain",
+    ]
+    compact_partitioned_table(
+        spark, frag, comp, ("k",), target_file_bytes=1 << 36
+    )
+    after = partition_file_stats(spark, comp, ("k",))
+    assert [s.values for s in after] == [s.values for s in before]
+    assert _rows(spark, comp) == _rows(spark, frag)
+
+
 def test_compact_sort_within_clusters_files(spark, tmp_path):
     """sort_within must cluster rows inside every output file (row-group
     skipping restoration) while preserving the row multiset."""
