@@ -684,44 +684,155 @@ def pq_train_codebook(
     m: int = 8,
     ksub: int = 16,
     max_iter: int = 5,
+    tol: float = 1e-6,
     id_col: str = "vec_id",
     vec_col: str = "vec",
 ) -> list[list[list[float]]]:
     """TRAINED PQ codebooks — per-subspace k-means (Jegou et al. 2011's
-    actual construction), built on ``clustering.kmeans_train``: subspace
-    s trains on the corpus's s-th dim-slice, independently of the others.
-    Returns the same ``codebook[s][c]`` shape as ``pq_codebook``, so
-    ``pq_encode``/``pq_adc_topk`` consume it unchanged.
+    actual construction). Returns the same ``codebook[s][c]`` shape as
+    ``pq_codebook``, so ``pq_encode``/``pq_adc_topk`` consume it
+    unchanged.
 
-    The catalog queries keep the deterministic first-k-ids codebook
-    because their DuckDB oracles replay it exactly; Lloyd iterations
-    float-drift across engines, so the trained path is verified by
-    recall-improvement tests instead (the production trade: better
-    codebooks, weaker cross-engine replay). Cost: m independent k-means
-    runs, each over an (n x d/m) slice — one slice projection per run,
-    the corpus never shuffles (see kmeans_train's plan notes).
+    All m subspaces train in ONE Lloyd loop over the exploded
+    ``(id, s, subvector)`` table — per iteration the data motion is one
+    broadcast of the m*ksub centroids out (joined on s) and one
+    (id, s)-keyed packed-argmax aggregate plus one (s, cid, pos) mean
+    aggregate back; the corpus never shuffles and the driver round-trips
+    per iteration are CONSTANT in m (the naive construction runs m
+    sequential k-means loops = m times the driver latency; identical
+    math, since the subspaces are independent).
+
+    Determinism matches ``clustering.kmeans_train`` exactly: init is the
+    ksub lowest-id subvectors, every codeword coordinate is quantized to
+    the ``CENTROID_QUANT`` grid per round, assignment is the 1e15-grid
+    packed cosine argmax (ties to the lower code), empty clusters keep
+    their codeword, and the loop stops early when the max codeword L2
+    shift <= ``tol`` — so a DuckDB oracle can unroll the identical
+    iterations (``plans/extensions.pq_ann_trained_codebook``; pass
+    ``tol=0.0`` so early-stop can only fire on an exact fixpoint, which
+    replays identically).
     """
+    import math as _math
+
     if ksub < 2 or ksub & (ksub - 1):
         raise ValueError("ksub must be a power of two >= 2 (bit-packed codes)")
+    from data_algorithms_with_pyspark_spark.functions.vectors import (
+        cosine_with_norms,
+        l2_norm,
+    )
     from data_algorithms_with_pyspark_spark.operators.clustering import (
-        kmeans_train,
+        CENTROID_QUANT,
     )
 
-    first = vecs.select(to_double_array(vec_col).alias("v")).first()
-    if first is None:
+    spark = vecs.sparkSession
+    init = (
+        vecs.select(F.col(id_col).alias("vid"), to_double_array(vec_col).alias("v"))
+        .orderBy("vid")
+        .limit(ksub)
+        .collect()
+    )
+    if not init:
         raise ValueError("empty vector table")
-    dim = len(first["v"])
+    dim = len(init[0]["v"])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    if len(init) < ksub:
+        raise ValueError(f"need at least ksub={ksub} vectors, got {len(init)}")
     w = dim // m
-    codebook = []
-    for s in range(m):
-        sub = vecs.select(
-            F.col(id_col),
-            F.slice(to_double_array(vec_col), s * w + 1, w).alias("vec"),
+    codebook = [
+        [
+            [round(x, CENTROID_QUANT) for x in r["v"][s * w : (s + 1) * w]]
+            for r in init
+        ]
+        for s in range(m)
+    ]
+    sub = (
+        vecs.select(
+            F.col(id_col).alias("vid"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice(
+                                to_double_array(vec_col), s * w + 1, w
+                            ).alias("sv"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("e"),
         )
-        cents = kmeans_train(sub, k=ksub, max_iter=max_iter, id_col=id_col)
-        codebook.append([list(c) for c in cents])
+        .select("vid", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+        .withColumn("_vn", l2_norm(F.col("sv")))
+        .persist()
+    )
+    for _ in range(max_iter):
+        cents = spark.createDataFrame(
+            [(s, c, codebook[s][c]) for s in range(m) for c in range(ksub)],
+            "s int, cid int, cvec array<double>",
+        ).withColumn("_cn", l2_norm(F.col("cvec")))
+        # packed argmax per (vid, s): same grid/tie encoding as
+        # clustering.assign_to_centroids (ksub << the 4000 overflow cap)
+        packed = (
+            F.round(
+                (
+                    cosine_with_norms(
+                        F.col("sv"), F.col("cvec"), F.col("_vn"), F.col("_cn")
+                    )
+                    + F.lit(1.0)
+                )
+                * F.lit(1e15)
+            ).cast("long")
+            * F.lit(ksub)
+            + (F.lit(ksub - 1) - F.col("cid"))
+        )
+        assign = (
+            sub.join(F.broadcast(cents), on="s")
+            .groupBy("vid", "s")
+            .agg(F.max(packed).alias("best"))
+            .select(
+                "vid",
+                "s",
+                (F.lit(ksub - 1) - F.col("best") % ksub)
+                .cast("int")
+                .alias("cid"),
+            )
+        )
+        rows = (
+            sub.join(assign, on=["vid", "s"])
+            .select("s", "cid", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("s", "cid", "pos")
+            .agg(F.avg("val").alias("mv"))
+            .groupBy("s", "cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pm")
+            )
+            .select(
+                "s", "cid", F.transform("pm", lambda st: st["mv"]).alias("cvec")
+            )
+            .collect()  # m * ksub rows — driver state is codewords only
+        )
+        updated = {
+            (r["s"], r["cid"]): [round(x, CENTROID_QUANT) for x in r["cvec"]]
+            for r in rows
+        }
+        shift = 0.0
+        for s in range(m):
+            nxt = []
+            for c in range(ksub):
+                new = updated.get((s, c), codebook[s][c])
+                shift = max(
+                    shift,
+                    _math.sqrt(
+                        sum((a - b) ** 2 for a, b in zip(new, codebook[s][c]))
+                    ),
+                )
+                nxt.append(new)
+            codebook[s] = nxt
+        if shift <= tol:
+            break
+    sub.unpersist()
     return codebook
 
 

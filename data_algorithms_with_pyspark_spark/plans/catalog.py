@@ -59,73 +59,23 @@ _QUERY_MODULES = (
 # attestation covers every catalog query (scripts/driver_sim.py always
 # verifies all of them regardless of order).
 _SAMPLE_PRIORITY = (
-    # Round 6 rotation (VERDICT r5 #1). Ordering rule (unchanged):
+    # Round 8 rotation (VERDICT r7 #2). Ordering rule (unchanged):
     # new-this-round queries first, then the stalest re-attestation
-    # blocks. After r5 the union of driver attestation is 192/192;
-    # staleness from the five CORRECTNESS files: 3 queries are
-    # r1-only-green, 45 are r2-only-green (computed exactly as the
-    # r5 rotation did). This window = 8 new + 3 r1 + 45 r2 = 56;
-    # a ~50 sample covers all but the last ~6 r2 entries, which lead
-    # r7's window together with the r3-only block.
+    # blocks. Staleness from CORRECTNESS_r0{1..7} (scripts/staleness.py):
+    # 10 queries are r2-only-green and 46 are r3-only-green — the exact
+    # set the r7 window was supposed to drain and did not (r7 sampled
+    # the same 50 as r6). This window = 4 new + 10 r2 + 46 r3 = 60; the
+    # ~50 cut drops the alphabetical tail of the r3 block, which leads
+    # r9 together with the r4-stale block.
     #
-    # New in r6: streaming engine attested through REAL
-    # StreamingQueries (windowed aggs x2 + the foreachBatch CDC merge
-    # sink), the compaction audit, the persisted ANN index, the
-    # 22-query TPC-H suite smoke row, the rolling PSI monitor, and the
-    # CMS self-join explosion guard.
-    "streaming_hourly_windows_parity",
-    "streaming_session_windows_parity",
-    "streaming_sliding_windows_parity",
-    "streaming_stream_join_parity",
-    "streaming_stateful_totals_parity",
-    "streaming_cdc_sink_parity",
-    "orders_compaction_audit",
-    "ivf_pq_ann_persisted_index",
-    "ivf_pq_ann_incremental_index",
-    "tpch_suite_rowcounts",
-    "events_daily_psi_monitor",
-    "events_selfjoin_explosion_audit",
-    # r1-only-attested stragglers (cut from r5's window tail).
-    "sum_quantity_by_linestatus",
-    "top_customers_by_balance",
-    "word_count",
-    # The full r2-only-green block, bench watch item first, the
-    # rest alphabetical (deterministic tail for the r7 cut).
-    "term_count_min_sketch",
-    "ann_cosine_topk",
-    "ann_knn_join_bruteforce",
-    "bpe_pair_counts",
-    "clicks_last_purchase_asof",
-    "customer_feature_engineering",
-    "dedup_exact_groups",
-    "doc_fingerprints",
-    "doc_language_id",
-    "doc_quality_scores",
-    "doc_tfidf_top_terms",
-    "doc_token_counts",
-    "documents_global_row_index",
-    "documents_leakage_safe_split",
-    "documents_per_source_sample",
-    "documents_vocab_encode",
-    "embedding_cosine_near_dups",
-    "embedding_kmeans_assign",
-    "embedding_label_centroids",
-    "event_type_stats",
-    "event_value_percentiles",
-    "events_cohort_retention",
-    "events_funnel_stages",
-    "events_hourly_gap_fill",
-    "events_hourly_windows",
-    "events_props_extraction",
-    "events_seasonal_anomalies",
-    "events_sessionization",
-    "events_sliding_windows",
-    "events_user_running_totals",
-    "events_value_histogram",
-    "events_value_outliers",
-    "events_value_stats",
-    "events_value_trend",
-    "ivf_ann_topk",
+    # New in r8: trained-PQ-codebook ANN + its recall audit, the
+    # watermarked append-mode session parity, and the checkpointed
+    # stop/restart recovery attestation.
+    "pq_ann_trained_codebook",
+    "pq_trained_recall_report",
+    "streaming_append_sessions_parity",
+    "streaming_restart_recovery_parity",
+    # r2-only-green block (10), bench watch items first.
     "latest_event_per_user",
     "lineitem_grouping_sets",
     "lineitem_price_quantity_stats",
@@ -136,9 +86,58 @@ _SAMPLE_PRIORITY = (
     "part_price_band_range_join",
     "q13_customer_distribution",
     "srp_lsh_cosine_near_dups",
-    # NOTE r7 rotation: whatever the ~50 cut drops from the tail
-    # above leads r7, followed by the r3-only-green block (46
-    # queries as of r5; recompute from CORRECTNESS_r0{1..6} union).
+    # r3-only-green block (46), alphabetical (deterministic tail for
+    # the r9 cut).
+    "benchmark_contamination",
+    "bloom_term_membership",
+    "bpe_learned_merges",
+    "bpe_vocab_segmentation",
+    "brand_type_map_roundtrip",
+    "corpus_curation_pipeline",
+    "corpus_curation_v2",
+    "corpus_token_stats",
+    "corpus_vocabulary_coverage",
+    "corpus_weighted_mixture_sample",
+    "customer_balance_window_bounds",
+    "customer_segment_upsert",
+    "doc_boilerplate_ngrams",
+    "doc_char_lm_scores",
+    "doc_duplicated_spans",
+    "doc_gopher_quality_rules",
+    "doc_length_quantile_filter",
+    "doc_pii_scrub_report",
+    "doc_repeated_segment_dedup",
+    "doc_repetition_scores",
+    "doc_sequence_chunks",
+    "documents_hash_sample",
+    "embedding_hard_negatives",
+    "embedding_int8_quant_error",
+    "embedding_semdedup_prune",
+    "embedding_vector_stats",
+    "events_hourly_daily_rollup",
+    "events_value_ewma",
+    "exact_distinct_users",
+    "fasta_base_count",
+    "incremental_dedup_new_docs",
+    "kmv_distinct_users",
+    "minhash_near_dup_candidates",
+    "multimodal_audio_stats",
+    "multimodal_decoded_stats",
+    "multimodal_frame_pipeline",
+    "multimodal_video_stats",
+    "near_dup_clusters",
+    "orders_date_functions",
+    "orders_quality_report",
+    "orders_salted_join_agg",
+    "part_string_functions",
+    "rerank_topk",
+    "simhash_near_dup_candidates",
+    "term_posting_lists",
+    "training_shard_packing",
+    # NOTE r9 rotation: whatever the ~50 cut drops from the r3 tail
+    # above leads r9, followed by the r4-only-green block (48 queries
+    # as of r7; recompute from CORRECTNESS_r0{1..8} union via
+    # scripts/staleness.py).
 )
 
 _REGISTRY: dict[str, "CatalogQuery"] = {}
