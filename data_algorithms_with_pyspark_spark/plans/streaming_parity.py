@@ -41,6 +41,8 @@ __all__ = [
     "streaming_cdc_sink_parity",
     "streaming_stream_join_parity",
     "streaming_stateful_totals_parity",
+    "streaming_append_sessions_parity",
+    "streaming_restart_recovery_parity",
 ]
 
 # One stream-source dir per (process, sf_dir): the events parquet rewritten
@@ -582,5 +584,256 @@ def streaming_cdc_sink_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.sum("price_cents").alias("total_cents"),
+        )
+    )
+
+
+# --- round 8: watermarked append-mode + restart recovery ---------------------
+#
+# Both queries below run in APPEND mode with a real watermark — the
+# production state shape (state bounded by the watermark, emitted once,
+# then evicted), unlike the complete-mode rows above whose state holds
+# every window for the life of the query. Append emission needs the
+# watermark to PASS a window/session end before the row leaves the state
+# store, and the watermark only advances between micro-batches — so after
+# the last real file the trailing windows would sit unemitted forever.
+# The source builder therefore appends TWO single-row sentinel "flush"
+# files far beyond max(ts): flush-1's batch closes everything real
+# (watermark has passed max real ts once flush-1 is seen... at flush-2's
+# batch), flush-2's batch closes flush-1's own window; both sentinel rows
+# are filtered out of the result. Two files make the drain independent of
+# whether the engine schedules a trailing no-data batch.
+
+_FLUSH_USER = -1
+
+
+def _write_ts_split_files(
+    spark: SparkSession, sf_dir: str, dest: str, n_files: int = 4
+) -> int:
+    """Write the events table as ``n_files`` ts-range part files plus two
+    sentinel flush files into ``dest``, named/mtimed in ts order for the
+    file source. Returns the number of REAL (non-flush) files."""
+    import glob
+    import shutil
+    import time as _time
+
+    events = load_table(spark, sf_dir, "events")
+    staging = tempfile.mkdtemp(prefix="events_split_stage_")
+    events.repartitionByRange(n_files, F.col("ts")).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    max_ts = events.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    flush_stage = tempfile.mkdtemp(prefix="events_flush_stage_")
+    from datetime import timedelta
+
+    from data_algorithms_with_pyspark_spark.schemas import TABLE_SCHEMAS
+
+    for j in (1, 2):
+        row = [
+            (
+                -j,
+                max_ts + timedelta(days=30 * j),
+                _FLUSH_USER,
+                "__flush__",
+                0.0,
+                None,
+            )
+        ]
+        spark.createDataFrame(row, TABLE_SCHEMAS["events"]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(flush_stage, str(j)))
+        parts.append(
+            glob.glob(os.path.join(flush_stage, str(j), "part-*.parquet"))[0]
+        )
+    now = _time.time()
+    os.makedirs(dest, exist_ok=True)
+    for i, p in enumerate(parts):
+        tgt = os.path.join(dest, f"{i:05d}.parquet")
+        shutil.copy(p, tgt)
+        os.utime(tgt, (now + i, now + i))
+    shutil.rmtree(staging)
+    shutil.rmtree(flush_stage)
+    return len(parts) - 2
+
+
+_FLUSHED_SRC_CACHE: dict[str, str] = {}
+
+
+def _events_stream_source_flushed(spark: SparkSession, sf_dir: str) -> str:
+    path = _FLUSHED_SRC_CACHE.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    out = tempfile.mkdtemp(prefix="events_stream_flushed_")
+    _write_ts_split_files(spark, sf_dir, out)
+    _FLUSHED_SRC_CACHE[sf_dir] = out
+    return out
+
+
+@register(
+    "streaming_append_sessions_parity",
+    tags=("streaming", "window", "events", "watermark"),
+    description="REAL StreamingQuery in APPEND mode: watermarked "
+    "session_window (30 min gap) sessionization over the ts-ordered "
+    "multi-batch stream — state is bounded by the watermark and every "
+    "session emits exactly once when closed; sentinel flush batches drain "
+    "tail; oracle replays the session-boundary rule as batch SQL",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               CAST(sum(is_new) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM marked
+        GROUP BY user_id
+    """,
+)
+def streaming_append_sessions_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION shape of streaming sessionization (VERDICT r7 #6):
+    append output mode + a real 30-minute watermark, so the state store
+    holds only OPEN sessions — each closes and emits exactly once as the
+    watermark passes its end, then its state is evicted. (The
+    complete-mode row streaming_session_windows_parity attests the same
+    operator with unbounded replay state; this row attests the bounded
+    production configuration.)
+
+    The ts-ordered source makes the watermark safe: file i+1's rows are
+    all >= file i's max, so nothing is ever late; two sentinel flush
+    batches push the watermark past every real session end, draining the
+    tail (filtered out below). Session boundary convention matches the
+    native operator: a gap of exactly the 30-min window starts a new
+    session (>= in the oracle)."""
+    from data_algorithms_with_pyspark_spark.schemas import TABLE_SCHEMAS
+
+    src = _events_stream_source_flushed(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    sink = _run_append(sessions, "append_sessions_parity")
+    return (
+        spark.table(sink)
+        .where(F.col("user_id") != _FLUSH_USER)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "streaming_restart_recovery_parity",
+    tags=("streaming", "window", "events", "watermark", "checkpoint"),
+    description="REAL stop/restart attestation: a watermarked tumbling-"
+    "window aggregation runs as TWO StreamingQueries over ONE checkpoint "
+    "— query 1 processes half the files and terminates, the rest (plus "
+    "flush sentinels) arrive, query 2 recovers offsets AND window state "
+    "from the checkpoint and finishes into the same parquet sink; the "
+    "final table matches the batch oracle exactly-once across the restart",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor((value) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def streaming_restart_recovery_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once across a restart — the remaining untested streaming
+    property (VERDICT r7 #7). The execution path includes a REAL stop and
+    restart: run 1 sees only the first two ts-range files, aggregates
+    hourly windows into checkpointed state, emits the watermark-closed
+    prefix to the parquet sink, and TERMINATES. The remaining files (and
+    the flush sentinels) then arrive; run 2 is a brand-new StreamingQuery
+    on the SAME checkpoint + sink: it must recover the source offsets
+    (not re-read files 1-2), the sink commit log (not re-emit run 1's
+    windows), and the live window state (hours straddling the file-2/3
+    boundary have partial counts only in the recovered state store).
+    A duplicated, dropped, or re-emitted row anywhere breaks the batch
+    oracle compare.
+
+    Fresh source/checkpoint/sink dirs per invocation keep the restart
+    self-contained and deterministic (no timing races: run 1 terminates
+    via availableNow over the files present at start)."""
+    import glob
+    import shutil
+
+    from data_algorithms_with_pyspark_spark.schemas import TABLE_SCHEMAS
+
+    root = tempfile.mkdtemp(prefix="restart_parity_")
+    all_files = os.path.join(root, "all")
+    n_real = _write_ts_split_files(spark, sf_dir, all_files)
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+    staged = sorted(glob.glob(os.path.join(all_files, "*.parquet")))
+    half = max(1, n_real // 2)
+
+    def _arrive(paths):
+        for p in paths:
+            shutil.copy(p, os.path.join(src, os.path.basename(p)))
+            st = os.stat(p)
+            os.utime(
+                os.path.join(src, os.path.basename(p)),
+                (st.st_atime, st.st_mtime),
+            )
+
+    def _run_once():
+        stream = (
+            spark.readStream.schema(TABLE_SCHEMAS["events"])
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                ).alias("sum_cents"),
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _arrive(staged[:half])
+    _run_once()  # run 1: prefix only, then a real stop
+    _arrive(staged[half:])
+    _run_once()  # run 2: recovers offsets + state from the checkpoint
+    return (
+        spark.read.parquet(sink)
+        .where(F.col("event_type") != "__flush__")
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            (F.col("sum_cents") / 100.0).alias("sum_value"),
         )
     )
