@@ -134,10 +134,16 @@ def rolling_psi_by_period(
     where n_ref counts period-1 and n_new counts the period itself; the
     same +1-smoothed integer-nano PSI term as ``psi_drift``.
 
-    A period with zero rows inside the group's observed span still gets
-    compared (its smoothed distribution is uniform) — an empty day IS
-    drift a monitor must flag; periods outside [min+1, max] are not
-    emitted (there is nothing to compare against).
+    Empty-period rule (exact): a comparison is emitted whenever AT LEAST
+    ONE side has data. A single empty day inside the span is therefore
+    flagged twice — as the drift INTO it (n_new=0 vs the prior day) and
+    OUT of it (the next day vs an empty reference; +1 smoothing makes
+    the empty side uniform). Comparisons where BOTH periods are empty
+    (the interior steps of a run of >= 2 consecutive empty periods) are
+    NOT emitted: both sides smooth to the same uniform distribution, so
+    every such row would be psi_nano = 0 exactly — pure padding with no
+    signal. Periods outside [min+1, max] are not emitted (there is
+    nothing to compare against).
 
     Scale shape: ONE corpus scan into a (group, period, bin) hash
     aggregate; each aggregate row then EXPLODES into its two roles --

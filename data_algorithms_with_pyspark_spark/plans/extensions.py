@@ -70,6 +70,34 @@ _ANN_QUERY_ID = 0
 _ANN_K = 10
 
 
+def _sf_cache_key(sf_dir: str) -> str:
+    """Cache key for per-(process, sf_dir) persisted artifacts (the
+    ANN index tables): path PLUS a (size, mtime) fingerprint of the
+    embeddings parquet, so data regenerated at the same path invalidates
+    the cached index instead of silently serving stale codes (ADVICE r6
+    low item). O(1) driver-side stat — never a data scan."""
+    import hashlib
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    sig = sf_dir
+    try:
+        st = os.stat(p)
+        if os.path.isdir(p):
+            parts = sorted(
+                e for e in os.listdir(p) if not e.startswith((".", "_"))
+            )
+            sizes = ",".join(
+                str(os.stat(os.path.join(p, e)).st_size) for e in parts
+            )
+            sig = f"{sf_dir}|{len(parts)}|{sizes}"
+        else:
+            sig = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        pass
+    return hashlib.md5(sig.encode()).hexdigest()[:8]
+
+
 def _marker_sql(markers: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{m}'" for m in markers)
     return f"len(list_filter({_TOKENS}, t -> list_contains([{lst}], t)))"
@@ -1982,7 +2010,6 @@ def ivf_pq_ann_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans ONLY those partitions via a static IN filter, then ADC-ranks
     the 64x-compressed codes. true squared-L2 rides along as audit,
     exactly as in the in-query variant."""
-    import hashlib
 
     from data_algorithms_with_pyspark_spark.functions.vectors import (
         to_double_array,
@@ -2004,7 +2031,7 @@ def ivf_pq_ann_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic, identical at build and query time — persisting it
     # would save nothing (the codes table is the expensive artifact)
     cb = pq_codebook(vecs, m=_PQ_M, ksub=_PQ_KSUB, vec_col="vec")
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    key = _sf_cache_key(sf_dir)
     idx = f"ann_ivfpq_idx_{key}"
     if not spark.catalog.tableExists(idx):
         codes = pq_encode(vecs, cb, vec_col="vec").join(
@@ -2078,7 +2105,6 @@ def ivf_pq_ann_incremental_index(
     equals the full-corpus top-k, so the oracle is ivf_pq_ann_topk's,
     unchanged — a cross-engine proof that the incremental composition
     loses nothing."""
-    import hashlib
 
     from data_algorithms_with_pyspark_spark.functions.vectors import (
         to_double_array,
@@ -2097,7 +2123,7 @@ def ivf_pq_ann_incremental_index(
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", to_double_array("embedding").alias("vec"))
     cb = pq_codebook(vecs, m=_PQ_M, ksub=_PQ_KSUB, vec_col="vec")
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    key = _sf_cache_key(sf_dir)
     idx = f"ann_ivfpq_hist_{key}"
     # the PINNED quantizer: full-corpus centroids (vec_id < 16), passed
     # explicitly so history/increment subsets are assigned against the

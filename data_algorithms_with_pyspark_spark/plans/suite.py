@@ -38,7 +38,11 @@ _TPCH_NAMES = tuple(
         key=lambda n: int(re.match(r"q(\d+)", n).group(1)),
     )
 )
-assert len(_TPCH_NAMES) == 22, _TPCH_NAMES
+if len(_TPCH_NAMES) != 22:  # not an assert: must also fire under python -O
+    raise RuntimeError(
+        f"TPC-H suite expects exactly 22 q<n>_* catalog queries, found "
+        f"{len(_TPCH_NAMES)}: {_TPCH_NAMES}"
+    )
 
 _SUITE_ORACLE = "\nUNION ALL\n".join(
     f"SELECT '{name}' AS query_name,\n"
