@@ -99,9 +99,9 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Exact interpolated p25/p50/p75 of event value per type",
     oracle="""
         SELECT event_type,
-               round(quantile_cont(value, 0.25), 4) AS p25,
-               round(quantile_cont(value, 0.50), 4) AS p50,
-               round(quantile_cont(value, 0.75), 4) AS p75
+               floor(quantile_cont(value, 0.25) * 10000 + 0.5) / 10000 AS p25,
+               floor(quantile_cont(value, 0.50) * 10000 + 0.5) / 10000 AS p50,
+               floor(quantile_cont(value, 0.75) * 10000 + 0.5) / 10000 AS p75
         FROM events
         GROUP BY event_type
     """,
@@ -110,12 +110,20 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation at p*(n-1) — the same
     definition as DuckDB quantile_cont). Exact percentile is a full-sort
     aggregate per group; at 100 TB prefer approx_percentile (t-digest) —
-    exposed by the sketch queries below."""
+    exposed by the sketch queries below.
+
+    Rounding is the floor-grid form on BOTH sides (not round()): an
+    interpolated percentile can land on an exact *.xxxx5 shortest repr,
+    where Spark's BigDecimal-of-repr HALF_UP and DuckDB's true-binary
+    round diverge — caught as a real mismatch by the round-8 full-catalog
+    sf1 sweep (purchase p25 = 139.28945: spark 139.2895, duck 139.2894)."""
+    from data_algorithms_with_pyspark_spark.operators.text import floor_round4
+
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.25)), 4).alias("p25"),
-        F.round(F.percentile("value", F.lit(0.50)), 4).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.75)), 4).alias("p75"),
+        floor_round4(F.percentile("value", F.lit(0.25))).alias("p25"),
+        floor_round4(F.percentile("value", F.lit(0.50))).alias("p50"),
+        floor_round4(F.percentile("value", F.lit(0.75))).alias("p75"),
     )
 
 
