@@ -637,8 +637,8 @@ def doc_char_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_percentile is the drop-in at 100 TB, documented)",
     oracle="""
         WITH q AS (
-            SELECT round(quantile_cont(n_chars, 0.1), 4) AS p10,
-                   round(quantile_cont(n_chars, 0.9), 4) AS p90
+            SELECT floor(quantile_cont(n_chars, 0.1) * 10000 + 0.5) / 10000 AS p10,
+                   floor(quantile_cont(n_chars, 0.9) * 10000 + 0.5) / 10000 AS p90
             FROM documents
         )
         SELECT source, p10, p90,
@@ -658,10 +658,15 @@ def doc_length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``F.approx_percentile`` (t-digest, mergeable, no global sort) — the
     plan shape is identical; exact is used here so the DuckDB oracle can
     reproduce the thresholds to the bit."""
+    from data_algorithms_with_pyspark_spark.operators.text import floor_round4
+
     docs = load_table(spark, sf_dir, "documents")
+    # floor-grid rounding, not round(): an interpolated percentile can land
+    # on an exact *.xxxx5 shortest repr where the engines' round() diverge
+    # (the event_value_percentiles sf1 catch, round 8)
     q = docs.agg(
-        F.round(F.percentile("n_chars", F.lit(0.1)), 4).alias("p10"),
-        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90"),
+        floor_round4(F.percentile("n_chars", F.lit(0.1))).alias("p10"),
+        floor_round4(F.percentile("n_chars", F.lit(0.9))).alias("p90"),
     )
     kept = F.when(
         F.col("n_chars").between(F.col("p10"), F.col("p90")), 1

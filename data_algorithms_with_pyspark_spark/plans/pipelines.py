@@ -36,6 +36,7 @@ from data_algorithms_with_pyspark_spark.functions.text_functions import (
     words,
 )
 from data_algorithms_with_pyspark_spark.operators.dedup import (
+    floor_round,
     minhash_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -298,8 +299,8 @@ def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source,
                count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-               round(quantile_cont(n_tokens, 0.5), 2) AS p50_tokens,
-               round(quantile_cont(n_tokens, 0.9), 2) AS p90_tokens
+               floor(quantile_cont(n_tokens, 0.5) * 100 + 0.5) / 100 AS p50_tokens,
+               floor(quantile_cont(n_tokens, 0.9) * 100 + 0.5) / 100 AS p90_tokens
         FROM t GROUP BY source
     """,
 )
@@ -312,8 +313,14 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.percentile("n_tokens", F.lit(0.5)), 2).alias("p50_tokens"),
-            F.round(F.percentile("n_tokens", F.lit(0.9)), 2).alias("p90_tokens"),
+            # floor-grid (not round): interpolated percentiles can land on
+            # exact *.xx5 reprs where the engines' round() diverge
+            floor_round(F.percentile("n_tokens", F.lit(0.5)), 2).alias(
+                "p50_tokens"
+            ),
+            floor_round(F.percentile("n_tokens", F.lit(0.9)), 2).alias(
+                "p90_tokens"
+            ),
         )
     )
 
