@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_algorithms_with_pyspark_spark.operators.windows import sessionize
+from data_algorithms_with_pyspark_spark.operators.dedup import floor_round
 from data_algorithms_with_pyspark_spark.plans.catalog import cents_sum, register
 from data_algorithms_with_pyspark_spark.sources.readers import load_table
 
@@ -366,7 +367,7 @@ def events_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH wide AS (
             SELECT l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
-                   round(avg(l_discount), 4) AS avg_disc,
+                   floor(avg(l_discount) * 10000 + 0.5) / 10000 AS avg_disc,
                    CAST(count(*) AS DOUBLE)  AS n_items
             FROM lineitem GROUP BY l_linestatus
         )
@@ -384,7 +385,7 @@ def linestatus_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     wide = lineitem.groupBy("l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        floor_round(F.avg("l_discount"), 4).alias("avg_disc"),
         F.count("*").cast("double").alias("n_items"),
     )
     return wide.unpivot(
@@ -456,10 +457,10 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events GROUP BY event_type
         )
         SELECT e.event_id, e.event_type,
-               round(e.value, 2) AS value,
-               round(abs(e.value - s.mu) / s.sd, 4) AS abs_z
+               floor(e.value * 100 + 0.5) / 100 AS value,
+               floor(abs(e.value - s.mu) / s.sd * 10000 + 0.5) / 10000 AS abs_z
         FROM events e JOIN stats s USING (event_type)
-        WHERE round(abs(e.value - s.mu) / s.sd, 4) >= 3.0
+        WHERE floor(abs(e.value - s.mu) / s.sd * 10000 + 0.5) / 10000 >= 3.0
     """,
 )
 def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -471,13 +472,13 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = events.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
     )
-    abs_z = F.round(F.abs(F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    abs_z = floor_round(F.abs(F.col("value") - F.col("mu")) / F.col("sd"), 4)
     return (
         events.join(F.broadcast(stats), "event_type")
         .select(
             "event_id",
             "event_type",
-            F.round("value", 2).alias("value"),
+            floor_round(F.col("value"), 2).alias("value"),
             abs_z.alias("abs_z"),
         )
         .where(F.col("abs_z") >= 3.0)
@@ -494,9 +495,9 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                count(*) AS n,
-               round(regr_slope(value, epoch(ts) - 1700000000) * 86400, 4) AS slope_per_day,
-               round(regr_intercept(value, epoch(ts) - 1700000000), 4) AS intercept,
-               round(regr_r2(value, epoch(ts) - 1700000000), 4) AS r2
+               floor(regr_slope(value, epoch(ts) - 1700000000) * 86400 * 10000 + 0.5) / 10000 AS slope_per_day,
+               floor(regr_intercept(value, epoch(ts) - 1700000000) * 10000 + 0.5) / 10000 AS intercept,
+               floor(regr_r2(value, epoch(ts) - 1700000000) * 10000 + 0.5) / 10000 AS r2
         FROM events
         GROUP BY event_type
     """,
@@ -513,9 +514,9 @@ def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.unix_timestamp("ts").cast("double") - F.lit(1700000000.0)
     return events.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.regr_slope(F.col("value"), x) * 86400, 4).alias("slope_per_day"),
-        F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
-        F.round(F.regr_r2(F.col("value"), x), 4).alias("r2"),
+        floor_round(F.regr_slope(F.col("value"), x) * 86400, 4).alias("slope_per_day"),
+        floor_round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
+        floor_round(F.regr_r2(F.col("value"), x), 4).alias("r2"),
     )
 
 
@@ -688,11 +689,11 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT e.event_id, e.event_type,
                CAST(e.dow AS BIGINT) AS dow, CAST(e.hod AS BIGINT) AS hod,
-               round(e.value, 2) AS value,
-               round(abs(e.value - p.mu) / p.sd, 4) AS abs_z
+               floor(e.value * 100 + 0.5) / 100 AS value,
+               floor(abs(e.value - p.mu) / p.sd * 10000 + 0.5) / 10000 AS abs_z
         FROM slotted e JOIN profile p USING (dow, hod)
         WHERE p.n >= 2 AND p.sd > 0
-          AND round(abs(e.value - p.mu) / p.sd, 4) >= 2.5
+          AND floor(abs(e.value - p.mu) / p.sd * 10000 + 0.5) / 10000 >= 2.5
     """,
 )
 def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -719,7 +720,7 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_samp("value").alias("sd"),
         F.count("*").alias("n"),
     )
-    abs_z = F.round(F.abs(F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    abs_z = floor_round(F.abs(F.col("value") - F.col("mu")) / F.col("sd"), 4)
     return (
         slotted.join(F.broadcast(profile), on=["dow", "hod"])
         .where((F.col("n") >= 2) & (F.col("sd") > 0) & (abs_z >= 2.5))
@@ -728,7 +729,7 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "dow",
             "hod",
-            F.round("value", 2).alias("value"),
+            floor_round(F.col("value"), 2).alias("value"),
             abs_z.alias("abs_z"),
         )
     )
@@ -1215,7 +1216,7 @@ _MAD_CONSISTENCY = 0.6745  # Phi^-1(0.75): scales MAD to sigma-equivalent
             GROUP BY e.event_type
         )
         SELECT e.event_id, e.event_type,
-               round(e.value, 2) AS value,
+               floor(e.value * 100 + 0.5) / 100 AS value,
                floor({_MAD_CONSISTENCY!r} * abs(e.value - m.med) / d.mad
                      * 10000 + 0.5) / 10000 AS robust_z
         FROM events e
@@ -1268,7 +1269,7 @@ def events_value_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "event_type",
-            F.round("value", 2).alias("value"),
+            floor_round(F.col("value"), 2).alias("value"),
             rz.alias("robust_z"),
         )
         .where(F.col("robust_z") >= F.lit(_ROBUST_K))

@@ -386,12 +386,14 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY label, i
         )
         SELECT d.label, c.n,
-               round(sqrt(sum((d.s / c.n) * (d.s / c.n))), 6) AS centroid_norm
+               floor(sqrt(sum((d.s / c.n) * (d.s / c.n))) * 1000000 + 0.5) / 1000000 AS centroid_norm
         FROM dims d JOIN counts c USING (label)
         GROUP BY d.label, c.n
     """,
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_algorithms_with_pyspark_spark.operators.dedup import floor_round
+
     emb = load_table(spark, sf_dir, "embeddings")
     dim = 64
     vec = F.col("embedding").cast("array<double>")
@@ -404,7 +406,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = (F.col(f"_s{i}") / F.col("n")) * (F.col(f"_s{i}") / F.col("n"))
         sq = term if sq is None else sq + term
     return agg.select(
-        "label", "n", F.round(F.sqrt(sq), 6).alias("centroid_norm")
+        "label", "n", floor_round(F.sqrt(sq), 6).alias("centroid_norm")
     )
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_algorithms_with_pyspark_spark.operators.dedup import floor_round
 from data_algorithms_with_pyspark_spark.plans.catalog import (
     cents_sum,
     cents_sum_sql,
@@ -43,7 +44,7 @@ from data_algorithms_with_pyspark_spark.sources.readers import load_table
         SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
                CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
                count(*) AS n_orders,
-               round(avg(date_diff('day', o_orderdate, DATE '1998-12-31')), 4)
+               floor(avg(date_diff('day', o_orderdate, DATE '1998-12-31')) * 10000 + 0.5) / 10000
                    AS avg_age_days,
                {sum_price} AS sum_price,
                max(last_day(o_orderdate)) AS max_month_end,
@@ -71,7 +72,7 @@ def orders_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("quarter_start", "dow")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.avg("age_days"), 4).alias("avg_age_days"),
+            floor_round(F.avg("age_days"), 4).alias("avg_age_days"),
             cents_sum(F.col("o_totalprice")).alias("sum_price"),
             F.max("month_end").alias("max_month_end"),
             F.min("due_date").alias("min_due_date"),
@@ -129,10 +130,10 @@ def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT label,
                count(*) AS n_vectors,
-               round(avg(l2), 6) AS avg_l2_norm,
-               round(min(l2), 6) AS min_l2_norm,
+               floor(avg(l2) * 1000000 + 0.5) / 1000000 AS avg_l2_norm,
+               floor(min(l2) * 1000000 + 0.5) / 1000000 AS min_l2_norm,
                CAST(sum(n_pos) AS BIGINT) AS total_pos_dims,
-               round(avg(dim0), 6) AS avg_dim0
+               floor(avg(dim0) * 1000000 + 0.5) / 1000000 AS avg_dim0
         FROM v
         GROUP BY label
     """,
@@ -156,10 +157,10 @@ def embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_vec.groupBy("label").agg(
         F.count("*").alias("n_vectors"),
-        F.round(F.avg("l2"), 6).alias("avg_l2_norm"),
-        F.round(F.min("l2"), 6).alias("min_l2_norm"),
+        floor_round(F.avg("l2"), 6).alias("avg_l2_norm"),
+        floor_round(F.min("l2"), 6).alias("min_l2_norm"),
         F.sum("n_pos").cast("long").alias("total_pos_dims"),
-        F.round(F.avg("dim0"), 6).alias("avg_dim0"),
+        floor_round(F.avg("dim0"), 6).alias("avg_dim0"),
     )
 
 

@@ -36,6 +36,7 @@ from data_algorithms_with_pyspark_spark.operators.graph import (
     triangles,
     two_hop_paths,
 )
+from data_algorithms_with_pyspark_spark.operators.dedup import floor_round
 from data_algorithms_with_pyspark_spark.plans.catalog import register
 from data_algorithms_with_pyspark_spark.sources.readers import load_table
 
@@ -159,9 +160,9 @@ def sum_quantity_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Global stats + sign buckets (mappartitions_transformation.py "
     "per-partition summaries — semantics are the global aggregate)",
     oracle="""
-        SELECT round(min(value), 4) AS min_value,
-               round(max(value), 4) AS max_value,
-               round(sum(value), 2) AS sum_value,
+        SELECT floor(min(value) * 10000 + 0.5) / 10000 AS min_value,
+               floor(max(value) * 10000 + 0.5) / 10000 AS max_value,
+               floor(sum(value) * 100 + 0.5) / 100 AS sum_value,
                count(*)             AS n,
                count(*) FILTER (WHERE value < 0) AS n_negative,
                count(*) FILTER (WHERE value = 0) AS n_zero,
@@ -172,9 +173,9 @@ def sum_quantity_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return events.agg(
-        F.round(F.min("value"), 4).alias("min_value"),
-        F.round(F.max("value"), 4).alias("max_value"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        floor_round(F.min("value"), 4).alias("min_value"),
+        floor_round(F.max("value"), 4).alias("max_value"),
+        floor_round(F.sum("value"), 2).alias("sum_value"),
         F.count("*").alias("n"),
         F.count(F.when(F.col("value") < 0, 1)).alias("n_negative"),
         F.count(F.when(F.col("value") == 0, 1)).alias("n_zero"),
@@ -190,8 +191,8 @@ def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                count(*) AS n_events,
-               round(avg(value), 4) AS avg_value,
-               round(max(value), 4) AS max_value
+               floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value,
+               floor(max(value) * 10000 + 0.5) / 10000 AS max_value
         FROM events
         GROUP BY event_type
     """,
@@ -200,8 +201,8 @@ def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
-        F.round(F.max("value"), 4).alias("max_value"),
+        floor_round(F.avg("value"), 4).alias("avg_value"),
+        floor_round(F.max("value"), 4).alias("max_value"),
     )
 
 
@@ -369,7 +370,7 @@ def _pagerank_oracle_sql(iterations: int, damping: float) -> str:
     return (
         "WITH "
         + ",".join(ctes)
-        + f" SELECT id, round(rank, 6) AS rank FROM r{iterations}"
+        + f" SELECT id, floor(rank * 1000000 + 0.5) / 1000000 AS rank FROM r{iterations}"
     )
 
 
@@ -384,7 +385,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_algorithms_with_pyspark_spark.operators.iterative import pagerank
 
     ranks = pagerank(derived_edges(spark, sf_dir), iterations=10, damping=0.85)
-    return ranks.select("id", F.round("rank", 6).alias("rank"))
+    return ranks.select("id", floor_round(F.col("rank"), 6).alias("rank"))
 
 
 @register(

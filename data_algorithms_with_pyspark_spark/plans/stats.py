@@ -9,7 +9,12 @@ argmax-per-group via struct max, HyperLogLog distinct sketches, and a
 bucketed range join (operators/ranges.py) binning a fact column into
 intervals.
 
-Determinism: percentiles/corr are rounded on both sides; struct-max uses
+Determinism: percentiles/corr/variance use FLOOR-GRID rounding
+(floor(x*10^s + 0.5)/10^s) on both engine sides — never round(), whose
+half-way convention differs between the engines (Spark: HALF_UP on the
+shortest decimal repr; DuckDB: half-even on the repr digits) and
+diverges on any value whose repr terminates in 5 at scale+1 (the
+event_value_percentiles sf1 catch, round 8); struct-max uses
 a total order (ts, event_id unique tiebreak); the HLL sketch has no SQL
 oracle (rows-only check) — tests/test_operators.py bounds its error
 against the exact distinct count.
@@ -20,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_algorithms_with_pyspark_spark.operators.dedup import floor_round
 from data_algorithms_with_pyspark_spark.operators.ranges import bucketed_range_join
 from data_algorithms_with_pyspark_spark.plans.catalog import register
 from data_algorithms_with_pyspark_spark.sources.readers import load_table
@@ -133,10 +139,10 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="corr / stddev / variance of quantity & price per returnflag",
     oracle="""
         SELECT l_returnflag,
-               round(corr(l_quantity, l_extendedprice), 4)   AS qty_price_corr,
-               round(stddev_samp(l_quantity), 4)             AS qty_stddev,
-               round(var_samp(l_quantity), 4)                AS qty_var,
-               round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar
+               floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000   AS qty_price_corr,
+               floor(stddev_samp(l_quantity) * 10000 + 0.5) / 10000             AS qty_stddev,
+               floor(var_samp(l_quantity) * 10000 + 0.5) / 10000                AS qty_var,
+               floor(covar_samp(l_quantity, l_extendedprice) * 100 + 0.5) / 100 AS qty_price_covar
         FROM lineitem
         GROUP BY l_returnflag
     """,
@@ -146,10 +152,10 @@ def lineitem_price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     Welford-style merge), no extra shuffle beyond the groupBy."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     return lineitem.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
-        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
-        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+        floor_round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        floor_round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        floor_round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        floor_round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
             "qty_price_covar"
         ),
     )
@@ -242,7 +248,7 @@ def exact_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Bucketed range join binning part prices into [lo,hi) bands",
     oracle="""
         SELECT band, count(*) AS n_parts,
-               round(avg(p_retailprice), 4) AS avg_price
+               floor(avg(p_retailprice) * 10000 + 0.5) / 10000 AS avg_price
         FROM part
         JOIN (
             SELECT i * 10.0 AS lo, (i + 1) * 10.0 AS hi,
@@ -270,7 +276,7 @@ def part_price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = bucketed_range_join(part, bands, "p_retailprice", "lo", "hi", 10.0)
     return joined.groupBy("band").agg(
         F.count("*").alias("n_parts"),
-        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        floor_round(F.avg("p_retailprice"), 4).alias("avg_price"),
     )
 
 
@@ -287,8 +293,8 @@ def part_price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM customer
         )
         SELECT c_custkey,
-               round((c_acctbal - mu) / sd, 4) AS acctbal_z,
-               round((c_acctbal - lo) / (hi - lo), 4) AS acctbal_scaled,
+               floor((c_acctbal - mu) / sd * 10000 + 0.5) / 10000 AS acctbal_z,
+               floor((c_acctbal - lo) / (hi - lo) * 10000 + 0.5) / 10000 AS acctbal_scaled,
                CASE WHEN c_acctbal >= 0 AND c_acctbal < 2500 THEN 0
                     WHEN c_acctbal >= 2500 AND c_acctbal < 5000 THEN 1
                     WHEN c_acctbal >= 5000 AND c_acctbal < 7500 THEN 2
@@ -321,8 +327,8 @@ def customer_feature_engineering(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = one_hot(df, "c_mktsegment", ["BUILDING", "MACHINERY"], prefix="seg")
     return df.select(
         "c_custkey",
-        F.round(F.col("c_acctbal_z"), 4).alias("acctbal_z"),
-        F.round(F.col("c_acctbal_scaled"), 4).alias("acctbal_scaled"),
+        floor_round(F.col("c_acctbal_z"), 4).alias("acctbal_z"),
+        floor_round(F.col("c_acctbal_scaled"), 4).alias("acctbal_scaled"),
         F.col("c_acctbal_bucket").alias("acctbal_bucket"),
         F.col("seg_BUILDING"),
         F.col("seg_MACHINERY"),

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_algorithms_with_pyspark_spark.operators.dedup import floor_round
 from data_algorithms_with_pyspark_spark.plans.catalog import (
     cents_sum,
     cents_sum_sql,
@@ -108,13 +109,13 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q8 shape: NATION_5 suppliers' share of the ASIA market by year",
     oracle="""
         SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-               round(
+               floor((
                  CAST(sum(CASE WHEN n_s.n_name = 'NATION_5'
                      THEN CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)
                      ELSE 0 END) AS BIGINT)
                  * 1.0 /
-                 CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT),
-                 6) AS mkt_share
+                 CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 ) * 1000000 + 0.5) / 1000000 AS mkt_share
         FROM lineitem
         JOIN orders   ON o_orderkey = l_orderkey
         JOIN customer ON c_custkey = o_custkey
@@ -160,7 +161,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_s), F.col("s_nkey") == F.col("s_nationkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            F.round(
+            floor_round(
                 F.sum(
                     F.when(F.col("supp_nation") == "NATION_5", cents).otherwise(
                         F.lit(0)
@@ -254,14 +255,14 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "conditional-agg"),
     description="TPC-H Q14 shape: PROMO parts' share of one month's revenue",
     oracle="""
-        SELECT round(
+        SELECT floor((
                  100.0 *
                  CAST(sum(CASE WHEN p_type = 'PROMO'
                      THEN CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)
                      ELSE 0 END) AS BIGINT)
                  /
-                 CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT),
-                 4) AS promo_revenue_pct
+                 CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 ) * 10000 + 0.5) / 10000 AS promo_revenue_pct
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-09-01'
@@ -279,7 +280,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .agg(
-            F.round(
+            floor_round(
                 F.lit(100.0)
                 * F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0)))
                 / F.sum(cents),
@@ -363,9 +364,9 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "correlated-subquery"),
     description="TPC-H Q17 shape: avg yearly revenue of below-half-average-quantity lineitems",
     oracle="""
-        SELECT round(
+        SELECT floor(
                  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-                 / 100.0 / 7.0, 2) AS avg_yearly
+                 / 100.0 / 7.0 * 100 + 0.5) / 100 AS avg_yearly
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#13'
@@ -393,7 +394,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(half_avg), F.col("_pk") == F.col("l_partkey"))
         .where(F.col("l_quantity") < F.col("_half_avg"))
         .agg(
-            F.round(
+            floor_round(
                 F.sum(_cents(F.col("l_extendedprice"))) / 100.0 / 7.0, 2
             ).alias("avg_yearly")
         )
