@@ -104,6 +104,22 @@ def main() -> None:
             }
         )
     )
+    # The full line above (~2.5 KB of per-query timings) is truncated at
+    # the FRONT by the driver's tail capture, so eight rounds of
+    # BENCH_r*.json carry "parsed": null. Repeat the headline metric as a
+    # final COMPACT line (<100 B) so the last complete line always fits
+    # the capture window and parses; per-query timings stay in the full
+    # line for human/judge tail-regexing.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+            }
+        )
+    )
     spark.stop()
 
 

@@ -72,30 +72,15 @@ _ANN_K = 10
 
 def _sf_cache_key(sf_dir: str) -> str:
     """Cache key for per-(process, sf_dir) persisted artifacts (the
-    ANN index tables): path PLUS a (size, mtime) fingerprint of the
-    embeddings parquet, so data regenerated at the same path invalidates
-    the cached index instead of silently serving stale codes (ADVICE r6
-    low item). O(1) driver-side stat — never a data scan."""
-    import hashlib
-    import os
+    ANN index tables): path PLUS a (size, mtime_ns) fingerprint of the
+    embeddings parquet — every part file's mtime counts, so in-place
+    regeneration with identical sizes still invalidates (ADVICE r6 + r8
+    low items). Shared helper: sources/readers.table_fingerprint."""
+    from data_algorithms_with_pyspark_spark.sources.readers import (
+        table_fingerprint,
+    )
 
-    p = os.path.join(sf_dir, "embeddings.parquet")
-    sig = sf_dir
-    try:
-        st = os.stat(p)
-        if os.path.isdir(p):
-            parts = sorted(
-                e for e in os.listdir(p) if not e.startswith((".", "_"))
-            )
-            sizes = ",".join(
-                str(os.stat(os.path.join(p, e)).st_size) for e in parts
-            )
-            sig = f"{sf_dir}|{len(parts)}|{sizes}"
-        else:
-            sig = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
-    except OSError:
-        pass
-    return hashlib.md5(sig.encode()).hexdigest()[:8]
+    return table_fingerprint(sf_dir, "embeddings")
 
 
 def _marker_sql(markers: tuple[str, ...]) -> str:

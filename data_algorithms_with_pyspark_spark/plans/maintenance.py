@@ -27,11 +27,18 @@ __all__ = ["orders_compaction_audit"]
 
 # One (fragmented, compacted) pair per (process, sf_dir); the returned
 # DataFrame reads the compacted dir lazily, so both live for the process.
+# Keyed on sf_dir + a (size, mtime_ns) fingerprint of orders.parquet so
+# in-place regenerated data rebuilds the pair (stale-cache class, r9).
 _CACHE: dict[str, tuple[str, str, dict, list]] = {}
 
 
 def _build(spark: SparkSession, sf_dir: str):
-    cached = _CACHE.get(sf_dir)
+    from data_algorithms_with_pyspark_spark.sources.readers import (
+        table_fingerprint,
+    )
+
+    key = f"{sf_dir}|{table_fingerprint(sf_dir, 'orders')}"
+    cached = _CACHE.get(key)
     if cached is not None and os.path.isdir(cached[1]):
         return cached
     from data_algorithms_with_pyspark_spark.operators.maintenance import (
@@ -65,8 +72,8 @@ def _build(spark: SparkSession, sf_dir: str):
     per_year = [
         (int(s.values[0]), before[s.values[0]], s.n_files) for s in after
     ]
-    _CACHE[sf_dir] = (frag, comp, report, per_year)
-    return _CACHE[sf_dir]
+    _CACHE[key] = (frag, comp, report, per_year)
+    return _CACHE[key]
 
 
 @register(

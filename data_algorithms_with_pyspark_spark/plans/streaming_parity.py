@@ -49,12 +49,27 @@ __all__ = [
 # with a session-time TIMESTAMP ts (the raw testdata may carry nanos, which
 # the streaming file source rejects) and split into several files so
 # maxFilesPerTrigger=1 yields a genuinely multi-batch run.
+#
+# ALL of these source caches key on sf_dir plus a (size, mtime_ns)
+# fingerprint of events.parquet (sources/readers.table_fingerprint), never
+# the bare path: events regenerated in place within one process must
+# rebuild the derived files, not replay stale ones (ADVICE r8, closed as
+# a class for _SRC/_ORDERED_SRC/_FLUSHED_SRC here and plans/maintenance).
 _SRC_CACHE: dict[str, str] = {}
 _SINK_SEQ = itertools.count()
 
 
+def _events_src_key(sf_dir: str) -> str:
+    from data_algorithms_with_pyspark_spark.sources.readers import (
+        table_fingerprint,
+    )
+
+    return f"{sf_dir}|{table_fingerprint(sf_dir, 'events')}"
+
+
 def _events_stream_source(spark: SparkSession, sf_dir: str) -> str:
-    path = _SRC_CACHE.get(sf_dir)
+    key = _events_src_key(sf_dir)
+    path = _SRC_CACHE.get(key)
     if path is not None and os.path.isdir(path):
         return path
     out = tempfile.mkdtemp(prefix="events_stream_src_")
@@ -64,7 +79,7 @@ def _events_stream_source(spark: SparkSession, sf_dir: str) -> str:
     load_table(spark, sf_dir, "events").repartition(4).write.mode(
         "overwrite"
     ).parquet(out)
-    _SRC_CACHE[sf_dir] = out
+    _SRC_CACHE[key] = out
     return out
 
 
@@ -93,7 +108,8 @@ _ORDERED_SRC_CACHE: dict[str, str] = {}
 
 
 def _events_stream_source_ordered(spark: SparkSession, sf_dir: str) -> str:
-    path = _ORDERED_SRC_CACHE.get(sf_dir)
+    key = _events_src_key(sf_dir)
+    path = _ORDERED_SRC_CACHE.get(key)
     if path is not None and os.path.isdir(path):
         return path
     out = tempfile.mkdtemp(prefix="events_stream_ordered_")
@@ -108,7 +124,7 @@ def _events_stream_source_ordered(spark: SparkSession, sf_dir: str) -> str:
     for i, name in enumerate(sorted(os.listdir(out))):
         if name.startswith("part-"):
             os.utime(os.path.join(out, name), (now + i, now + i))
-    _ORDERED_SRC_CACHE[sf_dir] = out
+    _ORDERED_SRC_CACHE[key] = out
     return out
 
 
@@ -661,12 +677,13 @@ _FLUSHED_SRC_CACHE: dict[str, str] = {}
 
 
 def _events_stream_source_flushed(spark: SparkSession, sf_dir: str) -> str:
-    path = _FLUSHED_SRC_CACHE.get(sf_dir)
+    key = _events_src_key(sf_dir)
+    path = _FLUSHED_SRC_CACHE.get(key)
     if path is not None and os.path.isdir(path):
         return path
     out = tempfile.mkdtemp(prefix="events_stream_flushed_")
     _write_ts_split_files(spark, sf_dir, out)
-    _FLUSHED_SRC_CACHE[sf_dir] = out
+    _FLUSHED_SRC_CACHE[key] = out
     return out
 
 

@@ -31,6 +31,7 @@ from data_algorithms_with_pyspark_spark.schemas import TABLE_NAMES, TABLE_SCHEMA
 
 __all__ = [
     "ensure_session_confs",
+    "table_fingerprint",
     "read_csv",
     "read_json",
     "read_parquet",
@@ -73,6 +74,45 @@ def ensure_session_confs(spark: SparkSession) -> None:
             # Conf not settable in this Spark build: leave it; the events
             # reader will surface a clear error if the capability is needed.
             pass
+
+
+def table_fingerprint(sf_dir: str, table: str) -> str:
+    """Content fingerprint for per-(process, sf_dir) cached artifacts built
+    from one testdata table (the persisted ANN index, the rewritten
+    streaming source files): path PLUS a (size, mtime_ns) signature of the
+    table's parquet file(s), so data regenerated in place — even with
+    byte-identical sizes, plausible for a fixed-schema deterministic
+    generator — invalidates the cache instead of silently serving stale
+    derived state (ADVICE r8: mtime was missing from the directory branch,
+    and _FLUSHED_SRC_CACHE keyed on the bare path). O(1) driver-side stat
+    per part file — never a data scan."""
+    import hashlib
+    import sys
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(p):
+            parts = sorted(
+                e for e in os.listdir(p) if not e.startswith((".", "_"))
+            )
+            stats = ",".join(
+                f"{st.st_size}:{st.st_mtime_ns}"
+                for st in (os.stat(os.path.join(p, e)) for e in parts)
+            )
+            sig = f"{p}|{len(parts)}|{stats}"
+        else:
+            st = os.stat(p)
+            sig = f"{p}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError as exc:
+        # Path-only keying can serve stale state if the data later appears
+        # with the same path; make the degraded mode visible.
+        print(
+            f"table_fingerprint: stat failed for {p} ({exc}); "
+            "falling back to path-only cache key",
+            file=sys.stderr,
+        )
+        sig = p
+    return hashlib.md5(sig.encode()).hexdigest()[:8]
 
 
 def read_csv(
