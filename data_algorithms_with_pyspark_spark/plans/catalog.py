@@ -59,71 +59,19 @@ _QUERY_MODULES = (
 # attestation covers every catalog query (scripts/driver_sim.py always
 # verifies all of them regardless of order).
 _SAMPLE_PRIORITY = (
-    # Round 8 rotation (VERDICT r7 #2). Ordering rule (unchanged):
+    # Round 9 rotation (VERDICT r8 #1). Ordering rule (unchanged):
     # new-this-round queries first, then the stalest re-attestation
-    # blocks. Staleness from CORRECTNESS_r0{1..7} (scripts/staleness.py):
-    # 10 queries are r2-only-green and 46 are r3-only-green — the exact
-    # set the r7 window was supposed to drain and did not (r7 sampled
-    # the same 50 as r6). This window = 4 new + 10 r2 + 46 r3 = 60; the
-    # ~50 cut drops the alphabetical tail of the r3 block, which leads
-    # r9 together with the r4-stale block.
+    # blocks. Staleness from CORRECTNESS_r0{1..8} (scripts/staleness.py):
+    # after r8's fully-fresh window, 10 queries are r3-only-green and 48
+    # are r4-only-green. This window = 2 new + 10 r3 + 48 r4 = 60; the
+    # ~50 cut drops the alphabetical tail of the r4 block, which leads
+    # r10 together with the r5-stale block.
     #
-    # New in r8: trained-PQ-codebook ANN + its recall audit, the
-    # watermarked append-mode session parity, and the checkpointed
-    # stop/restart recovery attestation.
-    "pq_ann_trained_codebook",
-    "pq_trained_recall_report",
-    "streaming_append_sessions_parity",
-    "streaming_restart_recovery_parity",
-    # r2-only-green block (10), bench watch items first.
-    "latest_event_per_user",
-    "lineitem_grouping_sets",
-    "lineitem_price_quantity_stats",
-    "linestatus_metrics_unpivot",
-    "multimodal_binary_metadata",
-    "ngram_jaccard_near_dups",
-    "part_name_similarity_join",
-    "part_price_band_range_join",
-    "q13_customer_distribution",
-    "srp_lsh_cosine_near_dups",
-    # r3-only-green block (46), alphabetical (deterministic tail for
-    # the r9 cut).
-    "benchmark_contamination",
-    "bloom_term_membership",
-    "bpe_learned_merges",
-    "bpe_vocab_segmentation",
-    "brand_type_map_roundtrip",
-    "corpus_curation_pipeline",
-    "corpus_curation_v2",
-    "corpus_token_stats",
-    "corpus_vocabulary_coverage",
-    "corpus_weighted_mixture_sample",
-    "customer_balance_window_bounds",
-    "customer_segment_upsert",
-    "doc_boilerplate_ngrams",
-    "doc_char_lm_scores",
-    "doc_duplicated_spans",
-    "doc_gopher_quality_rules",
-    "doc_length_quantile_filter",
-    "doc_pii_scrub_report",
-    "doc_repeated_segment_dedup",
-    "doc_repetition_scores",
-    "doc_sequence_chunks",
-    "documents_hash_sample",
-    "embedding_hard_negatives",
-    "embedding_int8_quant_error",
-    "embedding_semdedup_prune",
-    "embedding_vector_stats",
-    "events_hourly_daily_rollup",
-    "events_value_ewma",
-    "exact_distinct_users",
-    "fasta_base_count",
-    "incremental_dedup_new_docs",
-    "kmv_distinct_users",
-    "minhash_near_dup_candidates",
-    "multimodal_audio_stats",
-    "multimodal_decoded_stats",
-    "multimodal_frame_pipeline",
+    # New in r9: the append-mode (watermarked, bounded-state) twins of
+    # the tumbling-hourly and sliding-window streaming parity rows.
+    "streaming_append_hourly_parity",
+    "streaming_append_sliding_parity",
+    # r3-only-green block (10).
     "multimodal_video_stats",
     "near_dup_clusters",
     "orders_date_functions",
@@ -134,10 +82,59 @@ _SAMPLE_PRIORITY = (
     "simhash_near_dup_candidates",
     "term_posting_lists",
     "training_shard_packing",
-    # NOTE r9 rotation: whatever the ~50 cut drops from the r3 tail
-    # above leads r9, followed by the r4-only-green block (48 queries
-    # as of r7; recompute from CORRECTNESS_r0{1..8} union via
-    # scripts/staleness.py).
+    # r4-only-green block (48), alphabetical (deterministic tail for
+    # the r10 cut).
+    "audio_fingerprint_dedup_groups",
+    "avg_quantity_by_returnflag",
+    "bm25_search_topk",
+    "cms_join_size_estimate",
+    "concurrent_session_pairs",
+    "customer_balance_ranks",
+    "customer_k_anonymity_audit",
+    "customer_rfm_segments",
+    "customer_scd2_history",
+    "doc_quality_classifier",
+    "doc_quality_classifier_eval",
+    "documents_cdc_chunk_dedup",
+    "documents_replica_digest",
+    "documents_weighted_sample",
+    "dp_event_type_release",
+    "embedding_cluster_top_terms",
+    "embedding_gram_covariance",
+    "embedding_pca_projection",
+    "event_type_transition_matrix",
+    "event_value_sampled_quantiles",
+    "events_inter_arrival_stats",
+    "events_rolling_hour_avg",
+    "events_value_drift_psi",
+    "events_value_holt_forecast",
+    "events_value_robust_outliers",
+    "graph_cc_star_contraction",
+    "graph_label_propagation",
+    "image_perceptual_dedup_groups",
+    "incremental_hourly_agg_merge",
+    "incremental_near_dup_candidates",
+    "incremental_near_dup_persisted_index",
+    "ivf_pq_ann_topk",
+    "ivf_pq_recall_report",
+    "language_id_confusion",
+    "lineitem_zorder_extents",
+    "near_dup_keep_best",
+    "orders_column_profile",
+    "orders_key_skew_report",
+    "orders_snapshot_diff",
+    "portable_hll_distinct_users",
+    "pq_ann_topk",
+    "pq_recall_report",
+    "prefix_jaccard_near_dups",
+    "q11_important_stock",
+    "q20_promotable_suppliers",
+    "q2_min_cost_supplier",
+    "term_bigram_pmi",
+    "user_journey_path_ngrams",
+    # NOTE r10 rotation: whatever the ~50 cut drops from the r4 tail
+    # above leads r10, followed by the r5-only-green block (recompute
+    # from CORRECTNESS_r0{1..9} union via scripts/staleness.py).
 )
 
 _REGISTRY: dict[str, "CatalogQuery"] = {}
