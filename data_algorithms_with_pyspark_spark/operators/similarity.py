@@ -702,27 +702,41 @@ def pq_train_codebook(
     sequential k-means loops = m times the driver latency; identical
     math, since the subspaces are independent).
 
-    Determinism matches ``clustering.kmeans_train`` exactly: init is the
+    Determinism matches ``clustering.kmeans_train``'s recipe: init is the
     ksub lowest-id subvectors, every codeword coordinate is quantized to
-    the ``CENTROID_QUANT`` grid per round, assignment is the 1e15-grid
-    packed cosine argmax (ties to the lower code), empty clusters keep
-    their codeword, and the loop stops early when the max codeword L2
-    shift <= ``tol`` — so a DuckDB oracle can unroll the identical
-    iterations (``plans/extensions.pq_ann_trained_codebook``; pass
-    ``tol=0.0`` so early-stop can only fire on an exact fixpoint, which
-    replays identically).
+    the ``CENTROID_QUANT`` FLOOR-grid per round (floor(x*1e6 + 0.5)/1e6 —
+    the same form on the trainer and the DuckDB oracle, ADVICE r8, never
+    a Python-round/duck-round pair), empty clusters keep their codeword,
+    and the loop stops early when the max codeword L2 shift <= ``tol`` —
+    so a DuckDB oracle can unroll the identical iterations
+    (``plans/extensions.pq_ann_trained_codebook``; pass ``tol=0.0`` so
+    early-stop can only fire on an exact fixpoint, which replays
+    identically).
+
+    Assignment is the squared-L2 argmin on ``pq_encode``'s 1e12 floor
+    grid (ties to the lower code) — TRAIN and ENCODE use the same metric,
+    per Jegou et al.'s L2 k-means construction (ADVICE r8: the previous
+    cosine-argmax training mismatched the L2 encoder and depressed
+    trained-codebook recall). d2 is an index-order left-fold
+    (zip_with + aggregate), bit-identical to the encoder's
+    dim-sequential numpy loop and the oracle's ordered list sum. The
+    packed-argmin int64 grid wraps only beyond d2 ~ 5.8e5 (pq_encode
+    raises there; subvector distances of unit-scale embeddings sit
+    orders of magnitude below).
     """
     import math as _math
 
     if ksub < 2 or ksub & (ksub - 1):
         raise ValueError("ksub must be a power of two >= 2 (bit-packed codes)")
-    from data_algorithms_with_pyspark_spark.functions.vectors import (
-        cosine_with_norms,
-        l2_norm,
-    )
     from data_algorithms_with_pyspark_spark.operators.clustering import (
         CENTROID_QUANT,
     )
+
+    grid = 10.0**CENTROID_QUANT
+
+    def _fq(x: float) -> float:
+        # floor-grid quantization — the catalog-wide floor_round form
+        return _math.floor(x * grid + 0.5) / grid
 
     spark = vecs.sparkSession
     init = (
@@ -740,10 +754,7 @@ def pq_train_codebook(
         raise ValueError(f"need at least ksub={ksub} vectors, got {len(init)}")
     w = dim // m
     codebook = [
-        [
-            [round(x, CENTROID_QUANT) for x in r["v"][s * w : (s + 1) * w]]
-            for r in init
-        ]
+        [[_fq(x) for x in r["v"][s * w : (s + 1) * w]] for r in init]
         for s in range(m)
     ]
     sub = (
@@ -764,75 +775,81 @@ def pq_train_codebook(
             ).alias("e"),
         )
         .select("vid", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
-        .withColumn("_vn", l2_norm(F.col("sv")))
         .persist()
     )
-    for _ in range(max_iter):
-        cents = spark.createDataFrame(
-            [(s, c, codebook[s][c]) for s in range(m) for c in range(ksub)],
-            "s int, cid int, cvec array<double>",
-        ).withColumn("_cn", l2_norm(F.col("cvec")))
-        # packed argmax per (vid, s): same grid/tie encoding as
-        # clustering.assign_to_centroids (ksub << the 4000 overflow cap)
-        packed = (
-            F.round(
-                (
-                    cosine_with_norms(
-                        F.col("sv"), F.col("cvec"), F.col("_vn"), F.col("_cn")
+    try:
+        for _ in range(max_iter):
+            cents = spark.createDataFrame(
+                [(s, c, codebook[s][c]) for s in range(m) for c in range(ksub)],
+                "s int, cid int, cvec array<double>",
+            )
+            # index-order left-fold squared L2 — the encoder's exact
+            # IEEE sequence (pq_encode's dim-sequential acc += d*d)
+            d2 = F.aggregate(
+                F.zip_with(
+                    F.col("sv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            # packed argmin per (vid, s): pq_encode's grid/tie encoding
+            # (floor(d2*1e12 + 0.5)*ksub + cid, min -> ties to lower cid)
+            packed = (
+                F.floor(d2 * F.lit(1e12) + F.lit(0.5)).cast("long")
+                * F.lit(ksub)
+                + F.col("cid")
+            )
+            assign = (
+                sub.join(F.broadcast(cents), on="s")
+                .groupBy("vid", "s")
+                .agg(F.min(packed).alias("best"))
+                .select(
+                    "vid",
+                    "s",
+                    (F.col("best") % ksub).cast("int").alias("cid"),
+                )
+            )
+            rows = (
+                sub.join(assign, on=["vid", "s"])
+                .select("s", "cid", F.posexplode("sv").alias("pos", "val"))
+                .groupBy("s", "cid", "pos")
+                .agg(F.avg("val").alias("mv"))
+                .groupBy("s", "cid")
+                .agg(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias(
+                        "pm"
                     )
-                    + F.lit(1.0)
                 )
-                * F.lit(1e15)
-            ).cast("long")
-            * F.lit(ksub)
-            + (F.lit(ksub - 1) - F.col("cid"))
-        )
-        assign = (
-            sub.join(F.broadcast(cents), on="s")
-            .groupBy("vid", "s")
-            .agg(F.max(packed).alias("best"))
-            .select(
-                "vid",
-                "s",
-                (F.lit(ksub - 1) - F.col("best") % ksub)
-                .cast("int")
-                .alias("cid"),
-            )
-        )
-        rows = (
-            sub.join(assign, on=["vid", "s"])
-            .select("s", "cid", F.posexplode("sv").alias("pos", "val"))
-            .groupBy("s", "cid", "pos")
-            .agg(F.avg("val").alias("mv"))
-            .groupBy("s", "cid")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pm")
-            )
-            .select(
-                "s", "cid", F.transform("pm", lambda st: st["mv"]).alias("cvec")
-            )
-            .collect()  # m * ksub rows — driver state is codewords only
-        )
-        updated = {
-            (r["s"], r["cid"]): [round(x, CENTROID_QUANT) for x in r["cvec"]]
-            for r in rows
-        }
-        shift = 0.0
-        for s in range(m):
-            nxt = []
-            for c in range(ksub):
-                new = updated.get((s, c), codebook[s][c])
-                shift = max(
-                    shift,
-                    _math.sqrt(
-                        sum((a - b) ** 2 for a, b in zip(new, codebook[s][c]))
-                    ),
+                .select(
+                    "s",
+                    "cid",
+                    F.transform("pm", lambda st: st["mv"]).alias("cvec"),
                 )
-                nxt.append(new)
-            codebook[s] = nxt
-        if shift <= tol:
-            break
-    sub.unpersist()
+                .collect()  # m * ksub rows — driver state is codewords only
+            )
+            updated = {
+                (r["s"], r["cid"]): [_fq(x) for x in r["cvec"]] for r in rows
+            }
+            shift = 0.0
+            for s in range(m):
+                nxt = []
+                for c in range(ksub):
+                    new = updated.get((s, c), codebook[s][c])
+                    shift = max(
+                        shift,
+                        _math.sqrt(
+                            sum(
+                                (a - b) ** 2
+                                for a, b in zip(new, codebook[s][c])
+                            )
+                        ),
+                    )
+                    nxt.append(new)
+                codebook[s] = nxt
+            if shift <= tol:
+                break
+    finally:
+        sub.unpersist()
     return codebook
 
 

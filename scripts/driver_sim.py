@@ -18,24 +18,33 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from data_algorithms_with_pyspark_spark.schemas import TABLE_NAMES  # noqa: E402
 
 
-def hostile_spark() -> SparkSession:
+def hostile_spark(driver_memory: str | None = None) -> SparkSession:
     """A session the engine did NOT build — like the external harness's.
 
     Deliberately omits every engine conf (no nanosAsLong, no AQE) and pins a
     NON-UTC timezone, which is more hostile than the real driver: queries must
     re-assert the confs they depend on (readers.ensure_session_confs) to pass.
+
+    ``driver_memory`` (--driver-memory=64g) is the ONE non-semantic override,
+    needed for sf1 sweeps: the default 1 GiB local-mode heap OOMs on the
+    driver-side COMPARE of multi-million-row results (and on broadcast
+    builds over sf1 inputs). Memory sizing is not a correctness conf.
     """
     import os
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
-    return (
+    builder = (
         SparkSession.builder.appName("driver-sim-hostile")
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if driver_memory:
+        # Effective only because this is a fresh process (the JVM reads
+        # spark.driver.memory at launch, not after getOrCreate).
+        builder = builder.config("spark.driver.memory", driver_memory)
+    return builder.getOrCreate()
 
 
 def _norm(v):
@@ -49,14 +58,20 @@ def _norm(v):
 
 
 def main() -> int:
-    # Usage: driver_sim.py [SF_DIR] [--only name1,name2]
+    # Usage: driver_sim.py [SF_DIR] [--only=name1,name2] [--driver-memory=64g]
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     only: set[str] | None = None
-    for a in sys.argv[1:]:
+    driver_memory: str | None = None
+    for i, a in enumerate(sys.argv[1:], start=1):
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
+        elif a.startswith("--driver-memory="):
+            driver_memory = a.split("=", 1)[1]
+        elif a == "--driver-memory":
+            driver_memory = sys.argv[i + 1]
+            args = [x for x in args if x != driver_memory]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    spark = hostile_spark()
+    spark = hostile_spark(driver_memory)
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
