@@ -340,6 +340,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the third ANN tier.
 
@@ -349,14 +350,23 @@ def ivf_topk(
     candidates — at query time only ~n_probe/n_lists of the corpus is
     scored. Ties broken by centroid/vector id everywhere -> fully
     deterministic.
+
+    ``centroids`` (``(cid, cvec)`` rows, cid in [0, n_lists)) swaps in a
+    TRAINED coarse quantizer (``clustering.kmeans_train``) for the
+    default first-``n_lists``-ids stand-in — same plan, better lists.
     """
     vecs = embeddings.select(
         F.col(id_col), to_double_array(vec_col).alias("vec")
     ).withColumn("_vn", l2_norm(F.col("vec")))
-    cents = vecs.where(F.col(id_col) < n_lists).select(
-        F.col(id_col).alias("cid"), F.col("vec").alias("cvec")
+    if centroids is None:
+        cents = vecs.where(F.col(id_col) < n_lists).select(
+            F.col(id_col).alias("cid"), F.col("vec").alias("cvec")
+        )
+    else:
+        cents = centroids.select("cid", "cvec")
+    assign = ivf_assign(
+        vecs.drop("_vn"), n_lists, id_col=id_col, centroids=cents
     )
-    assign = ivf_assign(vecs.drop("_vn"), n_lists, id_col=id_col)
     query = vecs.where(F.col(id_col) == query_id).select(
         F.col("vec").alias("query_vec"),
         F.col("_vn").alias("query_norm"),

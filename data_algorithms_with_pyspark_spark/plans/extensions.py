@@ -1750,6 +1750,201 @@ def pq_trained_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- trained-IVF coarse quantizer lane (round 9) -----------------------------
+#
+# Completes the "trained" ANN story symmetrically with the trained-PQ lane:
+# the IVF coarse quantizer swaps its first-k-ids stand-in centroids for
+# REAL Lloyd-trained ones (operators/clustering.kmeans_train, k = 16
+# lists), and the recall audit reports trained vs stand-in against exact
+# cosine search in one row. The oracle unrolls the identical kmeans
+# iterations (the embedding_kmeans_assign recipe at k=16: 1e15-grid cosine
+# argmax, CENTROID_QUANT-rounded means — the PROVEN kmeans quantization
+# pair, deliberately not floor-grid, see PLANS.md round-8 record) and then
+# replays both IVF searches and the exact top-k.
+
+_IVF_TRAIN_ITERS = 2
+_IVF_LISTS = 16
+_IVF_PROBE = 4
+
+
+def _ivf_trained_oracle() -> str:
+    from data_algorithms_with_pyspark_spark.operators.clustering import (
+        CENTROID_QUANT,
+    )
+
+    q, k = CENTROID_QUANT, _IVF_LISTS
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+        {name} AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT v.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY CAST(floor((list_cosine_similarity(
+                                        v.vec, c.cvec) + 1.0) * 1e15 + 0.5)
+                                        AS BIGINT) DESC,
+                                    c.cid
+                       ) AS rn
+                FROM v CROSS JOIN {cents} c
+            ) WHERE rn = 1
+        )"""
+
+    def recompute(name: str, assign_t: str, prev: str) -> str:
+        return f"""
+        {name} AS MATERIALIZED (
+            SELECT p.cid, COALESCE(g.cvec, p.cvec) AS cvec
+            FROM {prev} p LEFT JOIN (
+                SELECT cid, list(m ORDER BY i) AS cvec FROM (
+                    SELECT a.cid, d.i, round(avg(v.vec[d.i]), {q}) AS m
+                    FROM v JOIN {assign_t} a USING (vec_id)
+                    CROSS JOIN kdims d
+                    GROUP BY a.cid, d.i
+                ) GROUP BY cid
+            ) g USING (cid)
+        )"""
+
+    def ivf_search(prefix: str, cents: str, assign_t: str) -> str:
+        return f"""
+        {prefix}probes AS (
+            -- raw cosine order, mirroring ivf_topk's probe ranking (the
+            -- ivf_ann_topk oracle replays the same raw form, green on
+            -- every draw)
+            SELECT cid FROM {cents}, q
+            ORDER BY list_cosine_similarity(cvec, qvec) DESC, cid
+            LIMIT {_IVF_PROBE}
+        ),
+        {prefix}topk AS (
+            SELECT v.vec_id
+            FROM v
+            JOIN {assign_t} a ON v.vec_id = a.vec_id
+            JOIN {prefix}probes p ON a.cid = p.cid, q
+            WHERE v.vec_id <> {_ANN_QUERY_ID}
+            ORDER BY round(list_cosine_similarity(v.vec, q.qvec), 6) DESC,
+                     v.vec_id
+            LIMIT {_ANN_K}
+        )"""
+
+    iters = "".join(
+        f",{assign(f'ka{i}', f'kc{i - 1}')},{recompute(f'kc{i}', f'ka{i}', f'kc{i - 1}')}"
+        for i in range(1, _IVF_TRAIN_ITERS + 1)
+    )
+    return f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        ),
+        kdims AS (SELECT unnest(range(1, 65)) AS i),
+        q AS MATERIALIZED (
+            SELECT vec AS qvec FROM v WHERE vec_id = {_ANN_QUERY_ID}
+        ),
+        kc0 AS MATERIALIZED (
+            SELECT vec_id::INT AS cid,
+                   list_transform(vec, x -> round(x, {q})) AS cvec
+            FROM v WHERE vec_id < {k}
+        ){iters},{assign(f"t_assign", f"kc{_IVF_TRAIN_ITERS}")},
+        scent AS MATERIALIZED (
+            SELECT vec_id::INT AS cid, vec AS cvec FROM v WHERE vec_id < {k}
+        ),{assign("s_assign", "scent")},{ivf_search("t_", f"kc{_IVF_TRAIN_ITERS}", "t_assign")},{ivf_search("s_", "scent", "s_assign")},
+        exact_topk AS (
+            SELECT vec_id FROM v, q
+            WHERE vec_id <> {_ANN_QUERY_ID}
+            ORDER BY round(list_cosine_similarity(vec, qvec), 6) DESC, vec_id
+            LIMIT {_ANN_K}
+        ),
+        nt AS (SELECT count(*) AS n FROM t_topk JOIN exact_topk USING (vec_id)),
+        ns AS (SELECT count(*) AS n FROM s_topk JOIN exact_topk USING (vec_id))
+        SELECT CAST({_ANN_K} AS BIGINT) AS k,
+               CAST(nt.n AS BIGINT) AS n_overlap_trained,
+               floor(CAST(nt.n AS DOUBLE) / {_ANN_K} * 10000 + 0.5) / 10000
+                   AS recall_trained,
+               CAST(ns.n AS BIGINT) AS n_overlap_standin,
+               floor(CAST(ns.n AS DOUBLE) / {_ANN_K} * 10000 + 0.5) / 10000
+                   AS recall_standin,
+               CAST(nt.n - ns.n AS BIGINT) AS trained_gain
+        FROM nt, ns
+    """
+
+
+@register(
+    "ivf_trained_recall_report",
+    tags=("similarity", "ann", "quality", "iterative"),
+    description=f"Recall@{_ANN_K} audit of IVF with a TRAINED coarse "
+    f"quantizer (Lloyd k-means, k={_IVF_LISTS} lists, {_IVF_TRAIN_ITERS} "
+    "iterations) vs the first-k-ids stand-in quantizer against exact "
+    "cosine search — one row with both recalls and the trained gain; the "
+    "oracle unrolls the identical training iterations and replays both "
+    "probed searches",
+    oracle=_ivf_trained_oracle(),
+)
+def ivf_trained_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric closure of the trained-ANN story (trained PQ landed r8):
+    the IVF tier's coarse quantizer is the other place the catalog used a
+    deterministic stand-in where production would train. kmeans_train's
+    centroids drop into the UNCHANGED ivf_topk plan via the centroids
+    parameter — index and search shapes, broadcast pattern, and probe
+    count are identical; only the list geometry improves. tol=0.0 so
+    early-stop fires only on an exact fixpoint (replays identically in
+    the unrolled oracle)."""
+    from data_algorithms_with_pyspark_spark.functions.vectors import (
+        to_double_array,
+    )
+    from data_algorithms_with_pyspark_spark.operators.clustering import (
+        kmeans_train,
+    )
+    from data_algorithms_with_pyspark_spark.operators.dedup import floor_round
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", to_double_array("embedding").alias("vec"))
+    trained = kmeans_train(
+        vecs, k=_IVF_LISTS, max_iter=_IVF_TRAIN_ITERS, tol=0.0
+    )
+    cents_df = spark.createDataFrame(
+        list(enumerate(trained)), "cid int, cvec array<double>"
+    )
+    t10 = ivf_topk(
+        emb,
+        query_id=_ANN_QUERY_ID,
+        k=_ANN_K,
+        n_lists=_IVF_LISTS,
+        n_probe=_IVF_PROBE,
+        centroids=cents_df,
+    ).select("vec_id")
+    s10 = ivf_topk(
+        emb,
+        query_id=_ANN_QUERY_ID,
+        k=_ANN_K,
+        n_lists=_IVF_LISTS,
+        n_probe=_IVF_PROBE,
+    ).select("vec_id")
+    exact10 = cosine_topk(emb, query_id=_ANN_QUERY_ID, k=_ANN_K).select(
+        "vec_id"
+    )
+    nt = t10.join(exact10, on="vec_id").agg(
+        F.count("*").alias("n_overlap_trained")
+    )
+    ns = s10.join(exact10, on="vec_id").agg(
+        F.count("*").alias("n_overlap_standin")
+    )
+    return nt.crossJoin(ns).select(
+        F.lit(_ANN_K).cast("long").alias("k"),
+        F.col("n_overlap_trained"),
+        floor_round(
+            F.col("n_overlap_trained").cast("double") / F.lit(_ANN_K), 4
+        ).alias("recall_trained"),
+        F.col("n_overlap_standin"),
+        floor_round(
+            F.col("n_overlap_standin").cast("double") / F.lit(_ANN_K), 4
+        ).alias("recall_standin"),
+        (F.col("n_overlap_trained") - F.col("n_overlap_standin"))
+        .cast("long")
+        .alias("trained_gain"),
+    )
+
+
 _IVF_PQ_TOPK_CTES = f"""
         WITH v AS MATERIALIZED (
             SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings

@@ -939,3 +939,52 @@ def test_ivf_assign_pinned_centroids(spark):
         r["vec_id"]: r["cid"] for r in ivf_assign(subset, 4).collect()
     }
     assert unpinned != pinned
+
+
+def test_ivf_trained_centroids_beat_first_ids_on_clustered_data(spark):
+    """On CLUSTERED vectors a kmeans-trained IVF coarse quantizer must
+    recall at least as well as the first-k-ids stand-in (and strictly
+    better in aggregate over a query panel): the stand-in's lists are
+    arbitrary points of cluster 0's neighborhood, so probes miss other
+    clusters; trained lists align with the clusters."""
+    import numpy as np
+
+    from data_algorithms_with_pyspark_spark.operators.clustering import (
+        kmeans_train,
+    )
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(4, 16) * 5.0
+    rows = [
+        (i, [float(x) for x in centers[i % 4] + rng.randn(16) * 0.1])
+        for i in range(120)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    work = vecs.select("vec_id", F.col("embedding").alias("vec"))
+    trained = kmeans_train(work, k=4, max_iter=4)
+    cents_df = spark.createDataFrame(
+        list(enumerate(trained)), "cid int, cvec array<double>"
+    )
+
+    def recall(centroids, qid):
+        got = {
+            r["vec_id"]
+            for r in ivf_topk(
+                vecs, query_id=qid, k=5, n_lists=4, n_probe=1,
+                centroids=centroids,
+            ).collect()
+        }
+        want = {
+            r["vec_id"] for r in cosine_topk(vecs, query_id=qid, k=5).collect()
+        }
+        return len(got & want)
+
+    qids = [40, 41, 42, 43]  # one query per planted cluster
+    trained_hits = sum(recall(cents_df, q) for q in qids)
+    standin_hits = sum(recall(None, q) for q in qids)
+    assert trained_hits >= standin_hits
+    assert trained_hits == 5 * len(qids)  # trained 1-probe is exact here

@@ -301,3 +301,50 @@ def test_binary_files_ingest_to_image_decode(spark, tmp_path):
         for r in decode_image_batch(media).collect()
     }
     assert out == expected
+
+
+def test_table_fingerprint_tracks_content_and_degrades_loudly(tmp_path, capsys):
+    """Cache keys for derived state (ANN index, streaming split files,
+    compaction pairs) must change when a table is regenerated IN PLACE —
+    including a same-size rewrite, which the pre-r9 size-only directory
+    signature missed — and must warn when stat fails (path-only keying
+    can serve stale state)."""
+    import os
+    import shutil
+
+    from data_algorithms_with_pyspark_spark.sources.readers import (
+        table_fingerprint,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    sf_dir = str(tmp_path)
+    tgt = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        shutil.copytree(src, tgt)
+    else:
+        shutil.copy(src, tgt)
+    fp1 = table_fingerprint(sf_dir, "events")
+    assert fp1 == table_fingerprint(sf_dir, "events")  # stable
+
+    # same-size in-place regeneration: only mtime moves
+    part = tgt
+    if os.path.isdir(tgt):
+        part = os.path.join(
+            tgt,
+            sorted(
+                e for e in os.listdir(tgt) if not e.startswith((".", "_"))
+            )[0],
+        )
+    st = os.stat(part)
+    os.utime(part, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    fp2 = table_fingerprint(sf_dir, "events")
+    assert fp2 != fp1
+
+    # different sf_dir, same content bytes -> different key (path in sig)
+    assert table_fingerprint("/root/testdata/sf0.001", "events") != fp2
+
+    # missing table: loud fallback to path-only keying
+    capsys.readouterr()
+    fp_missing = table_fingerprint(str(tmp_path / "nope"), "events")
+    assert len(fp_missing) == 8
+    assert "falling back to path-only" in capsys.readouterr().err
