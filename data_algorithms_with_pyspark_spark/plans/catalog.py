@@ -68,11 +68,13 @@ _SAMPLE_PRIORITY = (
     # r10 together with the r5-stale block.
     #
     # New in r9: the append-mode (watermarked, bounded-state) twins of
-    # the tumbling-hourly and sliding-window streaming parity rows, and
-    # the trained-IVF coarse-quantizer recall audit.
+    # the tumbling-hourly and sliding-window streaming parity rows, the
+    # trained-IVF coarse-quantizer recall audit, and the fully-trained
+    # residual IVFADC (FAISS IVF16,PQ8 shape).
     "streaming_append_hourly_parity",
     "streaming_append_sliding_parity",
     "ivf_trained_recall_report",
+    "ivf_pq_residual_ann_topk",
     # r3-only-green block (10).
     "multimodal_video_stats",
     "near_dup_clusters",

@@ -2198,6 +2198,326 @@ def ivf_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- fully-trained residual IVFADC (round 9) ---------------------------------
+#
+# The production FAISS "IVF16,PQ8" construction END-TO-END TRAINED: a
+# kmeans-trained coarse quantizer, PQ codebooks trained on the RESIDUALS
+# (vec - assigned centroid) rather than raw vectors — residual energy is
+# what remains after the coarse quantizer explains the vector, so the 32
+# bits of PQ budget encode a much tighter distribution (Jegou et al. 2011
+# §IV.B) — and per-probed-list query LUTs (the query's residual differs
+# per list). The existing ivf_pq_ann_topk keeps the stand-in/raw-vector
+# form as the composition baseline; this row is the trained shape a
+# production index would ship.
+
+
+def _ivf_pq_residual_oracle() -> str:
+    """Full replay: coarse kmeans (k=16, Python-round grid — the proven
+    kmeans pair), 1e15-grid coarse assignment, residuals, PQ training on
+    residuals (L2 1e12 argmin + floor-grid means — pq_train_codebook's
+    recipe), residual encoding, per-probed-list residual LUTs, ADC."""
+    from data_algorithms_with_pyspark_spark.operators.clustering import (
+        CENTROID_QUANT,
+    )
+
+    cq, k, m, ksub, w = CENTROID_QUANT, _IVF_LISTS, _PQ_M, _PQ_KSUB, _PQ_W
+    grid = f"1e{cq}"
+
+    def km_assign(name: str, cents: str) -> str:
+        return f"""
+        {name} AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT v.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY CAST(floor((list_cosine_similarity(
+                                        v.vec, c.cvec) + 1.0) * 1e15 + 0.5)
+                                        AS BIGINT) DESC,
+                                    c.cid
+                       ) AS rn
+                FROM v CROSS JOIN {cents} c
+            ) WHERE rn = 1
+        )"""
+
+    def km_recompute(name: str, assign_t: str, prev: str) -> str:
+        return f"""
+        {name} AS MATERIALIZED (
+            SELECT p.cid, COALESCE(g.cvec, p.cvec) AS cvec
+            FROM {prev} p LEFT JOIN (
+                SELECT cid, list(mv ORDER BY i) AS cvec FROM (
+                    SELECT a.cid, d.i, round(avg(v.vec[d.i]), {cq}) AS mv
+                    FROM v JOIN {assign_t} a USING (vec_id)
+                    CROSS JOIN kdims d
+                    GROUP BY a.cid, d.i
+                ) GROUP BY cid
+            ) g USING (cid)
+        )"""
+
+    def pq_assign(name: str, cents: str) -> str:
+        return f"""
+        {name} AS MATERIALIZED (
+            SELECT rvs.vec_id, rvs.s,
+                   CAST(min(CAST(floor(list_aggregate(
+                            list_transform(range(1, {w} + 1),
+                                i -> (rvs.sv[i] - c.cvec[i])
+                                   * (rvs.sv[i] - c.cvec[i])),
+                            'sum') * 1e12 + 0.5) AS BIGINT) * {ksub}
+                        + c.cid) % {ksub} AS INT) AS cid
+            FROM rvs JOIN {cents} c ON c.s = rvs.s
+            GROUP BY rvs.vec_id, rvs.s
+        )"""
+
+    def pq_recompute(name: str, assign_t: str, prev: str) -> str:
+        return f"""
+        {name} AS MATERIALIZED (
+            SELECT p.s, p.cid, COALESCE(g.cvec, p.cvec) AS cvec
+            FROM {prev} p LEFT JOIN (
+                SELECT s, cid, list(mv ORDER BY i) AS cvec FROM (
+                    SELECT a.s, a.cid, d.i,
+                           floor(avg(rvs.sv[d.i]) * {grid} + 0.5) / {grid}
+                               AS mv
+                    FROM rvs
+                    JOIN {assign_t} a
+                      ON a.vec_id = rvs.vec_id AND a.s = rvs.s
+                    CROSS JOIN wdims d
+                    GROUP BY a.s, a.cid, d.i
+                ) GROUP BY s, cid
+            ) g ON g.s = p.s AND g.cid = p.cid
+        )"""
+
+    km_iters = "".join(
+        f",{km_assign(f'rka{i}', f'rkc{i - 1}')},{km_recompute(f'rkc{i}', f'rka{i}', f'rkc{i - 1}')}"
+        for i in range(1, _IVF_TRAIN_ITERS + 1)
+    )
+    kc = f"rkc{_IVF_TRAIN_ITERS}"
+    pq_iters = "".join(
+        f",{pq_assign(f'rpa{i}', f'rpc{i - 1}')},{pq_recompute(f'rpc{i}', f'rpa{i}', f'rpc{i - 1}')}"
+        for i in range(1, _PQ_TRAIN_ITERS + 1)
+    )
+    pc = f"rpc{_PQ_TRAIN_ITERS}"
+    return f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        ),
+        kdims AS (SELECT unnest(range(1, {m * w} + 1)) AS i),
+        wdims AS (SELECT unnest(range(1, {w} + 1)) AS i),
+        sdims AS (SELECT unnest(range({m})) AS s),
+        q AS MATERIALIZED (
+            SELECT vec AS qvec FROM v WHERE vec_id = {_ANN_QUERY_ID}
+        ),
+        rkc0 AS MATERIALIZED (
+            SELECT vec_id::INT AS cid,
+                   list_transform(vec, x -> round(x, {cq})) AS cvec
+            FROM v WHERE vec_id < {k}
+        ){km_iters},{km_assign("c_assign", kc)},
+        probes AS (
+            SELECT cid FROM {kc}, q
+            ORDER BY CAST(floor((list_cosine_similarity(cvec, qvec) + 1.0)
+                               * 1e15 + 0.5) AS BIGINT) DESC, cid
+            LIMIT {_IVF_PROBE}
+        ),
+        res AS MATERIALIZED (
+            SELECT v.vec_id, a.cid,
+                   list_transform(range(1, {m * w} + 1),
+                                  i -> v.vec[i] - c.cvec[i]) AS rvec
+            FROM v
+            JOIN c_assign a USING (vec_id)
+            JOIN {kc} c USING (cid)
+        ),
+        rvs AS MATERIALIZED (
+            SELECT res.vec_id, sd.s,
+                   list_transform(range(1, {w} + 1),
+                                  i -> res.rvec[sd.s * {w} + i]) AS sv
+            FROM res CROSS JOIN sdims sd
+        ),
+        rpc0 AS MATERIALIZED (
+            SELECT s, vec_id::INT AS cid,
+                   list_transform(sv, x -> floor(x * {grid} + 0.5) / {grid})
+                       AS cvec
+            FROM rvs WHERE vec_id < {ksub}
+        ){pq_iters},
+        rdist AS (
+            SELECT rvs.vec_id, c.s, c.cid AS code,
+                   list_aggregate(list_transform(range(1, {w} + 1),
+                       i -> (rvs.sv[i] - c.cvec[i]) * (rvs.sv[i] - c.cvec[i])),
+                       'sum') AS d2
+            FROM rvs JOIN {pc} c ON c.s = rvs.s
+        ),
+        renc0 AS (
+            SELECT vec_id, s,
+                   min(CAST(floor(d2 * 1e12 + 0.5) AS BIGINT) * {ksub}
+                       + code) % {ksub} AS code_s
+            FROM rdist GROUP BY vec_id, s
+        ),
+        renc AS MATERIALIZED (
+            SELECT vec_id,
+                   CAST(sum(code_s * (1::BIGINT << (4 * s))) AS BIGINT)
+                       AS pq_code
+            FROM renc0 GROUP BY vec_id
+        ),
+        qres AS MATERIALIZED (
+            SELECT p.cid,
+                   list_transform(range(1, {m * w} + 1),
+                                  i -> q.qvec[i] - c.cvec[i]) AS qr
+            FROM probes p JOIN {kc} c USING (cid), q
+        ),
+        rlut AS MATERIALIZED (
+            SELECT qr.cid, cb.s, cb.cid AS code,
+                   CAST(floor(list_aggregate(list_transform(range(1, {w} + 1),
+                       i -> (qr.qr[cb.s * {w} + i] - cb.cvec[i])
+                          * (qr.qr[cb.s * {w} + i] - cb.cvec[i])),
+                       'sum') * 1e9 + 0.5) AS BIGINT) AS d2n
+            FROM qres qr CROSS JOIN {pc} cb
+        ),
+        adc AS (
+            SELECT c.vec_id, any_value(c.cid) AS cid,
+                   CAST(sum(l.d2n) AS BIGINT) AS adc_nano
+            FROM (
+                SELECT e.vec_id, a.cid,
+                       (e.pq_code >> (4 * s.s)) & {ksub - 1} AS code_s, s.s
+                FROM renc e
+                JOIN c_assign a USING (vec_id)
+                JOIN probes p USING (cid)
+                CROSS JOIN sdims s
+                WHERE e.vec_id <> {_ANN_QUERY_ID}
+            ) c
+            JOIN rlut l ON l.cid = c.cid AND l.s = c.s AND l.code = c.code_s
+            GROUP BY c.vec_id
+            ORDER BY adc_nano, c.vec_id LIMIT {_ANN_K}
+        )
+        SELECT t.vec_id, CAST(t.cid AS BIGINT) AS cid, t.adc_nano,
+               CAST(floor(list_aggregate(list_transform(
+                   range(1, {m * w} + 1),
+                   i -> (v.vec[i] - q.qvec[i]) * (v.vec[i] - q.qvec[i])),
+                   'sum') * 1e9 + 0.5) AS BIGINT) AS true_nano
+        FROM adc t JOIN v USING (vec_id), q
+        ORDER BY t.adc_nano, t.vec_id
+    """
+
+
+@register(
+    "ivf_pq_residual_ann_topk",
+    tags=("similarity", "ann", "iterative"),
+    description=f"Fully-TRAINED residual IVFADC top-{_ANN_K} (FAISS "
+    f"IVF{_IVF_LISTS},PQ{_PQ_M} shape): kmeans-trained coarse lists, PQ "
+    "codebooks trained on the RESIDUALS, per-probed-list query LUTs; the "
+    "oracle replays coarse training, assignment, residual PQ training, "
+    "encoding, and the ADC ranking end-to-end; true squared-L2 audit "
+    "rides along",
+    oracle=_ivf_pq_residual_oracle(),
+)
+def ivf_pq_residual_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained twin of ivf_pq_ann_topk, and the form a production
+    index ships: residual encoding concentrates the PQ budget on what
+    the coarse quantizer leaves unexplained, so 32-bit codes carry far
+    less error than raw-vector codes at the same geometry. The query
+    LUT is rebuilt per probed list (the query residual differs per
+    list) — n_probe small constant LUTs of m*ksub longs each, still
+    driver-bounded. Scale shape is unchanged from ivf_pq_ann_topk:
+    probed-lists x packed-codes scans, broadcasts only."""
+    from data_algorithms_with_pyspark_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+    from data_algorithms_with_pyspark_spark.operators.clustering import (
+        kmeans_train,
+    )
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        _sub_d2,
+        ivf_assign,
+        pq_adc_topk,
+        pq_encode,
+        pq_train_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", to_double_array("embedding").alias("vec"))
+    trained = kmeans_train(
+        vecs, k=_IVF_LISTS, max_iter=_IVF_TRAIN_ITERS, tol=0.0
+    )
+    cents_df = spark.createDataFrame(
+        list(enumerate(trained)), "cid int, cvec array<double>"
+    )
+    assign = ivf_assign(vecs, _IVF_LISTS, centroids=cents_df)
+    residuals = (
+        vecs.join(assign, on="vec_id")
+        .join(F.broadcast(cents_df), on="cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.zip_with(
+                F.col("vec"), F.col("cvec"), lambda a, b: a - b
+            ).alias("vec"),
+        )
+    )
+    rcb = pq_train_codebook(
+        residuals.select("vec_id", "vec"),
+        m=_PQ_M,
+        ksub=_PQ_KSUB,
+        max_iter=_PQ_TRAIN_ITERS,
+        tol=0.0,
+        vec_col="vec",
+    )
+    renc = pq_encode(
+        residuals.select("vec_id", "vec"), rcb, vec_col="vec"
+    ).join(assign, on="vec_id")
+    qv = [
+        float(x)
+        for x in vecs.where(F.col("vec_id") == _ANN_QUERY_ID)
+        .collect()[0]["vec"]
+    ]
+    # probe ranking on the ivf_pq 1e15 quantized-cosine grid (near-tied
+    # lists must not flip cross-engine); 4-row bounded collect
+    probe_rows = (
+        cents_df.crossJoin(
+            F.broadcast(
+                vecs.where(F.col("vec_id") == _ANN_QUERY_ID).select(
+                    F.col("vec").alias("qvec")
+                )
+            )
+        )
+        .select(
+            "cid",
+            F.floor(
+                (cosine_similarity(F.col("cvec"), F.col("qvec")) + F.lit(1.0))
+                * F.lit(1e15)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("qc_q"),
+        )
+        .orderBy(F.col("qc_q").desc(), "cid")
+        .limit(_IVF_PROBE)
+        .collect()
+    )
+    per_list = []
+    for r in probe_rows:
+        c = int(r["cid"])
+        qr = [qv[i] - trained[c][i] for i in range(len(qv))]
+        part = renc.where(
+            (F.col("cid") == c) & (F.col("vec_id") != _ANN_QUERY_ID)
+        ).select("vec_id", "pq_code")
+        per_list.append(
+            pq_adc_topk(part, rcb, qr, k=_ANN_K).select(
+                "vec_id", F.lit(c).cast("long").alias("cid"), "adc_nano"
+            )
+        )
+    union = per_list[0]
+    for df in per_list[1:]:
+        union = union.unionByName(df)
+    topk = union.orderBy("adc_nano", "vec_id").limit(_ANN_K)
+    true_nano = (
+        F.floor(_sub_d2(F.col("vec"), 0, qv) * F.lit(1e9) + F.lit(0.5))
+        .cast("long")
+        .alias("true_nano")
+    )
+    return (
+        topk.join(vecs, on="vec_id")
+        .select("vec_id", "cid", "adc_nano", true_nano)
+        .orderBy("adc_nano", "vec_id")
+    )
+
+
 def _ann_qv_and_probes(vecs):
     """Query vector + the 4 probe list ids for the persisted-index ANN
     queries: two bounded collects (1 row, 4 rows) on the same quantized
