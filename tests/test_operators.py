@@ -988,3 +988,80 @@ def test_ivf_trained_centroids_beat_first_ids_on_clustered_data(spark):
     standin_hits = sum(recall(None, q) for q in qids)
     assert trained_hits >= standin_hits
     assert trained_hits == 5 * len(qids)  # trained 1-probe is exact here
+
+
+def test_residual_ivfadc_beats_raw_standin_on_clustered_data(spark):
+    """On CLUSTERED vectors the trained-residual IVFADC construction
+    (kmeans coarse lists + PQ trained on residuals) must reconstruct far
+    better than the raw-vector/first-k-ids composition: the residuals
+    are just the small intra-cluster noise, so the PQ budget encodes a
+    tight distribution instead of the full spread. Measured as total ADC
+    self-distance over a sample (0 = perfect reconstruction), each
+    vector scored against its own list's residual LUT."""
+    import numpy as np
+
+    from data_algorithms_with_pyspark_spark.operators.clustering import (
+        kmeans_train,
+    )
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        ivf_assign,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+        pq_train_codebook,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(4, 16) * 5.0
+    rows = [
+        (i, [float(x) for x in centers[i % 4] + rng.randn(16) * 0.1])
+        for i in range(80)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+
+    # raw stand-in composition: first-4-ids PQ codebooks on raw vectors
+    cb_raw = pq_codebook(vecs, m=4, ksub=4, vec_col="vec")
+    enc_raw = pq_encode(vecs, cb_raw, vec_col="vec")
+    raw_err = 0
+    for i, v in rows[:10]:
+        r = pq_adc_topk(
+            enc_raw.where(F.col("vec_id") == i), cb_raw, v, k=1
+        ).collect()[0]
+        raw_err += r["adc_nano"]
+
+    # trained-residual composition
+    trained = kmeans_train(vecs, k=4, max_iter=4)
+    cents_df = spark.createDataFrame(
+        list(enumerate(trained)), "cid int, cvec array<double>"
+    )
+    assign = ivf_assign(vecs, 4, centroids=cents_df)
+    residuals = (
+        vecs.join(assign, on="vec_id")
+        .join(F.broadcast(cents_df), on="cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.zip_with(F.col("vec"), F.col("cvec"), lambda a, b: a - b).alias(
+                "vec"
+            ),
+        )
+    )
+    rcb = pq_train_codebook(
+        residuals.select("vec_id", "vec"), m=4, ksub=4, max_iter=4,
+        vec_col="vec",
+    )
+    enc_res = pq_encode(residuals.select("vec_id", "vec"), rcb, vec_col="vec")
+    cid_of = {r["vec_id"]: r["cid"] for r in assign.collect()}
+    res_err = 0
+    for i, v in rows[:10]:
+        c = cid_of[i]
+        qr = [v[j] - trained[c][j] for j in range(16)]
+        r = pq_adc_topk(
+            enc_res.where(F.col("vec_id") == i), rcb, qr, k=1
+        ).collect()[0]
+        res_err += r["adc_nano"]
+
+    # Clear-margin win (measured ~2.4x here): ksub=4 codewords can only
+    # explain so much of the sigma=0.1 noise, so the gap is bounded by
+    # the residual-noise floor, not an order of magnitude.
+    assert res_err < raw_err / 2
