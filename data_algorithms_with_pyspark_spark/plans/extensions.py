@@ -2439,6 +2439,11 @@ def ivf_pq_residual_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(enumerate(trained)), "cid int, cvec array<double>"
     )
     assign = ivf_assign(vecs, _IVF_LISTS, centroids=cents_df)
+    # persisted: the residual table feeds the PQ trainer's exploded
+    # subvector build AND the encoder; the encoded+assigned codes table
+    # feeds all n_probe per-list branches — without these, the
+    # assign+subtract (and the Arrow encode) replay once per consumer.
+    # Materializing codes once IS how an index build works at scale.
     residuals = (
         vecs.join(assign, on="vec_id")
         .join(F.broadcast(cents_df), on="cid")
@@ -2449,6 +2454,7 @@ def ivf_pq_residual_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("vec"), F.col("cvec"), lambda a, b: a - b
             ).alias("vec"),
         )
+        .persist()
     )
     rcb = pq_train_codebook(
         residuals.select("vec_id", "vec"),
@@ -2458,9 +2464,11 @@ def ivf_pq_residual_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tol=0.0,
         vec_col="vec",
     )
-    renc = pq_encode(
-        residuals.select("vec_id", "vec"), rcb, vec_col="vec"
-    ).join(assign, on="vec_id")
+    renc = (
+        pq_encode(residuals.select("vec_id", "vec"), rcb, vec_col="vec")
+        .join(assign, on="vec_id")
+        .persist()
+    )
     qv = [
         float(x)
         for x in vecs.where(F.col("vec_id") == _ANN_QUERY_ID)
