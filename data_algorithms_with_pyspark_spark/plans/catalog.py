@@ -67,10 +67,15 @@ _SAMPLE_PRIORITY = (
     # ~50 cut drops the alphabetical tail of the r4 block, which leads
     # r10 together with the r5-stale block.
     #
-    # New in r9: the append-mode (watermarked, bounded-state) twins of
-    # the tumbling-hourly and sliding-window streaming parity rows, the
+    # New in r9: the unigram-LM (SentencePiece-style) tokenizer trainer
+    # pair, the at-least-once -> exactly-once streaming dedup parity row,
+    # the append-mode (watermarked, bounded-state) twins of the
+    # tumbling-hourly and sliding-window streaming parity rows, the
     # trained-IVF coarse-quantizer recall audit, and the fully-trained
     # residual IVFADC (FAISS IVF16,PQ8 shape).
+    "unigram_lm_vocab",
+    "unigram_lm_segmentation",
+    "streaming_dedup_parity",
     "streaming_append_hourly_parity",
     "streaming_append_sliding_parity",
     "ivf_trained_recall_report",

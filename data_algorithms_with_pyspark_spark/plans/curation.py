@@ -1579,6 +1579,233 @@ def bpe_vocab_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNIGRAM_ITERS = 2
+_UNIGRAM_TOP_MULTI = 40
+_UNIGRAM_WORD_MAX = 12  # operators/unigram.WORD_MAX_LEN — DP unroll bound
+_UNIGRAM_PIECE_MAX = 4  # operators/unigram.PIECE_MAX_LEN
+
+
+def _unigram_dp_sql(tag: str, cost_cte: str) -> str:
+    """One unrolled Viterbi DP block over the u0 word vocabulary under the
+    ``cost_cte`` piece-cost table — the SQL replay of
+    ``operators/unigram.viterbi_expr``. Stage i holds the best
+    (cost, seg) struct for every word prefix of length i; the
+    row_number() tie order (cost, seg byte order) is the identical total
+    order the Spark fold's struct ``least`` minimizes. MATERIALIZED for
+    the same reason as the BPE replay: each stage is referenced by the
+    next two, and default inlining re-expands the chain exponentially."""
+    stages = [
+        f"""a{tag}0 AS MATERIALIZED (
+            SELECT term, n, 0 AS i, CAST(0 AS BIGINT) AS cost, '' AS seg
+            FROM u0
+        )"""
+    ]
+    for i in range(1, _UNIGRAM_WORD_MAX + 1):
+        stages.append(
+            f"""x{tag}{i} AS MATERIALIZED (
+            SELECT term, n, cost, seg FROM (
+                SELECT term, n, cost, seg,
+                       row_number() OVER (
+                           PARTITION BY term ORDER BY cost, seg) AS rn
+                FROM (
+                    SELECT d.term, d.n, d.cost + v.cost AS cost,
+                           CASE WHEN d.i = 0 THEN v.piece
+                                ELSE d.seg || ' ' || v.piece END AS seg
+                    FROM a{tag}{i - 1} d
+                    JOIN {cost_cte} v
+                      ON {i} - d.i BETWEEN 1 AND {_UNIGRAM_PIECE_MAX}
+                     AND v.piece = substr(d.term, d.i + 1, {i} - d.i)
+                    WHERE length(d.term) >= {i}
+                )
+            ) WHERE rn = 1
+        ),
+        a{tag}{i} AS MATERIALIZED (
+            SELECT term, n, i, cost, seg FROM a{tag}{i - 1}
+            UNION ALL
+            SELECT term, n, {i} AS i, cost, seg FROM x{tag}{i}
+        )"""
+        )
+    stages.append(
+        f"""seg{tag} AS MATERIALIZED (
+            SELECT term, n, cost, seg FROM a{tag}{_UNIGRAM_WORD_MAX}
+            WHERE i = length(term)
+        )"""
+    )
+    return ",\n".join(stages)
+
+
+def _unigram_oracle_cte(iters: int) -> str:
+    """Shared WITH-chain replaying ``operators/unigram.unigram_train``:
+    word vocabulary -> substring candidate seeding (all single chars +
+    top-K multi-char by count DESC, piece ASC) -> ``iters`` hard-EM
+    rounds, each an unrolled Viterbi DP + usage re-count with Laplace
+    add-1 smoothing + prune of unused multi-char pieces. Costs are
+    integer micro-nats floor(1e6 * ln(T/c)) with T converted to DOUBLE
+    before the division, exactly as the Python trainer computes them."""
+    stages = [
+        f"""u0 AS MATERIALIZED (
+            SELECT term, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest({_TOKENS}) AS term FROM documents)
+            WHERE regexp_matches(term, '^[a-z]+$')
+              AND length(term) <= {_UNIGRAM_WORD_MAX}
+            GROUP BY term
+        ),
+        s0 AS MATERIALIZED (
+            SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+            FROM (
+                SELECT u.n, substr(u.term, st.st, pl.pl) AS piece
+                FROM u0 u
+                JOIN (SELECT unnest(range(1, {_UNIGRAM_WORD_MAX + 1}))
+                          AS st) st
+                  ON st.st <= length(u.term)
+                JOIN (SELECT unnest(range(1, {_UNIGRAM_PIECE_MAX + 1}))
+                          AS pl) pl
+                  ON st.st + pl.pl <= length(u.term) + 1
+            ) GROUP BY piece
+        ),
+        v0 AS MATERIALIZED (
+            SELECT piece, cnt FROM s0 WHERE length(piece) = 1
+            UNION ALL
+            SELECT piece, cnt FROM (
+                SELECT piece, cnt FROM s0 WHERE length(piece) > 1
+                ORDER BY cnt DESC, piece LIMIT {_UNIGRAM_TOP_MULTI}
+            )
+        ),
+        c0 AS MATERIALIZED (
+            SELECT piece, cnt,
+                   CAST(floor(1000000.0 * ln(
+                       CAST((SELECT sum(cnt) FROM v0) AS DOUBLE) / cnt))
+                       AS BIGINT) AS cost
+            FROM v0
+        )"""
+    ]
+    for it in range(1, iters + 1):
+        stages.append(_unigram_dp_sql(f"e{it}_", f"c{it - 1}"))
+        stages.append(
+            f"""k{it} AS MATERIALIZED (
+            SELECT piece, CAST(sum(n) AS BIGINT) AS used
+            FROM (SELECT n, unnest(string_split(seg, ' ')) AS piece
+                  FROM sege{it}_)
+            GROUP BY piece
+        ),
+        v{it} AS MATERIALIZED (
+            SELECT c.piece, coalesce(k.used, 0) + 1 AS cnt
+            FROM c{it - 1} c LEFT JOIN k{it} k ON c.piece = k.piece
+            WHERE length(c.piece) = 1 OR coalesce(k.used, 0) > 0
+        ),
+        c{it} AS MATERIALIZED (
+            SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+                   CAST(floor(1000000.0 * ln(
+                       CAST((SELECT sum(cnt) FROM v{it}) AS DOUBLE) / cnt))
+                       AS BIGINT) AS cost
+            FROM v{it}
+        )"""
+        )
+    return "WITH " + ",\n".join(stages)
+
+
+def _unigram_vocab_sql(iters: int) -> str:
+    return f"""{_unigram_oracle_cte(iters)}
+        SELECT piece, cnt, cost AS cost_micro FROM c{iters}
+        ORDER BY cost, piece
+    """
+
+
+def _unigram_segmentation_sql(iters: int, top_n: int) -> str:
+    return f"""{_unigram_oracle_cte(iters)},
+        {_unigram_dp_sql("f_", f"c{iters}")}
+        SELECT term, n,
+               CAST(len(string_split(seg, ' ')) AS INT) AS n_pieces,
+               cost AS cost_micro, seg AS pieces
+        FROM segf_ ORDER BY n DESC, term LIMIT {top_n}
+    """
+
+
+@register(
+    "unigram_lm_vocab",
+    bench=True,
+    tags=("text", "tokenizer", "iterative"),
+    description=f"Unigram-LM (SentencePiece-style) tokenizer training, "
+    f"{_UNIGRAM_ITERS} hard-EM rounds (operators/unigram.py): substring "
+    "candidate seeding + per-round Viterbi segmentation (Catalyst fold) "
+    "with integer micro-nat costs, usage re-count, add-1 smoothing, and "
+    "pruning of unused pieces; the oracle replays every round with an "
+    "unrolled DP",
+    oracle=_unigram_vocab_sql(_UNIGRAM_ITERS),
+)
+def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained artifact itself: the final piece inventory with the
+    smoothed counts and micro-nat costs of the last re-estimation.
+    Driver state is the inventory (|chars| + surviving multi-char
+    pieces); the corpus-scale work happened once in the word count."""
+    from data_algorithms_with_pyspark_spark.functions.text_functions import words
+    from data_algorithms_with_pyspark_spark.operators.unigram import (
+        unigram_train,
+        word_vocab,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(words("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    pieces = unigram_train(
+        word_vocab(wc), iters=_UNIGRAM_ITERS, top_multi=_UNIGRAM_TOP_MULTI
+    )
+    return spark.createDataFrame(
+        [(p, c, cost) for p, c, cost in pieces],
+        schema="piece string, cnt bigint, cost_micro bigint",
+    ).orderBy("cost_micro", "piece")
+
+
+@register(
+    "unigram_lm_segmentation",
+    tags=("text", "tokenizer", "iterative"),
+    description="Segmentations produced by the trained unigram-LM "
+    f"tokenizer: the {_UNIGRAM_ITERS}-round inventory applied to the "
+    "word vocabulary via min-cost Viterbi decoding — train + apply, "
+    "value-verified end to end down to every piece boundary and the "
+    "exact integer path cost",
+    oracle=_unigram_segmentation_sql(_UNIGRAM_ITERS, top_n=50),
+)
+def unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the trained tokenizer DOES to words: train the same
+    unigram LM, Viterbi-decode the 50 most frequent words under the
+    final costs, and report piece counts, path costs, and the pieces
+    themselves. (n DESC, term) is a total order — term is unique — so
+    the LIMIT is deterministic."""
+    from data_algorithms_with_pyspark_spark.functions.text_functions import words
+    from data_algorithms_with_pyspark_spark.operators.unigram import (
+        unigram_segment,
+        unigram_train,
+        word_vocab,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(words("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = word_vocab(wc)
+    pieces = unigram_train(
+        vocab, iters=_UNIGRAM_ITERS, top_multi=_UNIGRAM_TOP_MULTI
+    )
+    seg = unigram_segment(vocab, pieces)
+    return (
+        seg.orderBy(F.col("n").desc(), "term")
+        .limit(50)
+        .select(
+            "term",
+            "n",
+            F.size(F.split(F.col("v.seg"), " ")).alias("n_pieces"),
+            F.col("v.cost").alias("cost_micro"),
+            F.col("v.seg").alias("pieces"),
+        )
+    )
+
+
 _SPLIT_TEST_NUM = 1
 _SPLIT_TEST_DEN = 5  # test fraction = 1/5
 
