@@ -977,9 +977,24 @@ def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     deduped = streaming_dedup_within_watermark(stream, watermark="2 hours")
-    sink = _run_append(deduped, "dedup_parity")
+    # Unlike the windowed parity rows (whose sinks hold small aggregates),
+    # this stream emits RAW admitted rows — a memory sink would hold the
+    # whole table in driver heap (observed OOM at sf1). A parquet file
+    # sink is the shape you'd run at scale: executor-side writes, driver
+    # holds only the commit log.
+    root = tempfile.mkdtemp(prefix="dedup_parity_sink_")
+    sink_dir = os.path.join(root, "out")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return (
-        spark.table(sink)
+        spark.read.parquet(sink_dir)
         .where(F.col("user_id") != _FLUSH_USER)
         .groupBy("event_type")
         .agg(
