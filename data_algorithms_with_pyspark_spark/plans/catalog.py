@@ -75,6 +75,8 @@ _SAMPLE_PRIORITY = (
     # residual IVFADC (FAISS IVF16,PQ8 shape).
     "unigram_lm_vocab",
     "unigram_lm_segmentation",
+    "unigram_corpus_compression",
+    "unigram_persisted_tokenizer_encode",
     "streaming_dedup_parity",
     "streaming_append_hourly_parity",
     "streaming_append_sliding_parity",

@@ -1806,6 +1806,197 @@ def unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "unigram_corpus_compression",
+    tags=("text", "tokenizer", "iterative"),
+    description="The tokenizer-evaluation metric a training pipeline "
+    "actually tracks: per-source corpus compression under the trained "
+    "unigram LM — covered/uncovered word counts, total pieces, and the "
+    "pieces-per-word / chars-per-piece ratios (floor-grid 6dp); the "
+    "vocab-sized segmentation table broadcast-joins the corpus tokens",
+    oracle=f"""{_unigram_oracle_cte(_UNIGRAM_ITERS)},
+        {_unigram_dp_sql("f_", f"c{_UNIGRAM_ITERS}")},
+        pieces_per_term AS MATERIALIZED (
+            SELECT term,
+                   CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_pieces
+            FROM segf_
+        ),
+        tok AS (
+            SELECT source, unnest({_TOKENS}) AS term FROM documents
+        )
+        SELECT source,
+               CAST(count(p.term) AS BIGINT) AS n_words,
+               CAST(count(*) - count(p.term) AS BIGINT) AS n_uncovered,
+               CAST(coalesce(sum(p.n_pieces), 0) AS BIGINT) AS n_pieces,
+               floor(CAST(coalesce(sum(p.n_pieces), 0) AS DOUBLE)
+                     / count(p.term) * 1000000.0 + 0.5) / 1000000.0
+                   AS pieces_per_word,
+               floor(CAST(coalesce(sum(CASE WHEN p.term IS NOT NULL
+                                   THEN length(t.term) END), 0) AS DOUBLE)
+                     / coalesce(sum(p.n_pieces), 0) * 1000000.0 + 0.5)
+                   / 1000000.0 AS chars_per_piece
+        FROM tok t LEFT JOIN pieces_per_term p ON t.term = p.term
+        GROUP BY source ORDER BY source
+    """,
+)
+def unigram_corpus_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the unigram LM, then measure what it buys on the corpus:
+    words are decoded via the vocab-sized segmentation table (every
+    distinct word decoded ONCE, then broadcast to the corpus-scale token
+    stream — at 100 TB the corpus is ~10^13 tokens but the decode table
+    is vocab-sized, so the per-token work is one broadcast-hash probe).
+    Words the trainer excluded (non-[a-z], overlong) count as uncovered.
+    Ratio columns are rational means -> floor-grid 6dp on both sides."""
+    from data_algorithms_with_pyspark_spark.functions.text_functions import words
+    from data_algorithms_with_pyspark_spark.operators.dedup import floor_round
+    from data_algorithms_with_pyspark_spark.operators.unigram import (
+        unigram_segment,
+        unigram_train,
+        word_vocab,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(words("text")).alias("term")
+    )
+    wc = tok.groupBy("term").agg(F.count("*").alias("n"))
+    vocab = word_vocab(wc)
+    pieces = unigram_train(
+        vocab, iters=_UNIGRAM_ITERS, top_multi=_UNIGRAM_TOP_MULTI
+    )
+    per_term = unigram_segment(vocab, pieces).select(
+        "term",
+        F.size(F.split(F.col("v.seg"), " ")).cast("long").alias("n_pieces"),
+    )
+    joined = tok.join(F.broadcast(per_term), "term", "left")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.col("n_pieces")).alias("n_words"),
+            (F.count("*") - F.count(F.col("n_pieces"))).alias("n_uncovered"),
+            F.coalesce(F.sum("n_pieces"), F.lit(0)).alias("n_pieces"),
+            floor_round(
+                F.coalesce(F.sum("n_pieces"), F.lit(0)).cast("double")
+                / F.count(F.col("n_pieces")),
+                6,
+            ).alias("pieces_per_word"),
+            floor_round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("n_pieces").isNotNull(), F.length("term")
+                        )
+                    ),
+                    F.lit(0),
+                ).cast("double")
+                / F.coalesce(F.sum("n_pieces"), F.lit(0)),
+                6,
+            ).alias("chars_per_piece"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "unigram_persisted_tokenizer_encode",
+    tags=("text", "tokenizer", "incremental"),
+    description="Day-2 tokenizer reuse: the trained unigram-LM inventory "
+    "is PERSISTED as a table (train cost paid at most once per corpus "
+    "fingerprint) and a new-arrivals slice (doc_id % 10 = 0) is encoded "
+    "from the persisted artifact without retraining — per-doc covered/"
+    "uncovered word and piece counts; oracle replays train + apply",
+    oracle=f"""{_unigram_oracle_cte(_UNIGRAM_ITERS)},
+        {_unigram_dp_sql("f_", f"c{_UNIGRAM_ITERS}")},
+        ppt AS MATERIALIZED (
+            SELECT term,
+                   CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_pieces
+            FROM segf_
+        ),
+        tok2 AS (
+            SELECT doc_id, unnest({_TOKENS}) AS term
+            FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT doc_id,
+               CAST(count(p.term) AS BIGINT) AS n_words,
+               CAST(count(*) - count(p.term) AS BIGINT) AS n_uncovered,
+               CAST(coalesce(sum(p.n_pieces), 0) AS BIGINT) AS n_pieces
+        FROM tok2 t LEFT JOIN ppt p ON t.term = p.term
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def unigram_persisted_tokenizer_encode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The day-2 production shape of the tokenizer lane (the same
+    pay-once pattern as ivf_pq_ann_persisted_index): training runs at
+    most once per (session, corpus fingerprint) and lands the piece
+    inventory in a table; the encode path READS the artifact (a bounded
+    collect — the inventory IS the artifact), Viterbi-decodes only the
+    slice's distinct words, and broadcast-probes the slice's token
+    stream. At 100 TB day-2 encode therefore never touches the training
+    corpus. Slice words the trainer's filters exclude count as
+    uncovered, exactly as in unigram_corpus_compression."""
+    from data_algorithms_with_pyspark_spark.functions.text_functions import words
+    from data_algorithms_with_pyspark_spark.operators.unigram import (
+        unigram_segment,
+        unigram_train,
+        word_vocab,
+    )
+    from data_algorithms_with_pyspark_spark.sources.readers import (
+        table_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tbl = f"unigram_vocab_{table_fingerprint(sf_dir, 'documents')}"
+    if not spark.catalog.tableExists(tbl):
+        wc = (
+            docs.select(F.explode(words("text")).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("n"))
+        )
+        trained = unigram_train(
+            word_vocab(wc),
+            iters=_UNIGRAM_ITERS,
+            top_multi=_UNIGRAM_TOP_MULTI,
+        )
+        from data_algorithms_with_pyspark_spark.sources.writers import (
+            _clear_orphaned_location,
+        )
+
+        # A fresh process has an empty in-memory catalog but the prior
+        # process's warehouse directory may survive — overwrite + orphan
+        # clearing, the same contract as write_partitioned_table.
+        _clear_orphaned_location(spark, tbl)
+        spark.createDataFrame(
+            [(p, c, cost) for p, c, cost in trained],
+            schema="piece string, cnt bigint, cost_micro bigint",
+        ).coalesce(1).write.mode("overwrite").saveAsTable(tbl)
+    pieces = [
+        (r["piece"], int(r["cnt"]), int(r["cost_micro"]))
+        for r in spark.table(tbl).collect()
+    ]
+    tok = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.explode(words("text")).alias("term")
+    )
+    day2_words = word_vocab(
+        tok.groupBy("term").agg(F.count("*").alias("n"))
+    )
+    per_term = unigram_segment(day2_words, pieces).select(
+        "term",
+        F.size(F.split(F.col("v.seg"), " ")).cast("long").alias("n_pieces"),
+    )
+    joined = tok.join(F.broadcast(per_term), "term", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.col("n_pieces")).alias("n_words"),
+            (F.count("*") - F.count(F.col("n_pieces"))).alias("n_uncovered"),
+            F.coalesce(F.sum("n_pieces"), F.lit(0)).alias("n_pieces"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _SPLIT_TEST_NUM = 1
 _SPLIT_TEST_DEN = 5  # test fraction = 1/5
 

@@ -277,3 +277,15 @@ def test_incremental_ann_history_scan_is_probe_only(spark):
     # the per-run encode touches ONLY the increment: the embeddings scan
     # feeding pq_encode must carry the %8 pushdown-able filter upstream
     assert "ann_ivfpq_hist_" in plan
+
+
+def test_unigram_compression_broadcasts_decode_table(spark):
+    """unigram_corpus_compression must probe the corpus-scale token
+    stream against a BROADCAST of the vocab-sized decode table — a
+    regression to a shuffle join would move the whole corpus for a
+    vocab-sized lookup (at 100 TB: ~10^13 tokens vs ~10^7 words)."""
+    df = all_queries()["unigram_corpus_compression"].fn(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
