@@ -48,7 +48,9 @@ def char_vocab(
     )
 
 
-def merge_pair_expr(syms: Column, left: str, right: str) -> Column:
+def merge_pair_expr(
+    syms: Column, left: str, right: str, merged: str | None = None
+) -> Column:
     """Greedy left-to-right merge of adjacent (left, right) symbols: the
     exact BPE apply step, as a Catalyst ``aggregate`` fold.
 
@@ -56,8 +58,12 @@ def merge_pair_expr(syms: Column, left: str, right: str) -> Column:
     incoming symbol is ``right``, replace the last symbol with the merged
     token (which then cannot re-merge as ``left`` unless the merged token
     literally equals it — matching BPE's non-overlapping scan).
+
+    ``merged`` overrides the produced token (default ``left + right``) —
+    WordPiece reuses this fold but strips the ``##`` continuation prefix
+    off the right symbol (``operators/wordpiece.py``).
     """
-    merged = F.lit(left + right)
+    merged = F.lit(left + right if merged is None else merged)
     return F.aggregate(
         syms,
         F.expr("CAST(array() AS array<string>)"),

@@ -1,0 +1,307 @@
+"""WordPiece tokenizer training + greedy longest-match segmentation.
+
+The third classical subword-tokenizer trainer (Schuster & Nakajima 2012;
+the BERT tokenizer, Devlin et al. 2019 §4 / the HuggingFace `tokenizers`
+WordPiece trainer), completing the trio with ``operators/bpe.py`` (merge
+by raw pair count) and ``operators/unigram.py`` (prune by likelihood):
+WordPiece merges the adjacent symbol pair maximizing the LIKELIHOOD gain
+
+    score(l, r) = count(l r) / (count(l) * count(r))
+
+— i.e. the pair whose merge most increases a unigram LM's corpus
+likelihood — and segments NEW text with greedy longest-match-first
+("maximal munch") instead of replaying merges. Non-word-initial symbols
+carry the ``##`` continuation prefix, so 'cat' enters training as
+['c', '##a', '##t'] and a merge of ('##a', '##t') yields '##at'.
+
+Distributed shape (identical to the BPE trainer's, the corpus-scale
+analysis in ``operators/bpe.py`` applies verbatim):
+
+1. The corpus collapses ONCE to a (word, frequency) vocabulary.
+2. Each merge round runs TWO vocab-sized hash aggregates (adjacent-pair
+   counts and single-symbol counts, both weighted by word frequency),
+   joins them on the pair's endpoints, takes the single best-scoring
+   pair to the driver (one row), and rewrites the symbol arrays with the
+   same greedy left-to-right Catalyst fold BPE uses.
+3. ``localCheckpoint()`` per round truncates the growing lineage.
+
+Determinism across engines (the DuckDB oracle replays every round): the
+score is quantized to an integer grid ``floor(CAST(p AS DOUBLE) /
+CAST(l*r AS DOUBLE) * 1e12)`` — integer-to-double casts and one IEEE
+division/multiplication are exactly rounded identically in Spark and
+DuckDB — with ties broken on the pair string ascending (byte order).
+
+Greedy segmentation is a Catalyst ``aggregate`` fold over character
+positions (state = (next-position, segmentation)); each step takes the
+LONGEST vocabulary piece matching at the cursor, which is WordPiece's
+apply semantics and deliberately NOT BPE merge replay. Words are bounded
+at ``WORD_MAX_LEN`` because the DuckDB oracle unrolls one greedy step
+per position (same shared-constant contract as the unigram Viterbi DP).
+
+The reference has no tokenizer-training surface (SURVEY.md §2
+north-star extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_algorithms_with_pyspark_spark.operators.unigram import WORD_MAX_LEN
+
+__all__ = [
+    "SCORE_SCALE",
+    "wordpiece_vocab",
+    "wordpiece_train",
+    "wordpiece_vocab_pieces",
+    "greedy_segment_expr",
+    "wordpiece_segment",
+]
+
+# Integer score grid: floor(p / (l*r) * 1e12). Pair probabilities are
+# >= 1/total^2 with total <= ~1e9 even at 100 TB word-vocab scale, so the
+# grid keeps ~metric precision while staying far inside BIGINT.
+SCORE_SCALE = 1_000_000_000_000
+
+# Sentinel cursor for a word greedy matching failed on (possible only if
+# the vocabulary lost a character): far past any real cursor, so the
+# final `pos == length + 1` validity check rejects it.
+_STUCK_POS = 1 << 20
+
+
+def wordpiece_vocab(
+    wc: DataFrame,
+    term_col: str = "term",
+    freq_col: str = "n",
+    word_max_len: int = WORD_MAX_LEN,
+) -> DataFrame:
+    """(word, freq) -> (term, n, syms) with WordPiece continuation marks:
+    'cat' -> ['c', '##a', '##t'].
+
+    Same ``^[a-z]+$`` clean-word restriction as ``bpe.char_vocab`` plus
+    the greedy-unroll length bound shared with the oracle (words longer
+    than ``word_max_len`` are excluded from training AND apply — the
+    bound is a compile-time constant on both engines).
+    """
+    chars = F.split(F.col(term_col), "")
+    return wc.where(
+        F.col(term_col).rlike("^[a-z]+$")
+        & (F.length(term_col) <= F.lit(word_max_len))
+    ).select(
+        F.col(term_col).alias("term"),
+        F.col(freq_col).alias("n"),
+        F.transform(
+            chars,
+            lambda c, i: F.when(i == 0, c).otherwise(F.concat(F.lit("##"), c)),
+        ).alias("syms"),
+    )
+
+
+def _strip_continuation(sym: str) -> str:
+    return sym[2:] if sym.startswith("##") else sym
+
+
+def _pair_scores(vocab: DataFrame) -> DataFrame:
+    """(pair, pair_count, score_q) over (n, syms): adjacent-pair counts
+    joined with both endpoints' symbol counts, score quantized to the
+    shared integer grid. Two vocab-sized aggregates + two joins against
+    the (bounded) symbol-count relation — AQE broadcasts it."""
+    pairs = (
+        vocab.where(F.size("syms") >= 2)
+        .select(
+            "n",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("syms"), i),
+                        F.element_at(F.col("syms"), i + 1),
+                    ),
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("n").alias("pair_count"))
+    )
+    syms = (
+        vocab.select("n", F.explode("syms").alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("n").alias("sym_count"))
+    )
+    left = F.split(F.col("pair"), " ").getItem(0)
+    right = F.split(F.col("pair"), " ").getItem(1)
+    l = syms.select(F.col("sym").alias("_ls"), F.col("sym_count").alias("_lc"))
+    r = syms.select(F.col("sym").alias("_rs"), F.col("sym_count").alias("_rc"))
+    return (
+        pairs.join(l, left == F.col("_ls"))
+        .join(r, right == F.col("_rs"))
+        .select(
+            "pair",
+            "pair_count",
+            F.floor(
+                F.col("pair_count").cast("double")
+                / (F.col("_lc") * F.col("_rc")).cast("double")
+                * F.lit(float(SCORE_SCALE))
+            )
+            .cast("long")
+            .alias("score_q"),
+        )
+    )
+
+
+def wordpiece_train(
+    vocab: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, str, int, int]], DataFrame]:
+    """Learn ``n_merges`` WordPiece merges over a (term, n, syms)
+    vocabulary.
+
+    Returns (merges, final_vocab): merges as (merge_idx starting at 1,
+    left, right, pair_count, score_q) in learned order, and the
+    vocabulary with all merges applied. Ties break on (score_q DESC,
+    pair ASC) — the same total order the DuckDB oracle's LIMIT uses.
+    Raises on pair exhaustion (same contract as ``bpe_train``: silently
+    returning fewer merges would desynchronize a fixed-round replay).
+    """
+    from data_algorithms_with_pyspark_spark.operators.bpe import (
+        merge_pair_expr,
+    )
+
+    vocab = vocab.localCheckpoint()
+    merges: list[tuple[int, str, str, int, int]] = []
+    for k in range(1, n_merges + 1):
+        top = (
+            _pair_scores(vocab)
+            .orderBy(F.col("score_q").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            raise ValueError(
+                f"vocabulary exhausted after {k - 1} merges; "
+                f"asked for {n_merges}"
+            )
+        left, right = top[0]["pair"].split(" ", 1)
+        merges.append(
+            (k, left, right, int(top[0]["pair_count"]), int(top[0]["score_q"]))
+        )
+        merged = left + _strip_continuation(right)
+        vocab = vocab.withColumn(
+            "syms", merge_pair_expr(F.col("syms"), left, right, merged=merged)
+        ).localCheckpoint()
+    return merges, vocab
+
+
+def wordpiece_vocab_pieces(
+    vocab: DataFrame, merges: list[tuple[int, str, str, int, int]]
+) -> list[str]:
+    """The apply-time piece inventory: the initial alphabet (every
+    word-initial character and ``##``-marked continuation character seen
+    in training — bounded driver state, <= 2 * |charset| rows) plus the
+    ``n_merges`` merged tokens, in deterministic sorted order. This is
+    real WordPiece's vocabulary shape: alphabet + one entry per merge."""
+    alphabet = [
+        r["sym"]
+        for r in vocab.select(F.explode("syms").alias("sym"))
+        .distinct()
+        .collect()
+    ]
+    produced = [l + _strip_continuation(r) for _, l, r, _, _ in merges]
+    return sorted(set(alphabet) | set(produced))
+
+
+def greedy_segment_expr(
+    term: Column | str,
+    pieces: list[str],
+    word_max_len: int = WORD_MAX_LEN,
+) -> Column:
+    """Greedy longest-match-first WordPiece segmentation of ``term``
+    under the piece inventory -> struct(n_pieces INT, seg STRING), NULL
+    if the word cannot be segmented (impossible while the alphabet is
+    covered, but contract-checked like the unigram fold).
+
+    A Catalyst ``aggregate`` fold over character positions with state
+    (pos, seg): each step matches the LONGEST piece at the cursor
+    (word-initial pieces bare, continuations with the ``##`` prefix) via
+    a filtered-sequence ``array_max`` over candidate lengths against the
+    broadcast piece map — maximal munch, zero Python per row. Steps a
+    finished word no-ops through. NULL-free for the same ArrayAggregate
+    codegen reason documented on ``unigram.viterbi_expr``: failure is a
+    sentinel cursor, never a NULL struct.
+    """
+    t = F.col(term) if isinstance(term, str) else term
+    max_piece = max((len(_strip_continuation(p)) for p in pieces), default=1)
+    args: list[Column] = []
+    for p in sorted(set(pieces)):
+        args.append(F.lit(p))
+        args.append(F.lit(1))
+    piece_map = F.create_map(*args)
+    init = F.array(
+        F.struct(
+            F.lit(1).cast("int").alias("pos"), F.lit("").alias("seg")
+        )
+    )
+
+    def step(acc: Column, _i: Column) -> Column:
+        st = F.get(acc, F.size(acc) - 1)
+        pos = st.getField("pos")
+        seg = st.getField("seg")
+
+        def match_text(length: Column) -> Column:
+            raw = F.substr(t, pos, length)
+            return F.when(pos == 1, raw).otherwise(
+                F.concat(F.lit("##"), raw)
+            )
+
+        best_len = F.array_max(
+            F.filter(
+                F.sequence(F.lit(1), F.lit(max_piece)),
+                lambda pl: (pos + pl - 1 <= F.length(t))
+                & F.element_at(piece_map, match_text(pl)).isNotNull(),
+            )
+        )
+        piece = match_text(best_len)
+        advanced = F.struct(
+            (pos + best_len).cast("int").alias("pos"),
+            F.when(pos == 1, piece)
+            .otherwise(F.concat(seg, F.lit(" "), piece))
+            .alias("seg"),
+        )
+        stuck = F.struct(
+            F.lit(_STUCK_POS).cast("int").alias("pos"), seg.alias("seg")
+        )
+        next_st = (
+            F.when(pos > F.length(t), st)  # finished: no-op through
+            .when(best_len.isNull(), stuck)
+            .otherwise(advanced)
+        )
+        return F.concat(acc, F.array(next_st))
+
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.length(t), F.lit(word_max_len))),
+        init,
+        step,
+    )
+    final = F.get(folded, F.size(folded) - 1)
+    ok = final.getField("pos") == F.length(t) + 1
+    return F.when(
+        ok,
+        F.struct(
+            F.size(F.split(final.getField("seg"), " ")).alias("n_pieces"),
+            final.getField("seg").alias("seg"),
+        ),
+    )
+
+
+def wordpiece_segment(
+    df: DataFrame,
+    pieces: list[str],
+    term_col: str = "term",
+    word_max_len: int = WORD_MAX_LEN,
+) -> DataFrame:
+    """Apply a trained inventory: adds struct column ``v`` (n_pieces,
+    seg) — the BERT-style tokenize step for new text given the trained
+    artifact. Pure column composition, zero Python per row."""
+    return df.withColumn(
+        "v", greedy_segment_expr(F.col(term_col), pieces, word_max_len)
+    )

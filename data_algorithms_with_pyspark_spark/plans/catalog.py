@@ -71,8 +71,15 @@ _SAMPLE_PRIORITY = (
     # pair, the at-least-once -> exactly-once streaming dedup parity row,
     # the append-mode (watermarked, bounded-state) twins of the
     # tumbling-hourly and sliding-window streaming parity rows, the
-    # trained-IVF coarse-quantizer recall audit, and the fully-trained
-    # residual IVFADC (FAISS IVF16,PQ8 shape).
+    # trained-IVF coarse-quantizer recall audit, the fully-trained
+    # residual IVFADC (FAISS IVF16,PQ8 shape), the WordPiece trainer +
+    # greedy-segmentation pair (completing the subword trio), the
+    # MinHash-LSH recall/precision audit, and the co-located bucketed
+    # fact-fact join.
+    "wordpiece_learned_merges",
+    "wordpiece_greedy_segmentation",
+    "minhash_lsh_recall_report",
+    "bucketed_orders_lineitem_join",
     "unigram_lm_vocab",
     "unigram_lm_segmentation",
     "unigram_corpus_compression",

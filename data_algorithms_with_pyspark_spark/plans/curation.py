@@ -1997,6 +1997,263 @@ def unigram_persisted_tokenizer_encode(
     )
 
 
+_WORDPIECE_MERGES = 6
+_WORDPIECE_WORD_MAX = 12  # operators/unigram.WORD_MAX_LEN — greedy unroll bound
+_WORDPIECE_SCORE_SCALE = 1_000_000_000_000  # operators/wordpiece.SCORE_SCALE
+
+
+def _wp_merged_sql(pr: str) -> str:
+    """Merged-token expression for a 'left right' pair string: left
+    concatenated with the right symbol stripped of its ``##`` prefix —
+    the identical rule ``wordpiece_train`` applies in Python."""
+    right = f"split_part({pr}, ' ', 2)"
+    return (
+        f"split_part({pr}, ' ', 1) || "
+        f"(CASE WHEN starts_with({right}, '##') THEN substr({right}, 3) "
+        f"ELSE {right} END)"
+    )
+
+
+def _wordpiece_oracle_cte(n_merges: int) -> str:
+    """Shared WITH-chain replaying ``operators/wordpiece.wordpiece_train``
+    in DuckDB: words wrapped one ##-marked symbol at a time ('cat' ->
+    '|c||##a||##t|'), one (pair-count, symbol-count, best, rewrite) stage
+    quadruple per merge round. The round winner maximizes the integer-
+    grid likelihood score floor(CAST(p AS DOUBLE) / CAST(l*r AS DOUBLE)
+    * 1e12) with ties on the pair string ascending — the identical IEEE
+    cast/divide/multiply sequence the Spark trainer evaluates. Every CTE
+    is MATERIALIZED for the same inlining-blowup reason as the BPE
+    replay (w{k} references b{k} several times)."""
+    stages = [
+        f"""wpu AS MATERIALIZED (
+            SELECT term, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest({_TOKENS}) AS term FROM documents)
+            WHERE regexp_matches(term, '^[a-z]+$')
+              AND length(term) <= {_WORDPIECE_WORD_MAX}
+            GROUP BY term
+        ),
+        wp0 AS MATERIALIZED (
+            SELECT term, n,
+                   '|' || array_to_string(
+                       list_transform(
+                           range(1, length(term) + 1),
+                           i -> CASE WHEN i = 1 THEN substr(term, i, 1)
+                                ELSE '##' || substr(term, i, 1) END),
+                       '||') || '|' AS s
+            FROM wpu
+        )"""
+    ]
+    for k in range(1, n_merges + 1):
+        prev = k - 1
+        stages.append(
+            f"""wl{k} AS MATERIALIZED (
+            SELECT n, string_split(substr(s, 2, length(s) - 2), '||') AS l
+            FROM wp{prev}
+        ),
+        pp{k} AS MATERIALIZED (
+            SELECT pr, CAST(sum(n) AS BIGINT) AS cnt
+            FROM (
+                SELECT n, unnest(list_transform(
+                           range(1, len(l)),
+                           i -> l[i] || ' ' || l[i + 1])) AS pr
+                FROM wl{k}
+            ) GROUP BY pr
+        ),
+        yy{k} AS MATERIALIZED (
+            SELECT sym, CAST(sum(n) AS BIGINT) AS sc
+            FROM (SELECT n, unnest(l) AS sym FROM wl{k})
+            GROUP BY sym
+        ),
+        b{k} AS MATERIALIZED (
+            SELECT pr, cnt, score_q FROM (
+                SELECT p.pr, p.cnt,
+                       CAST(floor(CAST(p.cnt AS DOUBLE)
+                                  / CAST(l.sc * r.sc AS DOUBLE)
+                                  * {_WORDPIECE_SCORE_SCALE}.0)
+                            AS BIGINT) AS score_q
+                FROM pp{k} p
+                JOIN yy{k} l ON l.sym = split_part(p.pr, ' ', 1)
+                JOIN yy{k} r ON r.sym = split_part(p.pr, ' ', 2)
+            ) ORDER BY score_q DESC, pr LIMIT 1
+        ),
+        wp{k} AS MATERIALIZED (
+            SELECT term, n,
+                   replace(s,
+                           '|' || split_part((SELECT pr FROM b{k}), ' ', 1)
+                               || '||'
+                               || split_part((SELECT pr FROM b{k}), ' ', 2)
+                               || '|',
+                           '|' || {_wp_merged_sql(f"(SELECT pr FROM b{k})")}
+                               || '|') AS s
+            FROM wp{prev}
+        )"""
+        )
+    return "WITH " + ",\n".join(stages)
+
+
+def _wordpiece_merges_sql(n_merges: int) -> str:
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS merge_idx, pr AS pair, "
+        f"cnt AS pair_count, score_q FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"{_wordpiece_oracle_cte(n_merges)}\n{rows}"
+
+
+def _wordpiece_greedy_sql(n_merges: int, top_n: int) -> str:
+    """Train replay + the apply-time vocabulary (initial alphabet UNION
+    the merged tokens — real WordPiece's vocab shape) + one unrolled
+    greedy longest-match-first stage per character position: each stage
+    advances every unfinished word by the LONGEST vocabulary piece
+    matching at its cursor (row_number over piece length DESC — maximal
+    munch), finished words pass through. The replay of
+    ``operators/wordpiece.greedy_segment_expr``."""
+    max_pl = n_merges + 1  # a token built by k merges spans <= k+1 chars
+    merged_rows = "\nUNION ".join(
+        f"SELECT {_wp_merged_sql(f'(SELECT pr FROM b{k})')} AS piece"
+        for k in range(1, n_merges + 1)
+    )
+    stages = [
+        f"""wpv AS MATERIALIZED (
+            SELECT DISTINCT sym AS piece
+            FROM (SELECT unnest(string_split(substr(s, 2, length(s) - 2),
+                                             '||')) AS sym FROM wp0)
+            UNION
+            {merged_rows}
+        ),
+        g0 AS MATERIALIZED (
+            SELECT term, n, 1 AS pos, '' AS seg FROM wpu
+        )"""
+    ]
+    piece_case = (
+        "CASE WHEN g.pos = 1 THEN substr(g.term, g.pos, pl.pl) "
+        "ELSE '##' || substr(g.term, g.pos, pl.pl) END"
+    )
+    for i in range(1, _WORDPIECE_WORD_MAX + 1):
+        stages.append(
+            f"""gm{i} AS MATERIALIZED (
+            SELECT term, n, pos + pl AS pos,
+                   CASE WHEN seg = '' THEN piece
+                        ELSE seg || ' ' || piece END AS seg
+            FROM (
+                SELECT g.term, g.n, g.pos, g.seg, pl.pl,
+                       {piece_case} AS piece,
+                       row_number() OVER (
+                           PARTITION BY g.term ORDER BY pl.pl DESC) AS rn
+                FROM g{i - 1} g
+                JOIN (SELECT unnest(range(1, {max_pl + 1})) AS pl) pl
+                  ON g.pos + pl.pl - 1 <= length(g.term)
+                JOIN wpv v ON v.piece = {piece_case}
+                WHERE g.pos <= length(g.term)
+            ) WHERE rn = 1
+        ),
+        g{i} AS MATERIALIZED (
+            SELECT term, n, pos, seg FROM g{i - 1} WHERE pos > length(term)
+            UNION ALL
+            SELECT term, n, pos, seg FROM gm{i}
+        )"""
+        )
+    return f"""{_wordpiece_oracle_cte(n_merges)},
+        {",".join(stages)}
+        SELECT term, n,
+               CAST(len(string_split(seg, ' ')) AS INT) AS n_pieces,
+               seg AS pieces
+        FROM g{_WORDPIECE_WORD_MAX}
+        WHERE pos = length(term) + 1
+        ORDER BY n DESC, term LIMIT {top_n}
+    """
+
+
+@register(
+    "wordpiece_learned_merges",
+    bench=True,
+    tags=("text", "tokenizer", "iterative"),
+    description=f"WordPiece (BERT-tokenizer) vocabulary training, "
+    f"{_WORDPIECE_MERGES} merge rounds (operators/wordpiece.py): each "
+    "round merges the adjacent ##-marked symbol pair maximizing the "
+    "likelihood score count(lr)/(count(l)*count(r)) on an integer 1e12 "
+    "grid — two vocab-sized aggregates + a one-row argmax per round; "
+    "the oracle replays every round via non-overlapping string "
+    "replacement, completing the classical subword trio (BPE, unigram, "
+    "WordPiece)",
+    oracle=_wordpiece_merges_sql(_WORDPIECE_MERGES),
+)
+def wordpiece_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WordPiece training artifact: the learned merge table in order,
+    with each round's winning pair count and quantized likelihood score.
+    Driver state is n_merges rows; the corpus-scale work happened once
+    in the word count."""
+    from data_algorithms_with_pyspark_spark.functions.text_functions import words
+    from data_algorithms_with_pyspark_spark.operators.wordpiece import (
+        wordpiece_train,
+        wordpiece_vocab,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(words("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    merges, _ = wordpiece_train(
+        wordpiece_vocab(wc), n_merges=_WORDPIECE_MERGES
+    )
+    return spark.createDataFrame(
+        [(k, f"{l} {r}", cnt, sq) for k, l, r, cnt, sq in merges],
+        schema="merge_idx int, pair string, pair_count bigint, score_q bigint",
+    )
+
+
+@register(
+    "wordpiece_greedy_segmentation",
+    tags=("text", "tokenizer", "iterative"),
+    description="Greedy longest-match-first (maximal munch) WordPiece "
+    f"segmentation under the {_WORDPIECE_MERGES}-merge trained vocabulary "
+    "— the BERT apply semantics, NOT merge replay: the top-50 words by "
+    "frequency with their ##-marked piece sequences; the oracle replays "
+    "training AND the greedy matcher one unrolled stage per character",
+    oracle=_wordpiece_greedy_sql(_WORDPIECE_MERGES, top_n=50),
+)
+def wordpiece_greedy_segmentation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What the trained WordPiece tokenizer DOES to words: train the
+    same 6-merge vocabulary, then segment the word vocabulary with the
+    greedy longest-match fold (alphabet + merged tokens — the apply-time
+    inventory differs from BPE's in that segmentation consults the VOCAB,
+    not the merge order). (n DESC, term) is a total order — term is
+    unique — so the LIMIT is deterministic."""
+    from data_algorithms_with_pyspark_spark.functions.text_functions import words
+    from data_algorithms_with_pyspark_spark.operators.wordpiece import (
+        wordpiece_segment,
+        wordpiece_train,
+        wordpiece_vocab,
+        wordpiece_vocab_pieces,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(words("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = wordpiece_vocab(wc)
+    merges, _ = wordpiece_train(vocab, n_merges=_WORDPIECE_MERGES)
+    pieces = wordpiece_vocab_pieces(vocab, merges)
+    seg = wordpiece_segment(vocab.select("term", "n"), pieces)
+    return (
+        seg.where(F.col("v").isNotNull())
+        .orderBy(F.col("n").desc(), "term")
+        .limit(50)
+        .select(
+            "term",
+            "n",
+            F.col("v.n_pieces").alias("n_pieces"),
+            F.col("v.seg").alias("pieces"),
+        )
+    )
+
+
 _SPLIT_TEST_NUM = 1
 _SPLIT_TEST_DEN = 5  # test fraction = 1/5
 

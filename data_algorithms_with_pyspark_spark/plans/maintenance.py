@@ -120,3 +120,104 @@ def orders_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="o_year long, files_after long, had_fragments long",
     )
     return agg.join(F.broadcast(stats), on="o_year", how="inner")
+
+
+_BJOIN_BUCKETS = 16
+
+
+@register(
+    "bucketed_orders_lineitem_join",
+    tags=("maintenance", "io", "join", "bucketing"),
+    description="Co-located FACT-FACT join: orders and lineitem are both "
+    f"persisted bucketBy({_BJOIN_BUCKETS}, orderkey) sortBy(orderkey) "
+    "(pay the shuffle ONCE at write), then the revenue-per-priority "
+    "report joins them with ZERO Exchange on either side (the residual "
+    "within-bucket Sort is local — SPARK-28595 hides scan ordering "
+    "without a legacy conf, and catalog queries take no session confs) — "
+    "the 100 TB repeated-join layout broadcast can't reach (both sides "
+    "fact-sized); revenue in exact integer cents so the digest is "
+    "accumulation-order-free; plan shape pinned by "
+    "tests/test_plans_physical.py",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                   + 0.5) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def bucketed_orders_lineitem_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Both fact tables land as bucketed+sorted catalog tables at most
+    once per (process, corpus fingerprint) — the same pay-once contract
+    as the persisted ANN index and the incremental band index — and the
+    join itself plans as SortMergeJoin over two bucketed scans with no
+    Exchange on either side: at 100 TB neither fact ever shuffles again,
+    for THIS and every future orderkey-keyed join. Per-row floor to
+    integer cents keeps the revenue digest exact under any accumulation
+    order (the established cross-engine sum recipe)."""
+    from data_algorithms_with_pyspark_spark.sources.readers import (
+        table_fingerprint,
+    )
+    from data_algorithms_with_pyspark_spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    fp = table_fingerprint(sf_dir, "orders")
+    t_orders = f"bkt_orders_{fp}"
+    t_lineitem = f"bkt_lineitem_{fp}"
+    # repartition on the bucket key BEFORE the bucketed write: bucketBy
+    # and repartition share Murmur3 hash partitioning, so each task owns
+    # exactly one bucket and writes exactly one file — the precondition
+    # for the scan to report its sortBy ordering (Spark trusts write-time
+    # sort only at one-file-per-bucket; multi-file buckets would re-Sort
+    # above each scan at every future join).
+    if not spark.catalog.tableExists(t_orders):
+        write_bucketed_table(
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .repartition(_BJOIN_BUCKETS, F.col("o_orderkey")),
+            t_orders,
+            ("o_orderkey",),
+            _BJOIN_BUCKETS,
+            sort_cols=("o_orderkey",),
+        )
+    if not spark.catalog.tableExists(t_lineitem):
+        write_bucketed_table(
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                "l_orderkey",
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount"))
+                    * 100
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("rev_cents"),
+            )
+            .repartition(_BJOIN_BUCKETS, F.col("l_orderkey")),
+            t_lineitem,
+            ("l_orderkey",),
+            _BJOIN_BUCKETS,
+            sort_cols=("l_orderkey",),
+        )
+    orders = spark.table(t_orders)
+    lineitem = spark.table(t_lineitem)
+    joined = lineitem.join(
+        orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("rev_cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -289,3 +289,34 @@ def test_unigram_compression_broadcasts_decode_table(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_fact_join_no_exchange(spark):
+    """bucketed_orders_lineitem_join's 100 TB contract: after the
+    pay-once bucketed write, the fact-fact join runs with NO shuffle
+    Exchange on either input — neither fact moves, ever again. (The
+    within-bucket Sort remains: since SPARK-28595, a bucketed scan
+    reports no output ordering unless the legacy conf is set, and
+    catalog queries must not depend on session confs — the Sort is
+    bucket-local, zero data movement.) The plain-parquet control join
+    MUST shuffle, proving the layout (not AQE or size) removed it."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = all_queries()["bucketed_orders_lineitem_join"].fn(spark, SF_SMOKE)
+        plan = _executed_plan(df)
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert "SelectedBucketsCount: 16 out of 16" in plan, plan
+        join_part = plan.split("HashAggregate")[-1]  # below the aggs
+        assert "Exchange" not in join_part, plan
+        from data_algorithms_with_pyspark_spark.sources.readers import load_table
+
+        li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey")
+        od = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+        control = _executed_plan(
+            li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        )
+        assert "Exchange hashpartitioning" in control, control
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
