@@ -80,6 +80,9 @@ _SAMPLE_PRIORITY = (
     "wordpiece_greedy_segmentation",
     "minhash_lsh_recall_report",
     "bucketed_orders_lineitem_join",
+    "orders_schema_evolution_read",
+    "tokenizer_compression_comparison",
+    "ivf_nprobe_recall_curve",
     "unigram_lm_vocab",
     "unigram_lm_segmentation",
     "unigram_corpus_compression",

@@ -2100,14 +2100,16 @@ def _wordpiece_merges_sql(n_merges: int) -> str:
     return f"{_wordpiece_oracle_cte(n_merges)}\n{rows}"
 
 
-def _wordpiece_greedy_sql(n_merges: int, top_n: int) -> str:
-    """Train replay + the apply-time vocabulary (initial alphabet UNION
-    the merged tokens — real WordPiece's vocab shape) + one unrolled
-    greedy longest-match-first stage per character position: each stage
+def _wordpiece_greedy_stages(n_merges: int) -> str:
+    """The apply-time vocabulary (initial alphabet UNION the merged
+    tokens — real WordPiece's vocab shape) + one unrolled greedy
+    longest-match-first stage per character position: each stage
     advances every unfinished word by the LONGEST vocabulary piece
     matching at its cursor (row_number over piece length DESC — maximal
     munch), finished words pass through. The replay of
-    ``operators/wordpiece.greedy_segment_expr``."""
+    ``operators/wordpiece.greedy_segment_expr``; appended to
+    ``_wordpiece_oracle_cte``'s chain (terminal relation:
+    g{_WORDPIECE_WORD_MAX}, finished rows have pos = length+1)."""
     max_pl = n_merges + 1  # a token built by k merges spans <= k+1 chars
     merged_rows = "\nUNION ".join(
         f"SELECT {_wp_merged_sql(f'(SELECT pr FROM b{k})')} AS piece"
@@ -2153,8 +2155,12 @@ def _wordpiece_greedy_sql(n_merges: int, top_n: int) -> str:
             SELECT term, n, pos, seg FROM gm{i}
         )"""
         )
+    return ",".join(stages)
+
+
+def _wordpiece_greedy_sql(n_merges: int, top_n: int) -> str:
     return f"""{_wordpiece_oracle_cte(n_merges)},
-        {",".join(stages)}
+        {_wordpiece_greedy_stages(n_merges)}
         SELECT term, n,
                CAST(len(string_split(seg, ' ')) AS INT) AS n_pieces,
                seg AS pieces
@@ -2251,6 +2257,144 @@ def wordpiece_greedy_segmentation(
             F.col("v.n_pieces").alias("n_pieces"),
             F.col("v.seg").alias("pieces"),
         )
+    )
+
+
+@register(
+    "tokenizer_compression_comparison",
+    tags=("text", "tokenizer", "iterative", "quality"),
+    description="The three trained subword tokenizers (BPE merges, "
+    "unigram-LM Viterbi, WordPiece greedy) measured on ONE axis — "
+    "pieces-per-word over the shared <=12-char clean-word vocabulary, "
+    "frequency-weighted — the compression metric a tokenizer-selection "
+    "pipeline actually compares; the oracle replays ALL THREE trainings "
+    "and applies as independently-scoped nested WITH chains",
+    oracle=f"""
+        WITH bpe_m AS MATERIALIZED (
+            {_bpe_oracle_cte(_BPE_MERGES)}
+            SELECT CAST(count(*) AS BIGINT) AS n_word_types,
+                   CAST(sum(n) AS BIGINT) AS total_words,
+                   CAST(sum(n * len(string_split(
+                       substr(s, 2, length(s) - 2), '||'))) AS BIGINT)
+                       AS total_pieces
+            FROM w{_BPE_MERGES} WHERE length(term) <= {_WORDPIECE_WORD_MAX}
+        ),
+        uni_m AS MATERIALIZED (
+            {_unigram_oracle_cte(_UNIGRAM_ITERS)},
+            {_unigram_dp_sql("f_", f"c{_UNIGRAM_ITERS}")}
+            SELECT CAST(count(*) AS BIGINT) AS n_word_types,
+                   CAST(sum(n) AS BIGINT) AS total_words,
+                   CAST(sum(n * len(string_split(seg, ' '))) AS BIGINT)
+                       AS total_pieces
+            FROM segf_
+        ),
+        wp_m AS MATERIALIZED (
+            {_wordpiece_oracle_cte(_WORDPIECE_MERGES)},
+            {_wordpiece_greedy_stages(_WORDPIECE_MERGES)}
+            SELECT CAST(count(*) AS BIGINT) AS n_word_types,
+                   CAST(sum(n) AS BIGINT) AS total_words,
+                   CAST(sum(n * len(string_split(seg, ' '))) AS BIGINT)
+                       AS total_pieces
+            FROM g{_WORDPIECE_WORD_MAX} WHERE pos = length(term) + 1
+        )
+        SELECT tokenizer, n_word_types, total_words, total_pieces,
+               floor(CAST(total_pieces AS DOUBLE) / total_words * 10000
+                     + 0.5) / 10000 AS pieces_per_word
+        FROM (
+            SELECT 'bpe' AS tokenizer, * FROM bpe_m
+            UNION ALL SELECT 'unigram', * FROM uni_m
+            UNION ALL SELECT 'wordpiece', * FROM wp_m
+        ) ORDER BY tokenizer
+    """,
+)
+def tokenizer_compression_comparison(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train all three tokenizers on the same corpus word count and
+    report each one's frequency-weighted pieces-per-word over the SAME
+    word population (clean [a-z]+ types <= 12 chars — the bound the DP
+    replays share). n_word_types must agree across the three rows by
+    construction, which makes the comparison honest: same data, same
+    budgetary footing (6 BPE merges, 6 WordPiece merges, 40-candidate
+    2-round unigram), different algorithms. BPE deliberately trains on
+    the UNBOUNDED word set (its standalone row's contract) and is
+    measured on the shared subset."""
+    from data_algorithms_with_pyspark_spark.functions.text_functions import words
+    from data_algorithms_with_pyspark_spark.operators.bpe import (
+        bpe_train,
+        char_vocab,
+    )
+    from data_algorithms_with_pyspark_spark.operators.unigram import (
+        unigram_segment,
+        unigram_train,
+        word_vocab,
+    )
+    from data_algorithms_with_pyspark_spark.operators.wordpiece import (
+        wordpiece_segment,
+        wordpiece_train,
+        wordpiece_vocab,
+        wordpiece_vocab_pieces,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(words("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    ).localCheckpoint()
+
+    def metrics(df: DataFrame, n_pieces: F.Column, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("tokenizer"),
+            F.count("*").cast("long").alias("n_word_types"),
+            F.sum("n").cast("long").alias("total_words"),
+            F.sum(F.col("n") * n_pieces).cast("long").alias("total_pieces"),
+        )
+
+    _, bseg = bpe_train(char_vocab(wc), n_merges=_BPE_MERGES)
+    bpe_m = metrics(
+        bseg.where(F.length("term") <= _WORDPIECE_WORD_MAX),
+        F.size("syms"),
+        "bpe",
+    )
+
+    uvocab = word_vocab(wc)
+    upieces = unigram_train(
+        uvocab, iters=_UNIGRAM_ITERS, top_multi=_UNIGRAM_TOP_MULTI
+    )
+    uni_m = metrics(
+        unigram_segment(uvocab, upieces),
+        F.size(F.split(F.col("v.seg"), " ")),
+        "unigram",
+    )
+
+    wvocab = wordpiece_vocab(wc)
+    wmerges, _ = wordpiece_train(wvocab, n_merges=_WORDPIECE_MERGES)
+    wp_m = metrics(
+        wordpiece_segment(
+            wvocab.select("term", "n"),
+            wordpiece_vocab_pieces(wvocab, wmerges),
+        ),
+        F.col("v.n_pieces"),
+        "wordpiece",
+    )
+
+    from data_algorithms_with_pyspark_spark.operators.dedup import floor_round
+
+    return (
+        bpe_m.unionAll(uni_m)
+        .unionAll(wp_m)
+        .select(
+            "tokenizer",
+            "n_word_types",
+            "total_words",
+            "total_pieces",
+            floor_round(
+                F.col("total_pieces").cast("double") / F.col("total_words"),
+                4,
+            ).alias("pieces_per_word"),
+        )
+        .orderBy("tokenizer")
     )
 
 

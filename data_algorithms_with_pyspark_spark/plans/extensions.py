@@ -2031,6 +2031,127 @@ def ivf_trained_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NPROBE_CURVE = (1, 2, 4, 8, 16)
+
+
+def _ivf_nprobe_curve_oracle() -> str:
+    """Replays the stand-in IVF search once per n_probe value and counts
+    exact-top-k overlap — the same probe ranking / topk / exact forms as
+    the green ivf_trained_recall_report oracle, minus the training."""
+    per_probe = "".join(
+        f""",
+        probes{p} AS (
+            SELECT cid FROM scent, q
+            ORDER BY list_cosine_similarity(cvec, qvec) DESC, cid
+            LIMIT {p}
+        ),
+        topk{p} AS (
+            SELECT v.vec_id
+            FROM v
+            JOIN s_assign a ON v.vec_id = a.vec_id
+            JOIN probes{p} p ON a.cid = p.cid, q
+            WHERE v.vec_id <> {_ANN_QUERY_ID}
+            ORDER BY round(list_cosine_similarity(v.vec, q.qvec), 6) DESC,
+                     v.vec_id
+            LIMIT {_ANN_K}
+        ),
+        n{p} AS (SELECT count(*) AS n
+                 FROM topk{p} JOIN exact_topk USING (vec_id))"""
+        for p in _NPROBE_CURVE
+    )
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({p} AS BIGINT) AS n_probe, "
+        f"CAST((SELECT n FROM n{p}) AS BIGINT) AS n_overlap, "
+        f"floor(CAST((SELECT n FROM n{p}) AS DOUBLE) / {_ANN_K} "
+        f"* 10000 + 0.5) / 10000 AS recall"
+        for p in _NPROBE_CURVE
+    )
+    return f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        ),
+        q AS MATERIALIZED (
+            SELECT vec AS qvec FROM v WHERE vec_id = {_ANN_QUERY_ID}
+        ),
+        scent AS MATERIALIZED (
+            SELECT vec_id::INT AS cid, vec AS cvec
+            FROM v WHERE vec_id < {_IVF_LISTS}
+        ),
+        s_assign AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT v.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY CAST(floor((list_cosine_similarity(
+                                        v.vec, c.cvec) + 1.0) * 1e15 + 0.5)
+                                        AS BIGINT) DESC,
+                                    c.cid
+                       ) AS rn
+                FROM v CROSS JOIN scent c
+            ) WHERE rn = 1
+        ),
+        exact_topk AS (
+            SELECT vec_id FROM v, q
+            WHERE vec_id <> {_ANN_QUERY_ID}
+            ORDER BY round(list_cosine_similarity(vec, qvec), 6) DESC, vec_id
+            LIMIT {_ANN_K}
+        ){per_probe}
+        SELECT * FROM ({rows}) ORDER BY n_probe
+    """
+
+
+@register(
+    "ivf_nprobe_recall_curve",
+    tags=("similarity", "ann", "quality"),
+    description=f"The IVF tuning curve: recall@{_ANN_K} vs n_probe over "
+    f"{_NPROBE_CURVE} at {_IVF_LISTS} lists — the recall/cost knob every "
+    "IVF deployment tunes (n_probe = n_lists anchors the curve at exact "
+    "search, recall 1.0 by construction); one row per operating point, "
+    "the oracle replays every probed search",
+    oracle=_ivf_nprobe_curve_oracle(),
+)
+def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the recall reports pin at ONE operating point, as the full
+    curve: each additional probed list scans more of the corpus and
+    recovers more of the exact top-k. Five bounded searches (the audited
+    broadcast-probe ivf_topk plan, corpus never shuffles) + one exact
+    baseline; each point is a 1-row overlap aggregate, unioned."""
+    from data_algorithms_with_pyspark_spark.operators.dedup import floor_round
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact10 = cosine_topk(emb, query_id=_ANN_QUERY_ID, k=_ANN_K).select(
+        "vec_id"
+    )
+    points = []
+    for p in _NPROBE_CURVE:
+        topk = ivf_topk(
+            emb,
+            query_id=_ANN_QUERY_ID,
+            k=_ANN_K,
+            n_lists=_IVF_LISTS,
+            n_probe=p,
+        ).select("vec_id")
+        points.append(
+            topk.join(exact10, on="vec_id")
+            .agg(F.count("*").alias("n_overlap"))
+            .select(
+                F.lit(p).cast("long").alias("n_probe"),
+                F.col("n_overlap").cast("long").alias("n_overlap"),
+                floor_round(
+                    F.col("n_overlap").cast("double") / F.lit(_ANN_K), 4
+                ).alias("recall"),
+            )
+        )
+    out = points[0]
+    for part in points[1:]:
+        out = out.unionAll(part)
+    return out.orderBy("n_probe")
+
+
 _IVF_PQ_TOPK_CTES = f"""
         WITH v AS MATERIALIZED (
             SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings

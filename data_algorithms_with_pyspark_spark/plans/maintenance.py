@@ -221,3 +221,86 @@ def bucketed_orders_lineitem_join(
         )
         .orderBy("o_orderpriority")
     )
+
+
+# One evolved-layout dir per (process, orders fingerprint) — the same
+# pay-once cache contract as the compaction pair above.
+_EVOLVE_CACHE: dict[str, str] = {}
+
+
+def _build_evolved(spark: SparkSession, sf_dir: str) -> str:
+    from data_algorithms_with_pyspark_spark.sources.readers import (
+        table_fingerprint,
+    )
+
+    key = f"{sf_dir}|{table_fingerprint(sf_dir, 'orders')}"
+    cached = _EVOLVE_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    out = tempfile.mkdtemp(prefix="orders_evolved_")
+    orders = load_table(spark, sf_dir, "orders")
+    # Day-1 ingest: the original schema (no cents column).
+    orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderpriority"
+    ).write.mode("append").parquet(out)
+    # Day-2 ingest: the pipeline started emitting an extra column. Old
+    # files are never rewritten — the new column simply appears in new
+    # files, the normal way schemas drift under continuous ingest.
+    orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("o_price_cents"),
+    ).write.mode("append").parquet(out)
+    _EVOLVE_CACHE[key] = out
+    return out
+
+
+@register(
+    "orders_schema_evolution_read",
+    tags=("maintenance", "io", "sources"),
+    description="Schema-drift read: day-1 parquet files lack a column "
+    "that day-2 ingest batches added; mergeSchema=true reconciles the "
+    "footers so one scan serves both generations (old rows read NULL), "
+    "and the report proves no row and no new-column value was dropped — "
+    "the continuous-ingest contract at 100 TB, where rewriting old "
+    "files on every schema change is not an option",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_evolved,
+               CAST(sum(CASE WHEN o_orderkey % 2 = 1
+                             THEN CAST(floor(o_totalprice * 100 + 0.5)
+                                       AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS price_cents_evolved
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def orders_schema_evolution_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Without mergeSchema a parquet read takes ONE file's footer as the
+    schema — whichever generation it samples — silently hiding the new
+    column (or failing) for mixed layouts; with it, Spark unions the
+    footers and back-fills NULL for pre-drift files. The oracle
+    recomputes the same report from the pristine orders table, so
+    equality proves the evolved read lost nothing on either side of the
+    drift boundary. count() of the new column doubles as the NULL
+    back-fill check (it must equal the day-2 row count exactly)."""
+    evolved = _build_evolved(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(evolved)
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count("o_price_cents").cast("long").alias("n_evolved"),
+            F.coalesce(F.sum("o_price_cents"), F.lit(0))
+            .cast("long")
+            .alias("price_cents_evolved"),
+        )
+        .orderBy("o_orderpriority")
+    )

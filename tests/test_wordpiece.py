@@ -139,3 +139,23 @@ def test_train_then_segment_round_trip(spark):
         )
         assert rebuilt == term
         assert v["n_pieces"] == len(v["seg"].split(" "))
+
+
+def test_tokenizer_comparison_shares_word_population(spark):
+    """The three comparison rows must measure the SAME word population
+    (n_word_types and total_words agree) — otherwise pieces-per-word is
+    not comparable and the row is dishonest."""
+    from data_algorithms_with_pyspark_spark.plans.catalog import all_queries
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        all_queries()["tokenizer_compression_comparison"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    )
+    assert [r["tokenizer"] for r in rows] == ["bpe", "unigram", "wordpiece"]
+    assert len({r["n_word_types"] for r in rows}) == 1
+    assert len({r["total_words"] for r in rows}) == 1
+    for r in rows:
+        # every tokenizer emits at least one piece per word occurrence
+        assert r["total_pieces"] >= r["total_words"]
