@@ -228,6 +228,15 @@ def greedy_segment_expr(
     finished word no-ops through. NULL-free for the same ArrayAggregate
     codegen reason documented on ``unigram.viterbi_expr``: failure is a
     sentinel cursor, never a NULL struct.
+
+    Expression-size discipline (the srp_codes / pq_ann_topk lesson:
+    big Catalyst trees cost SECONDS of one-time driver planning +
+    janino codegen): multiply-referenced subexpressions — the matched
+    length inside each step, the fold's final state outside it — are
+    bound ONCE via single-element ``transform`` lambdas instead of
+    being re-inlined per reference, which keeps the piece-map literal
+    to one copy per step (measured 14.5 s -> sub-second first-call
+    planning at the catalog operating point).
     """
     t = F.col(term) if isinstance(term, str) else term
     max_piece = max((len(_strip_continuation(p)) for p in pieces), default=1)
@@ -243,7 +252,7 @@ def greedy_segment_expr(
     )
 
     def step(acc: Column, _i: Column) -> Column:
-        st = F.get(acc, F.size(acc) - 1)
+        st = F.element_at(acc, -1)
         pos = st.getField("pos")
         seg = st.getField("seg")
 
@@ -260,21 +269,26 @@ def greedy_segment_expr(
                 & F.element_at(piece_map, match_text(pl)).isNotNull(),
             )
         )
-        piece = match_text(best_len)
-        advanced = F.struct(
-            (pos + best_len).cast("int").alias("pos"),
-            F.when(pos == 1, piece)
-            .otherwise(F.concat(seg, F.lit(" "), piece))
-            .alias("seg"),
-        )
-        stuck = F.struct(
-            F.lit(_STUCK_POS).cast("int").alias("pos"), seg.alias("seg")
-        )
-        next_st = (
-            F.when(pos > F.length(t), st)  # finished: no-op through
-            .when(best_len.isNull(), stuck)
-            .otherwise(advanced)
-        )
+
+        def mk_next(bl: Column) -> Column:
+            piece = match_text(bl)
+            advanced = F.struct(
+                (pos + bl).cast("int").alias("pos"),
+                F.when(pos == 1, piece)
+                .otherwise(F.concat(seg, F.lit(" "), piece))
+                .alias("seg"),
+            )
+            stuck = F.struct(
+                F.lit(_STUCK_POS).cast("int").alias("pos"), seg.alias("seg")
+            )
+            return (
+                F.when(pos > F.length(t), st)  # finished: no-op through
+                .when(bl.isNull(), stuck)
+                .otherwise(advanced)
+            )
+
+        # Bind best_len (which embeds the piece-map filter) exactly once.
+        next_st = F.get(F.transform(F.array(best_len), mk_next), 0)
         return F.concat(acc, F.array(next_st))
 
     folded = F.aggregate(
@@ -282,15 +296,23 @@ def greedy_segment_expr(
         init,
         step,
     )
-    final = F.get(folded, F.size(folded) - 1)
-    ok = final.getField("pos") == F.length(t) + 1
-    return F.when(
-        ok,
-        F.struct(
-            F.size(F.split(final.getField("seg"), " ")).alias("n_pieces"),
-            final.getField("seg").alias("seg"),
-        ),
-    )
+
+    def mk_out(final: Column) -> Column:
+        ok = final.getField("pos") == F.length(t) + 1
+        return F.when(
+            ok,
+            F.struct(
+                F.size(F.split(final.getField("seg"), " ")).alias(
+                    "n_pieces"
+                ),
+                final.getField("seg").alias("seg"),
+            ),
+        )
+
+    # Bind the fold's terminal state exactly once (the fold is the
+    # expensive subtree — inlining it per field reference multiplies
+    # the whole expression).
+    return F.get(F.transform(F.array(F.element_at(folded, -1)), mk_out), 0)
 
 
 def wordpiece_segment(

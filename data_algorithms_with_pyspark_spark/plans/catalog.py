@@ -83,6 +83,8 @@ _SAMPLE_PRIORITY = (
     "orders_schema_evolution_read",
     "tokenizer_compression_comparison",
     "ivf_nprobe_recall_curve",
+    "events_variant_props_rollup",
+    "orders_priority_year_pivot",
     "unigram_lm_vocab",
     "unigram_lm_segmentation",
     "unigram_corpus_compression",

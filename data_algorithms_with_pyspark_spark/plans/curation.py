@@ -2246,7 +2246,14 @@ def wordpiece_greedy_segmentation(
     vocab = wordpiece_vocab(wc)
     merges, _ = wordpiece_train(vocab, n_merges=_WORDPIECE_MERGES)
     pieces = wordpiece_vocab_pieces(vocab, merges)
-    seg = wordpiece_segment(vocab.select("term", "n"), pieces)
+    # localCheckpoint = a plan barrier, not just lineage hygiene: the
+    # filter + two field projections below would each re-inline the
+    # greedy fold (projection collapse), tripling a deliberately large
+    # expression's one-time planning/codegen cost (see
+    # greedy_segment_expr's expression-size note).
+    seg = wordpiece_segment(
+        vocab.select("term", "n"), pieces
+    ).localCheckpoint()
     return (
         seg.where(F.col("v").isNotNull())
         .orderBy(F.col("n").desc(), "term")

@@ -1397,3 +1397,119 @@ def session_funnel_report_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("n").cast("long").alias("n_events"),
         F.sum("p_cents").cast("long").alias("purchase_cents"),
     )
+
+
+@register(
+    "events_variant_props_rollup",
+    tags=("events", "json", "variant"),
+    description="Spark 4 VARIANT surface: props parsed ONCE with "
+    "parse_json into the binary variant encoding, typed paths extracted "
+    "with variant_get (long-coerced $.k plus try-variant null/shape "
+    "probes) and rolled up per event type — the open-schema telemetry "
+    "shape where columnarizing every key upfront is impossible; the "
+    "oracle replays extraction with DuckDB's JSON path functions",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS n_with_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_sum,
+               CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_min,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_max,
+               CAST(count(CASE WHEN json_extract_string(props, '$.missing')
+                               IS NULL THEN NULL ELSE 1 END) AS BIGINT)
+                   AS n_with_missing_path
+        FROM events
+        WHERE props IS NOT NULL
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def events_variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT is Spark 4's answer to schema-on-read JSON columns: parse
+    once into a binary encoding (cheaper than per-path get_json_object
+    string re-parses — the sibling events_props_extraction row), then
+    extract any path with type coercion at query time. The rollup proves
+    parse -> typed extraction -> aggregate cross-engine: present path
+    ($.k as long), absent path (NULL — variant_get on a missing field),
+    and the per-type counts. Variant never escapes to the output schema
+    (canonicalizability contract): every column is BIGINT/STRING."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.where(F.col("props").isNotNull()).select(
+        "event_type", F.parse_json("props").alias("pv")
+    )
+    k = F.variant_get(F.col("pv"), "$.k", "long")
+    missing = F.variant_get(F.col("pv"), "$.missing", "string")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count(k).cast("long").alias("n_with_k"),
+            F.sum(k).cast("long").alias("k_sum"),
+            F.min(k).cast("long").alias("k_min"),
+            F.max(k).cast("long").alias("k_max"),
+            F.count(missing).cast("long").alias("n_with_missing_path"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PIVOT_PRIORITIES = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+
+
+@register(
+    "orders_priority_year_pivot",
+    tags=("orders", "reshape"),
+    description="groupBy(year).pivot(priority) long->wide reshape with an "
+    "EXPLICIT value list (the scale contract: enumerating pivot values "
+    "up front skips the extra distinct-collect job AND fixes the output "
+    "schema regardless of which values a data slice happens to contain) "
+    "— revenue in integer cents per (year, priority) cell; the unpivot "
+    "twin is linestatus_metrics_unpivot",
+    oracle=f"""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               {", ".join(
+                   f'''CAST(coalesce(sum(CASE WHEN o_orderpriority = '{p}'
+                       THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       END), 0) AS BIGINT) AS "p{p[0]}_cents"'''
+                   for p in _PIVOT_PRIORITIES
+               )}
+        FROM orders
+        GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_priority_year_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wide report shape BI tools ask for: one row per year, one
+    revenue column per priority. pivot() with explicit values plans as
+    ONE partial+final aggregate pair over (year) with per-value
+    conditional sums — same cost as the long groupBy, no second pass;
+    missing cells land 0 via coalesce so the wide schema is total.
+    Integer-cent sums keep every cell accumulation-order-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_year")
+        .pivot("o_orderpriority", list(_PIVOT_PRIORITIES))
+        .sum("cents")
+    )
+    out = wide.select(
+        "o_year",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0))
+            .cast("long")
+            .alias(f"p{p[0]}_cents")
+            for p in _PIVOT_PRIORITIES
+        ],
+    )
+    return out.orderBy("o_year")
