@@ -50,6 +50,9 @@ __all__ = [
     "pq_train_codebook",
     "pq_encode",
     "pq_adc_topk",
+    "sq8_encode",
+    "sq8_quantize_query",
+    "sq8_dot_topk",
 ]
 
 
@@ -1013,5 +1016,113 @@ def pq_adc_topk(
             F.col(id_col), "pq_code", adc.cast("long").alias("adc_nano")
         )
         .orderBy(F.col("adc_nano").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sq8_encode(
+    vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "vec"
+) -> DataFrame:
+    """Symmetric-int8 (absmax / SQ8) vector quantization: the 4x memory
+    tier between raw f32 and PQ's 64x codes.
+
+    Per vector: ``scale = max|x| / 127``; ``q_i = clamp(-127..127,
+    floor(x_i / scale + 0.5))`` — the same absmax scheme
+    ``functions.vectors.int8_quant_sse_fp`` audits for reconstruction
+    error, but here the codes themselves are materialized for SEARCH.
+    Output: ``(id_col, sq8_scale double, qvec array<long>)``.
+
+    Everything is Catalyst higher-order functions (transform/array_max)
+    inside whole-stage codegen — no Python, one projection over the
+    corpus. Each step (max, one divide, floor(x+0.5), clamp) is a single
+    IEEE-f64 op, so an external engine replays the codes bit-for-bit.
+    The all-zero vector quantizes to all-zero codes (zero-divide
+    guarded). At 100 TB the encode is a pay-once projection writing a
+    table 4x smaller than the vectors; scans for search touch only
+    (id, scale, qvec).
+    """
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    # Two projections so the O(d) amax fold binds ONCE per row instead of
+    # being re-inlined into every per-element lambda (the wordpiece
+    # subexpression-inlining lesson: CollapseProject keeps the stage
+    # split because _scale is non-cheap and referenced d+1 times).
+    staged = vecs.select(
+        F.col(id_col),
+        v.alias("_v"),
+        (amax / F.lit(127.0)).alias("_scale"),
+    )
+    scale = F.col("_scale")
+    clamp = lambda x: F.greatest(  # noqa: E731
+        F.lit(-127).cast("long"),
+        F.least(F.lit(127).cast("long"), F.floor(x / scale + F.lit(0.5))),
+    )
+    qvec = F.when(
+        scale == F.lit(0.0),
+        F.transform(F.col("_v"), lambda x: F.lit(0).cast("long")),
+    ).otherwise(F.transform(F.col("_v"), clamp))
+    return staged.select(
+        F.col(id_col), scale.alias("sq8_scale"), qvec.alias("qvec")
+    )
+
+
+def sq8_quantize_query(query_vec: list[float]) -> tuple[float, list[int]]:
+    """Quantize a query vector driver-side with EXACTLY the operation
+    sequence of :func:`sq8_encode` (Python floats are IEEE f64, so the
+    codes agree bit-for-bit with the engine encoding of the same
+    vector). Returns ``(scale, codes)``."""
+    import math
+
+    amax = max(abs(float(x)) for x in query_vec) if query_vec else 0.0
+    if amax == 0.0:
+        return 0.0, [0 for _ in query_vec]
+    scale = amax / 127.0
+    codes = [
+        int(max(-127, min(127, math.floor(float(x) / scale + 0.5))))
+        for x in query_vec
+    ]
+    return scale, codes
+
+
+def sq8_dot_topk(
+    encoded: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by approximate INNER PRODUCT (MIPS) over SQ8 codes.
+
+    The query is quantized once on the driver; the scan computes the
+    INTEGER dot product ``idot = sum(qvec_i * qq_i)`` (longs — exact
+    under any accumulation order; |idot| <= d * 127^2) and rescales to
+    ``score_nano = floor((sq8_scale * qscale) * idot * 1e9 + 0.5)`` —
+    one pinned-order IEEE multiply chain, so the ranking key is an
+    integer an external oracle reproduces exactly. Per corpus vector the
+    scan costs d integer multiply-adds over the 4x-compressed codes
+    table; the plan is one projection + TakeOrderedAndProject (no
+    shuffle beyond the top-k combine). Output: ``(id_col, idot,
+    score_nano)`` descending by score, ties by id.
+    """
+    qscale, qq = sq8_quantize_query([float(x) for x in query_vec])
+    qlit = F.array(*[F.lit(int(c)).cast("long") for c in qq])
+    idot = F.aggregate(
+        F.zip_with(F.col("qvec"), qlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).alias("idot")
+    scored = encoded.select(F.col(id_col), "sq8_scale", idot)
+    score = (
+        F.floor(
+            (F.col("sq8_scale") * F.lit(float(qscale)))
+            * F.col("idot").cast("double")
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("score_nano")
+    )
+    return (
+        scored.select(F.col(id_col), "idot", score)
+        .orderBy(F.col("score_nano").desc(), F.col(id_col))
         .limit(k)
     )

@@ -3290,3 +3290,206 @@ def documents_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") * F.col("l")).alias("chars_total"),
         F.sum("l").alias("chars_distinct"),
     )
+
+
+# --- SQ8 scalar-quantization ANN lane ----------------------------------------
+#
+# The 4x memory tier between raw f32 and PQ's 64x codes: symmetric-int8
+# absmax quantization (the scheme embedding_int8_quant_error audits for
+# reconstruction error) materialized as SEARCHABLE codes. Ranking is by
+# approximate inner product (MIPS): the integer dot product of int8 codes
+# is EXACT on both engines, and the only float work is one pinned-order
+# rescale chain per corpus vector, floor-quantized to integer nano units.
+# On uniform-random embeddings SQ8 recall@10 is near-perfect — the
+# contrast with the untrained-PQ report's low recall IS the lane's
+# finding: per-dimension scalar grids do not need clusterable data,
+# codebook quantizers do.
+
+_SQ8_DIM = _PQ_M * _PQ_W  # 64
+
+
+def _sq8_dot_lit(vec_col, qv: list[float]):
+    """Unrolled index-order dot product against a literal query — the
+    left-assoc term chain replays DuckDB's list_aggregate(...,'sum')
+    sequential fold bit-for-bit (the _sub_d2 convention)."""
+    terms = None
+    for i, c in enumerate(qv):
+        t = F.element_at(vec_col, i + 1) * F.lit(float(c))
+        terms = t if terms is None else terms + t
+    return terms
+
+
+_SQ8_ENC_CTES = f"""
+        v AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        ),
+        sc AS (
+            SELECT vec_id, vec,
+                   list_aggregate(list_transform(vec, x -> abs(x)), 'max')
+                       AS amax
+            FROM v
+        ),
+        enc AS MATERIALIZED (
+            SELECT vec_id, amax / 127.0 AS scale,
+                   CASE WHEN amax = 0.0
+                        THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+                        ELSE list_transform(vec, x ->
+                             greatest(CAST(-127 AS BIGINT),
+                                      least(CAST(127 AS BIGINT),
+                                            CAST(floor(x / (amax / 127.0)
+                                                       + 0.5) AS BIGINT))))
+                   END AS qvec
+            FROM sc
+        ),
+        q AS MATERIALIZED (
+            SELECT e.scale AS qscale, e.qvec AS qq, s.vec AS qraw
+            FROM enc e JOIN sc s ON e.vec_id = s.vec_id
+            WHERE e.vec_id = {_ANN_QUERY_ID}
+        ),
+        idots AS (
+            SELECT e.vec_id, e.scale,
+                   CAST(list_aggregate(list_transform(range(1, {_SQ8_DIM} + 1),
+                        i -> e.qvec[i] * q.qq[i]), 'sum') AS BIGINT) AS idot
+            FROM enc e, q
+            WHERE e.vec_id <> {_ANN_QUERY_ID}
+        ),
+        sq8_scored AS (
+            SELECT s.vec_id, s.idot,
+                   CAST(floor((s.scale * q.qscale) * CAST(s.idot AS DOUBLE)
+                              * 1e9 + 0.5) AS BIGINT) AS score_nano
+            FROM idots s, q
+        )"""
+
+
+@register(
+    "sq8_ann_topk",
+    bench=True,
+    tags=("similarity", "ann", "sketch"),
+    description=f"Scalar-quantization (symmetric-int8 absmax) ANN top-{_ANN_K} "
+    "by approximate inner product: 64-float vectors compressed 4x to int8 "
+    "codes + one scale; the scan is an exact INTEGER dot product plus one "
+    "pinned-order rescale to nano units; true inner product rides along "
+    "as the audit column",
+    oracle=f"""
+        WITH {_SQ8_ENC_CTES},
+        topk AS (
+            SELECT vec_id, idot, score_nano FROM sq8_scored
+            ORDER BY score_nano DESC, vec_id LIMIT {_ANN_K}
+        )
+        SELECT t.vec_id, t.idot, t.score_nano,
+               CAST(floor(list_aggregate(list_transform(
+                    range(1, {_SQ8_DIM} + 1), i -> v.vec[i] * q.qraw[i]),
+                    'sum') * 1e9 + 0.5) AS BIGINT) AS true_nano
+        FROM topk t JOIN v ON t.vec_id = v.vec_id, q
+        ORDER BY t.score_nano DESC, t.vec_id
+    """,
+)
+def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQ8 search tier: the corpus scan touches only (vec_id, scale,
+    qvec) — a 4x-compressed projection — and computes d integer
+    multiply-adds per vector inside whole-stage codegen (no Python, no
+    shuffle beyond the TakeOrderedAndProject top-k combine). The query's
+    codes are driver state (d ints + one scale), exactly like the PQ
+    LUT. True inner product joins back for the k winners only."""
+    from data_algorithms_with_pyspark_spark.functions.vectors import (
+        to_double_array,
+    )
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        sq8_dot_topk,
+        sq8_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", to_double_array("embedding").alias("vec"))
+    qv = [
+        float(x)
+        for x in vecs.where(F.col("vec_id") == _ANN_QUERY_ID)
+        .collect()[0]["vec"]
+    ]
+    enc = sq8_encode(vecs)
+    topk = sq8_dot_topk(
+        enc.where(F.col("vec_id") != _ANN_QUERY_ID), qv, k=_ANN_K
+    )
+    true_nano = (
+        F.floor(_sq8_dot_lit(F.col("vec"), qv) * F.lit(1e9) + F.lit(0.5))
+        .cast("long")
+        .alias("true_nano")
+    )
+    return (
+        topk.join(vecs, on="vec_id")
+        .select("vec_id", "idot", "score_nano", true_nano)
+        .orderBy(F.col("score_nano").desc(), "vec_id")
+    )
+
+
+@register(
+    "sq8_recall_report",
+    tags=("similarity", "ann", "quality"),
+    description=f"ANN quality audit: recall@{_ANN_K} of SQ8 int8-dot search "
+    "against exact inner-product search for the standard query — the "
+    "4x-compression tier's accuracy, the designed contrast with the "
+    "untrained-PQ report's low recall on unclusterable data",
+    oracle=f"""
+        WITH {_SQ8_ENC_CTES},
+        sq8_topk AS (
+            SELECT vec_id FROM sq8_scored
+            ORDER BY score_nano DESC, vec_id LIMIT {_ANN_K}
+        ),
+        exact_topk AS (
+            SELECT v.vec_id,
+                   CAST(floor(list_aggregate(list_transform(
+                        range(1, {_SQ8_DIM} + 1), i -> v.vec[i] * q.qraw[i]),
+                        'sum') * 1e9 + 0.5) AS BIGINT) AS true_nano
+            FROM v, q WHERE v.vec_id <> {_ANN_QUERY_ID}
+            ORDER BY true_nano DESC, v.vec_id LIMIT {_ANN_K}
+        )
+        SELECT CAST({_ANN_K} AS BIGINT) AS k,
+               CAST(count(*) AS BIGINT) AS n_overlap,
+               floor(CAST(count(*) AS DOUBLE) / {_ANN_K} * 10000 + 0.5)
+                   / 10000 AS recall
+        FROM sq8_topk a JOIN exact_topk e ON a.vec_id = e.vec_id
+    """,
+)
+def sq8_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the int8 tier against exact MIPS. Both rankings order
+    by integer nano keys (ties by id), so the set intersection is
+    engine-exact; the ratio uses floor-rounding (small-integer ratio
+    class). Expected HIGH (~1.0) on any data: absmax scalar grids
+    preserve inner products to ~0.4% per dimension regardless of
+    cluster structure — the architectural contrast with
+    pq_recall_report's uniform-data pathology."""
+    from data_algorithms_with_pyspark_spark.functions.vectors import (
+        to_double_array,
+    )
+    from data_algorithms_with_pyspark_spark.operators.dedup import floor_round
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        sq8_dot_topk,
+        sq8_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", to_double_array("embedding").alias("vec"))
+    qv = [
+        float(x)
+        for x in vecs.where(F.col("vec_id") == _ANN_QUERY_ID)
+        .collect()[0]["vec"]
+    ]
+    corpus = vecs.where(F.col("vec_id") != _ANN_QUERY_ID)
+    sq8_top = sq8_dot_topk(sq8_encode(corpus), qv, k=_ANN_K)
+    exact_top = (
+        corpus.select(
+            "vec_id",
+            F.floor(_sq8_dot_lit(F.col("vec"), qv) * F.lit(1e9) + F.lit(0.5))
+            .cast("long")
+            .alias("true_nano"),
+        )
+        .orderBy(F.col("true_nano").desc(), "vec_id")
+        .limit(_ANN_K)
+    )
+    return sq8_top.select("vec_id").join(exact_top, on="vec_id").agg(
+        F.lit(_ANN_K).cast("long").alias("k"),
+        F.count("*").alias("n_overlap"),
+        floor_round(F.count("*").cast("double") / F.lit(_ANN_K), 4).alias(
+            "recall"
+        ),
+    )

@@ -1065,3 +1065,76 @@ def test_residual_ivfadc_beats_raw_standin_on_clustered_data(spark):
     # explain so much of the sigma=0.1 noise, so the gap is bounded by
     # the residual-noise floor, not an order of magnitude.
     assert res_err < raw_err / 2
+
+
+def test_sq8_encode_codes_and_scale(spark):
+    """SQ8 codes: absmax element maps to ±127 exactly; zero vector maps
+    to all-zero codes with scale 0; clamp bounds hold; scale = amax/127."""
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        sq8_encode,
+    )
+
+    rows = [
+        (0, [1.27, -1.27, 0.635, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [-2.0, 1.0, 0.5, -0.25]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    out = {r["vec_id"]: r for r in sq8_encode(vecs).collect()}
+    assert out[0]["qvec"] == [127, -127, 64, 0]  # floor(63.5+0.5)=64
+    assert out[0]["sq8_scale"] == 1.27 / 127.0
+    assert out[1]["qvec"] == [0, 0, 0, 0] and out[1]["sq8_scale"] == 0.0
+    assert out[2]["qvec"][0] == -127  # absmax negative element hits -127
+    assert all(-127 <= c <= 127 for r in out.values() for c in r["qvec"])
+
+
+def test_sq8_quantize_query_matches_engine_encode(spark):
+    """Driver-side query quantization must agree bit-for-bit with the
+    engine's sq8_encode of the same vector."""
+    import numpy as np
+
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        sq8_encode,
+        sq8_quantize_query,
+    )
+
+    rng = np.random.RandomState(11)
+    for trial in range(3):
+        v = [float(x) for x in rng.randn(16)]
+        scale, codes = sq8_quantize_query(v)
+        row = (
+            sq8_encode(
+                spark.createDataFrame([(0, v)], "vec_id long, vec array<double>")
+            )
+            .collect()[0]
+        )
+        assert row["sq8_scale"] == scale
+        assert list(row["qvec"]) == codes
+
+
+def test_sq8_dot_topk_self_query_ranks_first(spark):
+    """Querying with a corpus vector must rank that vector first (its
+    integer self-dot dominates for unit-ish random data), and the
+    integer dot must equal the numpy int dot exactly."""
+    import numpy as np
+
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        sq8_dot_topk,
+        sq8_encode,
+        sq8_quantize_query,
+    )
+
+    rng = np.random.RandomState(5)
+    raw = rng.randn(30, 16)
+    raw /= np.linalg.norm(raw, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in raw[i]]) for i in range(30)]
+    vecs = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    enc = sq8_encode(vecs)
+    got = sq8_dot_topk(enc, rows[7][1], k=3).collect()
+    assert got[0]["vec_id"] == 7
+    _, qq = sq8_quantize_query(rows[7][1])
+    codes = {r["vec_id"]: list(r["qvec"]) for r in enc.collect()}
+    for r in got:
+        assert r["idot"] == int(
+            np.dot(np.array(codes[r["vec_id"]]), np.array(qq))
+        )

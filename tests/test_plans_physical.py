@@ -320,3 +320,26 @@ def test_bucketed_fact_join_no_exchange(spark):
         assert "Exchange hashpartitioning" in control, control
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_sq8_topk_scan_shape(spark):
+    """sq8_ann_topk's 100 TB contract: the corpus scan pushes the
+    query-id filter into parquet, the amax fold binds ONCE per row
+    (staged projection — not re-inlined per element), the top-k is a
+    TakeOrderedAndProject (never a global sort of the corpus), and only
+    the k winners join back to raw vectors via broadcast."""
+    df = all_queries()["sq8_ann_topk"].fn(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "PushedFilters: [Not(EqualTo(vec_id,0))" in plan.replace(
+        "IsNotNull(vec_id), ", ""
+    ) or "Not(EqualTo(vec_id,0))" in plan
+    # the O(d) array_max fold binds ONCE (aliased to _scale in a staged
+    # projection) instead of being re-inlined into all d per-element
+    # lambdas (would be O(d^2) per vector); the executed-plan string may
+    # print the projection in both the initial and final AQE sections,
+    # so bound the count rather than pin it
+    assert 1 <= plan.count("array_max") <= 2, plan.count("array_max")
+    assert "_scale" in plan
