@@ -74,8 +74,15 @@ _SAMPLE_PRIORITY = (
     # trained-IVF coarse-quantizer recall audit, the fully-trained
     # residual IVFADC (FAISS IVF16,PQ8 shape), the WordPiece trainer +
     # greedy-segmentation pair (completing the subword trio), the
-    # MinHash-LSH recall/precision audit, and the co-located bucketed
-    # fact-fact join.
+    # MinHash-LSH recall/precision audit, the co-located bucketed
+    # fact-fact join, and the SQ8 (symmetric-int8 absmax) ANN tier —
+    # int8-dot MIPS top-k + recall audit, the 4x-compression midpoint
+    # between raw f32 and PQ's 64x codes.
+    # ... and the FASTA RECORD source via Spark 4's Python DataSource
+    # API (Arrow-batched, per-file partitions — sources/pyds.py).
+    "sq8_ann_topk",
+    "sq8_recall_report",
+    "fasta_pyds_record_stats",
     "wordpiece_learned_merges",
     "wordpiece_greedy_segmentation",
     "minhash_lsh_recall_report",

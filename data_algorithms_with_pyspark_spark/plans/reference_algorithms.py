@@ -651,3 +651,100 @@ def fasta_base_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("base")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "fasta_pyds_record_stats",
+    tags=("reference", "text", "file-source", "pyds"),
+    description="FASTA connector ROUNDTRIP via a Spark 4 Python DataSource "
+    "(SPARK-44076): records written by the custom Arrow SINK (two-phase "
+    "commit, one file per partition, 60-char wrapping) and reassembled by "
+    "the custom Arrow SOURCE (one InputPartition per file) — a record "
+    "view no line scan can produce; per-length-bucket rollup value-checks "
+    "both directions against the documents table the file derives from",
+    oracle="""
+        WITH seqs AS (
+            SELECT doc_id,
+                   regexp_replace(lower(text), '[^acgt]', '', 'g') AS seq
+            FROM documents
+        ),
+        per AS (
+            SELECT doc_id,
+                   CAST(len(seq) AS BIGINT) AS seq_len,
+                   CAST(len(seq)
+                        - len(replace(replace(seq, 'g', ''), 'c', ''))
+                        AS BIGINT) AS gc_n
+            FROM seqs
+        )
+        SELECT CAST(floor(seq_len / 100.0) AS BIGINT) AS len_bucket,
+               CAST(count(*) AS BIGINT) AS n_records,
+               CAST(sum(seq_len) AS BIGINT) AS chars_total,
+               CAST(sum(gc_n) AS BIGINT) AS gc_total,
+               CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+               CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        FROM per
+        GROUP BY 1
+    """,
+)
+def fasta_pyds_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The record-granular FASTA view ``fasta_base_count``'s line scan
+    cannot express, driven through BOTH halves of the custom connector
+    (``sources/pyds.py``): the WRITE goes through the Python DataSource
+    Arrow sink (per-partition files, 60-char wrapping, two-phase
+    commit), the READ back through its Arrow reader (per-file
+    InputPartitions, record reassembly). Downstream is ordinary
+    Catalyst: header -> doc_id, per-record length/GC, one hash aggregate
+    per length bucket. The oracle computes the same stats straight from
+    ``documents`` (the file content is a pure function of it), so a
+    wrap/assembly/association/commit bug in either half shows up as a
+    value mismatch, not just a row-count drift."""
+    import os
+    import tempfile
+
+    from data_algorithms_with_pyspark_spark.sources.pyds import (
+        register_fasta_source,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_fastapyds_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    register_fasta_source(spark)
+    docs.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias(
+            "header"
+        ),
+        F.regexp_replace(F.lower(F.col("text")), "[^acgt]", "").alias(
+            "sequence"
+        ),
+    ).write.format("fasta").mode("overwrite").option("path", path).option(
+        "wrap", "60"
+    ).save()
+    records = spark.read.format("fasta").option("path", path).load()
+    per = records.select(
+        F.regexp_extract(F.col("header"), r"^doc_(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.length("sequence").cast("long").alias("seq_len"),
+        (
+            F.length("sequence")
+            - F.length(F.translate(F.col("sequence"), "gc", ""))
+        )
+        .cast("long")
+        .alias("gc_n"),
+    )
+    return per.groupBy(
+        F.floor(F.col("seq_len") / F.lit(100.0)).cast("long").alias(
+            "len_bucket"
+        )
+    ).agg(
+        F.count("*").alias("n_records"),
+        F.sum("seq_len").alias("chars_total"),
+        F.sum("gc_n").alias("gc_total"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )

@@ -1,0 +1,218 @@
+"""Spark 4 Python DataSource API source (north-star extension).
+
+The reference's DNA chapter reads FASTA line-wise and filters headers
+(``dna_base_count_ver_1.py:75-82``) — workable for per-base counts, but
+a *record* view of FASTA (header + its wrapped sequence lines) cannot be
+produced by a line scan at all: a record spans a variable number of
+lines. Spark 4's Python DataSource API (SPARK-44076) is the idiomatic
+extension point for exactly this gap, and this module implements it the
+way a 100 TB deployment would:
+
+* **Planning is driver-side and O(#files)**: ``partitions()`` lists the
+  directory and emits one ``InputPartition`` per file — records never
+  span files (each file is written whole), so record assembly needs no
+  cross-partition stitching and parallelism scales with the file count
+  like any splittable source.
+* **Record assembly is per-partition streaming state**: one pass, one
+  open record buffer — the same (header, [lines]) fold regardless of
+  file size.
+* **Rows cross to the JVM as Arrow RecordBatches** (SPARK-48493), not
+  pickled Python rows — the batch path that keeps a Python-defined
+  source off the row-at-a-time slow path.
+
+The classes are intentionally tiny and stateless (options -> paths ->
+batches); everything downstream of ``load()`` is ordinary Catalyst.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+__all__ = ["FastaDataSource", "register_fasta_source"]
+
+_BATCH_ROWS = 4096
+
+
+class _FastaFilePartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+class _FastaReader(DataSourceReader):
+    """One InputPartition per FASTA file; streaming record assembly."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("fasta source requires a 'path' option")
+        self._path = path
+
+    def partitions(self) -> list[InputPartition]:  # driver-side, O(#files)
+        p = self._path
+        if os.path.isfile(p):
+            return [_FastaFilePartition(p)]
+        files = sorted(
+            os.path.join(p, f)
+            for f in os.listdir(p)
+            if f.startswith("part-") and not f.endswith(".crc")
+        )
+        if not files:
+            raise FileNotFoundError(f"no part- files under {p!r}")
+        return [_FastaFilePartition(f) for f in files]
+
+    def read(self, partition: _FastaFilePartition):
+        import pyarrow as pa
+
+        headers: list[str] = []
+        seqs: list[str] = []
+
+        def flush_batch():
+            batch = pa.RecordBatch.from_arrays(
+                [pa.array(headers, pa.string()), pa.array(seqs, pa.string())],
+                names=["header", "sequence"],
+            )
+            headers.clear()
+            seqs.clear()
+            return batch
+
+        cur_header: str | None = None
+        cur_lines: list[str] = []
+        with open(partition.path, encoding="utf-8") as fh:
+            for raw in fh:
+                line = raw.rstrip("\n").rstrip("\r")
+                if not line:
+                    continue  # blank lines are legal between records
+                if line.startswith(">"):
+                    if cur_header is not None:
+                        headers.append(cur_header)
+                        seqs.append("".join(cur_lines))
+                        if len(headers) >= _BATCH_ROWS:
+                            yield flush_batch()
+                    cur_header = line[1:]
+                    cur_lines = []
+                elif cur_header is not None:
+                    cur_lines.append(line)
+                # sequence lines before any header are malformed; skipped
+        if cur_header is not None:
+            headers.append(cur_header)
+            seqs.append("".join(cur_lines))
+        if headers:
+            yield flush_batch()
+
+
+@dataclass
+class _FastaCommitMessage(WriterCommitMessage):
+    file: str
+    n_records: int
+
+
+class _FastaArrowWriter(DataSourceArrowWriter):
+    """One FASTA file per partition, written from Arrow batches; the
+    standard two-phase protocol: tasks emit commit messages naming their
+    file, the driver's ``commit()`` finalizes (drops files an overwrite
+    superseded, writes ``_SUCCESS``), ``abort()`` removes partial output.
+    Assumes driver and executors share one filesystem (true in local
+    mode and on any shared-POSIX deployment; an object-store deployment
+    would stage to task-temp paths and rename in commit — same protocol,
+    different rename)."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("fasta sink requires a 'path' option")
+        self._path = path
+        self._wrap = int(options.get("wrap", "60"))
+        if self._wrap <= 0:
+            raise ValueError("fasta sink 'wrap' must be positive")
+        os.makedirs(path, exist_ok=True)
+        self._stale = (
+            sorted(f for f in os.listdir(path) if f.startswith("part-"))
+            if overwrite
+            else []
+        )
+
+    def write(self, iterator) -> _FastaCommitMessage:
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.fasta"
+        n = 0
+        with open(
+            os.path.join(self._path, fname), "w", encoding="utf-8"
+        ) as fh:
+            for batch in iterator:
+                d = batch.to_pydict()
+                for h, s in zip(d["header"], d["sequence"]):
+                    fh.write(">" + (h or "") + "\n")
+                    s = s or ""
+                    for i in range(0, len(s), self._wrap):
+                        fh.write(s[i : i + self._wrap] + "\n")
+                    n += 1
+        return _FastaCommitMessage(file=fname, n_records=n)
+
+    def commit(self, messages) -> None:
+        fresh = {m.file for m in messages if m is not None}
+        for f in self._stale:
+            if f not in fresh:
+                try:
+                    os.remove(os.path.join(self._path, f))
+                except FileNotFoundError:
+                    pass
+        with open(
+            os.path.join(self._path, "_SUCCESS"), "w", encoding="utf-8"
+        ) as fh:
+            fh.write("\n".join(sorted(fresh)) + "\n")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self._path, m.file))
+                except FileNotFoundError:
+                    pass
+
+
+class FastaDataSource(DataSource):
+    """``spark.read.format("fasta").option("path", dir).load()`` ->
+    ``(header string, sequence string)`` — one row per FASTA record,
+    multi-line sequences reassembled. The matching sink
+    (``df.write.format("fasta").option("path", dir).mode("overwrite")
+    .save()``) wraps sequences at ``wrap`` chars (default 60), one file
+    per partition, two-phase commit."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fasta"
+
+    def schema(self) -> str:
+        return "header string, sequence string"
+
+    def reader(self, schema) -> DataSourceReader:
+        return _FastaReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> _FastaArrowWriter:
+        names = [f.name for f in schema.fields]
+        if names != ["header", "sequence"]:
+            raise ValueError(
+                "fasta sink expects exactly (header, sequence) columns, "
+                f"got {names}"
+            )
+        return _FastaArrowWriter(self.options, overwrite)
+
+
+def register_fasta_source(spark) -> None:
+    """Idempotently register the FASTA source on a session (re-register
+    is a cheap overwrite; catalog queries must work on HOSTILE sessions
+    that did not pre-register anything)."""
+    spark.dataSource.register(FastaDataSource)

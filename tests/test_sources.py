@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -348,3 +349,167 @@ def test_table_fingerprint_tracks_content_and_degrades_loudly(tmp_path, capsys):
     fp_missing = table_fingerprint(str(tmp_path / "nope"), "events")
     assert len(fp_missing) == 8
     assert "falling back to path-only" in capsys.readouterr().err
+
+
+# --- Python DataSource API: FASTA record source ------------------------------
+
+
+def _write_fasta(path, text):
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(text)
+
+
+def test_fasta_pyds_reassembles_multiline_records(spark, tmp_path):
+    """Multi-line sequences concatenate in order; blank lines and CRLF
+    are tolerated; a header with zero sequence lines yields ''."""
+    from data_algorithms_with_pyspark_spark.sources.pyds import (
+        register_fasta_source,
+    )
+
+    f = tmp_path / "part-00000.txt"
+    _write_fasta(
+        str(f),
+        ">doc_1\nacgt\nACGT\n\n>doc_2\r\n\r\n>doc_3\ntt\ngg\ncc\n",
+    )
+    register_fasta_source(spark)
+    rows = {
+        r["header"]: r["sequence"]
+        for r in spark.read.format("fasta")
+        .option("path", str(f))
+        .load()
+        .collect()
+    }
+    assert rows == {"doc_1": "acgtACGT", "doc_2": "", "doc_3": "ttggcc"}
+
+
+def test_fasta_pyds_one_partition_per_file(spark, tmp_path):
+    """Directory input: one InputPartition per part- file (records never
+    span files), non-part files ignored, all records surfaced."""
+    from data_algorithms_with_pyspark_spark.sources.pyds import (
+        register_fasta_source,
+    )
+
+    d = tmp_path / "fasta"
+    d.mkdir()
+    _write_fasta(str(d / "part-00000.txt"), ">a\nac\n>b\ngt\n")
+    _write_fasta(str(d / "part-00001.txt"), ">c\ntttt\n")
+    _write_fasta(str(d / "_SUCCESS"), "")
+    register_fasta_source(spark)
+    df = spark.read.format("fasta").option("path", str(d)).load()
+    assert df.rdd.getNumPartitions() == 2
+    assert {(r["header"], r["sequence"]) for r in df.collect()} == {
+        ("a", "ac"),
+        ("b", "gt"),
+        ("c", "tttt"),
+    }
+
+
+def test_fasta_pyds_wrap_roundtrip_matches_source_text(spark, tmp_path):
+    """End-to-end: 60-char wrapping then pyds read reproduces the exact
+    original sequences, including lengths that are multiples of 60."""
+    from pyspark.sql import functions as F
+
+    from data_algorithms_with_pyspark_spark.sources.pyds import (
+        register_fasta_source,
+    )
+
+    seqs = {0: "a" * 60, 1: "acgt" * 40, 2: "", 3: "g" * 121}
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in seqs.items()], "doc_id long, seq string"
+    )
+    out = str(tmp_path / "wrapped")
+    rec = F.concat(
+        F.lit(">doc_"),
+        F.col("doc_id").cast("string"),
+        F.lit("\n"),
+        F.regexp_replace(F.col("seq"), "(.{60})", "$1\n"),
+    )
+    docs.select(rec.alias("value")).write.mode("overwrite").text(out)
+    register_fasta_source(spark)
+    got = {
+        int(r["header"].removeprefix("doc_")): r["sequence"]
+        for r in spark.read.format("fasta")
+        .option("path", out)
+        .load()
+        .collect()
+    }
+    assert got == seqs
+
+
+def test_fasta_pyds_writer_roundtrip_and_commit(spark, tmp_path):
+    """Custom Arrow sink: wraps at the wrap option, one file per
+    partition, _SUCCESS manifest lists exactly the committed files;
+    reading back through the custom source reproduces the data."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from data_algorithms_with_pyspark_spark.sources.pyds import (
+        register_fasta_source,
+    )
+
+    register_fasta_source(spark)
+    data = {0: "acgt" * 5, 1: "a" * 7, 2: ""}
+    df = spark.createDataFrame(
+        [(f"doc_{k}", v) for k, v in data.items()],
+        "header string, sequence string",
+    ).repartition(2)
+    out = str(tmp_path / "fa")
+    df.write.format("fasta").mode("overwrite").option("path", out).option(
+        "wrap", "8"
+    ).save()
+
+    files = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert len(files) == 2  # one file per partition
+    manifest = (tmp_path / "fa" / "_SUCCESS").read_text().split()
+    assert sorted(manifest) == files
+    # wrapping: no sequence line longer than 8 chars
+    for f in files:
+        for line in (tmp_path / "fa" / f).read_text().splitlines():
+            if line and not line.startswith(">"):
+                assert len(line) <= 8
+    got = {
+        r["header"]: r["sequence"]
+        for r in spark.read.format("fasta").option("path", out).load().collect()
+    }
+    assert got == {f"doc_{k}": v for k, v in data.items()}
+
+
+def test_fasta_pyds_writer_overwrite_drops_stale_files(spark, tmp_path):
+    """mode(overwrite): files from the previous job disappear in
+    commit(); record set equals the new write only."""
+    from data_algorithms_with_pyspark_spark.sources.pyds import (
+        register_fasta_source,
+    )
+
+    register_fasta_source(spark)
+    out = str(tmp_path / "fa")
+
+    def write(rows, parts):
+        spark.createDataFrame(
+            rows, "header string, sequence string"
+        ).repartition(parts).write.format("fasta").mode("overwrite").option(
+            "path", out
+        ).save()
+
+    write([("a", "aa"), ("b", "bb")], 4)
+    first = {f for f in os.listdir(out) if f.startswith("part-")}
+    write([("c", "cc")], 1)
+    second = {f for f in os.listdir(out) if f.startswith("part-")}
+    assert not (first & second)
+    got = {
+        r["header"]
+        for r in spark.read.format("fasta").option("path", out).load().collect()
+    }
+    assert got == {"c"}
+
+
+def test_fasta_pyds_writer_rejects_wrong_schema(spark, tmp_path):
+    from data_algorithms_with_pyspark_spark.sources.pyds import (
+        register_fasta_source,
+    )
+
+    register_fasta_source(spark)
+    df = spark.createDataFrame([("x", 1)], "header string, n long")
+    with pytest.raises(Exception, match="header, sequence"):
+        df.write.format("fasta").mode("overwrite").option(
+            "path", str(tmp_path / "bad")
+        ).save()
