@@ -83,6 +83,7 @@ _SAMPLE_PRIORITY = (
     "sq8_ann_topk",
     "sq8_recall_report",
     "fasta_pyds_record_stats",
+    "corpus_mixture_temperature_weights",
     "wordpiece_learned_merges",
     "wordpiece_greedy_segmentation",
     "minhash_lsh_recall_report",

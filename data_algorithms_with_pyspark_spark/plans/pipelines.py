@@ -1297,3 +1297,131 @@ def corpus_train_ready_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "corpus_mixture_temperature_weights",
+    tags=("pipeline", "sampling", "scale"),
+    description="Temperature-scaled source-mixture planning: per-source "
+    "sampling weights w_i ~ n_tokens^(1/T) for T in {1,2,4} and the "
+    "implied per-source epoch multiplier at a one-corpus-pass token "
+    "budget — the low-resource-upsampling knob rendered as data; scores "
+    "use sqrt chains only (correctly-rounded IEEE on every engine, never "
+    "libm pow) and integer-grid weights",
+    oracle=f"""
+        WITH t AS (SELECT source, len({_TOKENS}) AS nt FROM documents),
+        per_src AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens
+            FROM t GROUP BY source
+        ),
+        expanded AS (
+            SELECT source, n_docs, n_tokens, tt.temperature
+            FROM per_src, (SELECT unnest([1, 2, 4]) AS temperature) tt
+            WHERE n_tokens > 0
+        ),
+        scored AS (
+            SELECT source, n_docs, n_tokens, temperature,
+                   CAST(floor(
+                       CASE temperature
+                           WHEN 1 THEN CAST(n_tokens AS DOUBLE)
+                           WHEN 2 THEN sqrt(CAST(n_tokens AS DOUBLE))
+                           ELSE sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
+                       END * 1e6 + 0.5) AS BIGINT) AS score_micro
+            FROM expanded
+        ),
+        tot AS (
+            SELECT temperature,
+                   CAST(sum(score_micro) AS BIGINT) AS total_micro,
+                   CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens
+            FROM scored GROUP BY temperature
+        )
+        SELECT s.source,
+               CAST(s.temperature AS BIGINT) AS temperature,
+               s.n_docs, s.n_tokens, s.score_micro,
+               CAST(floor(CAST(s.score_micro AS DOUBLE)
+                          / CAST(t.total_micro AS DOUBLE) * 1e6 + 0.5)
+                   AS BIGINT) AS weight_ppm,
+               CAST(floor(CAST(s.score_micro AS DOUBLE)
+                          / CAST(t.total_micro AS DOUBLE)
+                          * CAST(t.corpus_tokens AS DOUBLE)
+                          / CAST(s.n_tokens AS DOUBLE) * 1000 + 0.5)
+                   AS BIGINT) AS epochs_milli
+        FROM scored s JOIN tot t ON s.temperature = t.temperature
+    """,
+)
+def corpus_mixture_temperature_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The data-mixing DESIGN step that precedes
+    ``corpus_weighted_mixture_sample``'s execution step: given per-source
+    token masses, compute temperature-scaled sampling weights
+    ``w_i = n_i^(1/T) / sum_j n_j^(1/T)`` (T=1 proportional, higher T
+    flattens toward uniform — the standard low-resource upsampling knob)
+    and the per-source epoch multiplier ``w_i * N / n_i`` implied by a
+    one-corpus-pass budget; epochs_milli > 1000 on a source means that
+    mixture repeats it.
+
+    Scale shape: ONE corpus scan feeds a per-source integer aggregate;
+    everything after runs on source-count-sized rows (explode 3
+    temperatures, one tiny window sum per temperature) — the 100 TB cost
+    is the token count you already compute for the dataset card.
+    Determinism: temperatures are powers of two so scores are sqrt
+    CHAINS (sqrt is correctly-rounded IEEE-754 on both engines; libm
+    ``pow`` is not and may differ in the last ulp), scores quantize to
+    an integer micro grid, totals are exact integer sums (order-free),
+    and each output ratio is a pinned left-assoc chain of single IEEE
+    ops on exact integers."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", F.size(words("text")).cast("long").alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+    expanded = per_src.withColumn(
+        "temperature",
+        F.explode(
+            F.array(
+                F.lit(1).cast("long"),
+                F.lit(2).cast("long"),
+                F.lit(4).cast("long"),
+            )
+        ),
+    )
+    nt_d = F.col("n_tokens").cast("double")
+    score = (
+        F.when(F.col("temperature") == 1, nt_d)
+        .when(F.col("temperature") == 2, F.sqrt(nt_d))
+        .otherwise(F.sqrt(F.sqrt(nt_d)))
+    )
+    scored = expanded.withColumn(
+        "score_micro",
+        F.floor(score * F.lit(1e6) + F.lit(0.5)).cast("long"),
+    )
+    w = Window.partitionBy("temperature")
+    total_micro = F.sum("score_micro").over(w)
+    corpus_tokens = F.sum("n_tokens").over(w)
+    frac = F.col("score_micro") / total_micro
+    return scored.select(
+        "source",
+        "temperature",
+        "n_docs",
+        "n_tokens",
+        "score_micro",
+        F.floor(frac * F.lit(1e6) + F.lit(0.5)).cast("long").alias(
+            "weight_ppm"
+        ),
+        F.floor(
+            frac * corpus_tokens / F.col("n_tokens") * F.lit(1000)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("epochs_milli"),
+    )

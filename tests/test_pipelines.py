@@ -126,3 +126,39 @@ def test_near_dup_keep_best_picks_max_quality_per_cluster(spark):
             and qual[c["doc_id"]] == max_q
         ]
         assert r["kept_doc_id"] == min(tied)
+
+
+def test_mixture_temperature_weights_semantics(spark):
+    """Higher temperature flattens the mixture toward uniform: the
+    max/min weight ratio must shrink monotonically with T; weights sum
+    to ~1e6 ppm per temperature; T=1 weight is proportional to token
+    mass; epoch multiplier > 1000 exactly for upsampled sources."""
+    from tests.conftest import SF_SMOKE
+
+    from data_algorithms_with_pyspark_spark.plans.pipelines import (
+        corpus_mixture_temperature_weights,
+    )
+
+    rows = corpus_mixture_temperature_weights(spark, SF_SMOKE).collect()
+    by_t = {}
+    for r in rows:
+        by_t.setdefault(r["temperature"], []).append(r)
+    assert set(by_t) == {1, 2, 4}
+    spreads = {}
+    for t, rs in by_t.items():
+        ws = [r["weight_ppm"] for r in rs]
+        assert abs(sum(ws) - 1_000_000) <= len(ws)  # rounding slack
+        spreads[t] = max(ws) / min(ws)
+        total_tokens = sum(r["n_tokens"] for r in rs)
+        for r in rs:
+            if t == 1:
+                expect = r["n_tokens"] / total_tokens * 1e6
+                assert abs(r["weight_ppm"] - expect) <= 2
+            # upsampled (weight above proportional share) <=> epochs>1000
+            prop = r["n_tokens"] / total_tokens
+            w = r["weight_ppm"] / 1e6
+            if w > prop * 1.001:
+                assert r["epochs_milli"] > 1000
+            if w < prop * 0.999:
+                assert r["epochs_milli"] < 1000
+    assert spreads[1] >= spreads[2] >= spreads[4] >= 1.0
