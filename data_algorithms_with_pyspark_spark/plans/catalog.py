@@ -84,6 +84,7 @@ _SAMPLE_PRIORITY = (
     "sq8_recall_report",
     "fasta_pyds_record_stats",
     "corpus_mixture_temperature_weights",
+    "orders_orc_roundtrip_digest",
     "wordpiece_learned_merges",
     "wordpiece_greedy_segmentation",
     "minhash_lsh_recall_report",

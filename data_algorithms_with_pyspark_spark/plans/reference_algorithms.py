@@ -748,3 +748,64 @@ def fasta_pyds_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_doc_id"),
         F.sum("doc_id").alias("sum_doc_id"),
     )
+
+
+@register(
+    "orders_orc_roundtrip_digest",
+    tags=("reference", "file-source", "sink", "format"),
+    description="ORC format lane (the built-in columnar format the K/S "
+    "inventory had not yet exercised): orders written to ORC partitioned "
+    "by priority (hive layout, partition discovery on read-back), then a "
+    "per-priority digest — row count, exact integer-cent revenue, "
+    "orderkey extents, order-date extents — value-checks the full "
+    "write/read roundtrip including the timestamp lane against the "
+    "parquet original the oracle reads",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS total_cents,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key,
+               CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_date,
+               CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_date
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def orders_orc_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's second built-in columnar format, attested the same way the
+    parquet sink rows are: write the whole table (snappy ORC, hive-
+    partitioned on the digest key so read-back also exercises partition
+    discovery + partition pruning potential), read it back cold, and
+    prove value equality against the ORIGINAL via an exact digest —
+    integer-cent money (order-free sum), integer key extents, calendar
+    date extents (timezone-free under the hostile non-UTC session
+    because the timestamp column roundtrips as wall-clock and the digest
+    casts to DATE on both engines). At scale this is the
+    format-migration audit you run before switching a 100 TB table's
+    storage format."""
+    import os
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_orc_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("total_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.date_format(F.min(F.to_date("o_orderdate")), "yyyy-MM-dd").alias(
+            "min_date"
+        ),
+        F.date_format(F.max(F.to_date("o_orderdate")), "yyyy-MM-dd").alias(
+            "max_date"
+        ),
+    )
