@@ -85,6 +85,7 @@ _SAMPLE_PRIORITY = (
     "fasta_pyds_record_stats",
     "corpus_mixture_temperature_weights",
     "orders_orc_roundtrip_digest",
+    "streaming_pyds_source_parity",
     "wordpiece_learned_merges",
     "wordpiece_greedy_segmentation",
     "minhash_lsh_recall_report",

@@ -45,6 +45,7 @@ __all__ = [
     "streaming_append_hourly_parity",
     "streaming_append_sliding_parity",
     "streaming_restart_recovery_parity",
+    "streaming_pyds_source_parity",
 ]
 
 # One stream-source dir per (process, sf_dir): the events parquet rewritten
@@ -1106,4 +1107,110 @@ def streaming_restart_recovery_parity(
             "n_events",
             (F.col("sum_cents") / 100.0).alias("sum_value"),
         )
+    )
+
+
+@register(
+    "streaming_pyds_source_parity",
+    tags=("streaming", "pyds", "source"),
+    description="REAL StreamingQuery fed by a CUSTOM Python streaming "
+    "source (DataSourceStreamReader, sources/pyds.py): driver-side "
+    "offset/admission control replays the 4 parquet chunks one per "
+    "trigger while each admitted chunk is read ON EXECUTORS as Arrow "
+    "batches; per-type aggregate state merges across the micro-batches "
+    "and the oracle replays the result as batch SQL",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                   AS BIGINT) AS value_units_4dp,
+               CAST(min(user_id) AS BIGINT) AS min_user,
+               CAST(max(user_id) AS BIGINT) AS max_user,
+               CAST(sum(user_id) AS BIGINT) AS sum_user
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def streaming_pyds_source_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The custom-connector STREAMING half (the batch half is the FASTA
+    pair): ``events_replay`` is a partition-planned
+    ``DataSourceStreamReader`` — offsets ({"chunk": k}) and one-chunk-
+    per-trigger admission control run on the driver, chunk reads run on
+    executors as Arrow batches, exactly the division of labor the
+    built-in file source has — NOT the driver-reading Simple variant.
+    The query is deliberately timezone-free (no ts column crosses the
+    source boundary) so the parity isolates the source + multi-batch
+    aggregation-state path. Complete-mode memory sink = the replay-order
+    fixture shape (bounded: one row per event type), like the other
+    complete-mode parity fixtures. Termination is deterministic: poll
+    ``lastProgress`` until the committed endOffset reaches the chunk
+    count (progress is only reported for COMPLETED batches), then stop."""
+    import json
+    import time
+
+    from data_algorithms_with_pyspark_spark.sources.pyds import (
+        register_events_replay_source,
+    )
+
+    src = _events_stream_source(spark, sf_dir)
+    n_chunks = sum(1 for f in os.listdir(src) if f.startswith("part-"))
+    register_events_replay_source(spark)
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", src)
+        .option("step", "1")
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+        ).alias("value_units_4dp"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.sum("user_id").alias("sum_user"),
+    )
+    name = f"pyds_replay_{next(_SINK_SEQ)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 180
+        while True:
+            p = q.lastProgress
+            if p is not None:
+                eo = p["sources"][0]["endOffset"]
+                if isinstance(eo, str):
+                    # the engine reports the python source's offset dict
+                    # as a string; depending on version it is JSON or a
+                    # python-dict repr — accept both
+                    try:
+                        eo = json.loads(eo)
+                    except json.JSONDecodeError:
+                        import ast as _ast
+
+                        eo = _ast.literal_eval(eo)
+                if int(eo["chunk"]) >= n_chunks:
+                    break
+            if time.time() > deadline:
+                raise TimeoutError(
+                    "events_replay stream did not drain its chunks"
+                )
+            time.sleep(0.1)
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    return spark.table(name).select(
+        "event_type",
+        "n_events",
+        "value_units_4dp",
+        "min_user",
+        "max_user",
+        "sum_user",
     )

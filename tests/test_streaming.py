@@ -713,3 +713,68 @@ def test_streaming_frequent_terms_mapstate_across_batches(spark, tmp_path):
     assert hot_counts[-1] == 9, rows  # 5 (batch 1) + 4 (batch 2)
     t1_counts = sorted(r.mg_count for r in rows if r.term == "t1")
     assert t1_counts[-1] == 2, rows
+
+
+def test_events_replay_pyds_source_multibatch(spark, tmp_path):
+    """The custom Python streaming source admits 'step' chunks per
+    trigger: 4 chunk files at step=2 must arrive in >= 2 non-empty
+    micro-batches, and the final aggregate must equal the batch truth."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_algorithms_with_pyspark_spark.sources.pyds import (
+        register_events_replay_source,
+    )
+
+    src = str(tmp_path / "chunks")
+    rows = [(i % 7, f"t{i % 3}", float(i)) for i in range(200)]
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, value double"
+    ).repartition(4).write.mode("overwrite").parquet(src)
+
+    register_events_replay_source(spark)
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", src)
+        .option("step", "2")
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("user_id")).alias("us"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("pyds_replay_test")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while True:
+            done = sum(
+                p["numInputRows"]
+                for p in q.recentProgress
+                if p is not None
+            )
+            if done >= 200:
+                break
+            assert time.time() < deadline, "stream did not drain"
+            time.sleep(0.1)
+        data_batches = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+        assert len(data_batches) >= 2  # step=2 over 4 chunks
+    finally:
+        q.stop()
+    got = {
+        r["event_type"]: (r["n"], r["us"])
+        for r in spark.table("pyds_replay_test").collect()
+    }
+    want = {}
+    for u, t, _v in rows:
+        n, us = want.get(t, (0, 0))
+        want[t] = (n + 1, us + u)
+    assert got == want
