@@ -86,6 +86,8 @@ _SAMPLE_PRIORITY = (
     "corpus_mixture_temperature_weights",
     "orders_orc_roundtrip_digest",
     "streaming_pyds_source_parity",
+    "sql_parameterized_top_customers",
+    "orders_observed_pass_metrics",
     "wordpiece_learned_merges",
     "wordpiece_greedy_segmentation",
     "minhash_lsh_recall_report",

@@ -242,3 +242,127 @@ def sql_recursive_referral_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     roll-up. The per-seed output is |seeds| rows at any scale."""
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_CHAIN_SQL)
+
+
+@register(
+    "sql_parameterized_top_customers",
+    tags=("functions", "sql", "api"),
+    description="Named-parameter SQL binding (spark.sql(query, args=...)): "
+    "balance threshold and top-k bound as :minbal / :k parameter markers "
+    "instead of string interpolation — the injection-safe templated-query "
+    "surface; per-nation top-k by balance, integer-cent balances",
+    oracle="""
+        SELECT nation_name, c_custkey, bal_cents, rn FROM (
+            SELECT n.n_name AS nation_name, c.c_custkey,
+                   CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS bal_cents,
+                   CAST(row_number() OVER (
+                       PARTITION BY n.n_name
+                       ORDER BY floor(c.c_acctbal * 100 + 0.5) DESC,
+                                c.c_custkey
+                   ) AS BIGINT) AS rn
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_acctbal > 1000.0
+        ) WHERE rn <= 3
+    """,
+)
+def sql_parameterized_top_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The templated-query API surface: the SAME analytic SQL text runs
+    for any (minbal, k) via named parameter markers — Catalyst binds
+    them as literals at analysis time (so constant folding and filter
+    pushdown see real constants; plan-identical to inlined literals),
+    and the text is never string-concatenated (the injection-safe shape
+    a query service uses). Per-nation top-k plans as one WindowGroupLimit
+    — rank state never materializes beyond k per nation."""
+    for t in ("customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"pq_{t}")
+    return spark.sql(
+        """
+        SELECT nation_name, c_custkey, bal_cents, rn FROM (
+            SELECT n.n_name AS nation_name, c.c_custkey,
+                   CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS bal_cents,
+                   CAST(row_number() OVER (
+                       PARTITION BY n.n_name
+                       ORDER BY floor(c.c_acctbal * 100 + 0.5) DESC,
+                                c.c_custkey
+                   ) AS BIGINT) AS rn
+            FROM pq_customer c
+            JOIN pq_nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_acctbal > :minbal
+        ) WHERE rn <= :k
+        """,
+        args={"minbal": 1000.0, "k": 3},
+    )
+
+
+@register(
+    "orders_observed_pass_metrics",
+    tags=("functions", "api", "quality"),
+    description="Observation API (SPARK-34806): QC metrics — row count, "
+    "integer-cent revenue, key extents, null count — collected DURING a "
+    "real write pass via df.observe, zero extra scans; the returned "
+    "one-row report is the observation payload, oracled against a direct "
+    "aggregate",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS total_cents,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key,
+               CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+                   AS n_null_custkey
+        FROM orders
+    """,
+)
+def orders_observed_pass_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB operational pattern this attests: dataset-card metrics
+    ride along on the SAME pass that does the real work (here a parquet
+    write of the full table) instead of paying a second full scan —
+    ``df.observe`` attaches the aggregates to the scan as accumulator-
+    backed expressions, and the driver reads the payload after the
+    action. All observed metrics are exact-integer (order-free cents,
+    extents, counts), so the report is deterministic under any
+    partitioning. The one-row report IS the observation dict."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("orders_pass")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("total_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias(
+            "n_null_custkey"
+        ),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_obs_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    observed.write.mode("overwrite").parquet(out)  # the real pass
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["total_cents"],
+                m["min_key"],
+                m["max_key"],
+                m["n_null_custkey"],
+            )
+        ],
+        "n_rows long, total_cents long, min_key long, max_key long, "
+        "n_null_custkey long",
+    )

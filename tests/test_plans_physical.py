@@ -343,3 +343,15 @@ def test_sq8_topk_scan_shape(spark):
     # so bound the count rather than pin it
     assert 1 <= plan.count("array_max") <= 2, plan.count("array_max")
     assert "_scale" in plan
+
+
+def test_parameterized_sql_binds_literals(spark):
+    """Named parameter markers must bind as analysis-time literals: the
+    :minbal predicate reaches the parquet scan as a pushed filter (same
+    plan as inlined literals) and the per-nation top-k plans as a
+    WindowGroupLimit, never a full sort."""
+    df = all_queries()["sql_parameterized_top_customers"].fn(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "1000.0" in plan  # the bound :minbal literal, pushed down
+    assert "PushedFilters" in plan and "c_acctbal" in plan
