@@ -63,9 +63,11 @@ _SAMPLE_PRIORITY = (
     # new-this-round queries first, then the stalest re-attestation
     # blocks. Staleness from CORRECTNESS_r0{1..8} (scripts/staleness.py):
     # after r8's fully-fresh window, 10 queries are r3-only-green and 48
-    # are r4-only-green. This window = 2 new + 10 r3 + 48 r4 = 60; the
-    # ~50 cut drops the alphabetical tail of the r4 block, which leads
-    # r10 together with the r5-stale block.
+    # are r4-only-green. This window = 26 new + 10 r3 + 48 r4 = 84; the
+    # ~50 cut attests every never-attested row plus the r3 block and the
+    # head of the alphabetical r4 block — the r4 tail leads r10 together
+    # with the r5-stale block (never-attested > stale, so the round's
+    # new rows always outrank re-attestation).
     #
     # New in r9: the unigram-LM (SentencePiece-style) tokenizer trainer
     # pair, the at-least-once -> exactly-once streaming dedup parity row,
