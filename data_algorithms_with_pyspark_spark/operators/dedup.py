@@ -435,12 +435,31 @@ def simhash(
 
 
 def simhash_candidate_pairs(
-    hashes: DataFrame, id_col: str = "doc_id", bands: int = 4, n_bits: int = 64
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    n_bits: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates: docs sharing any (n_bits/bands)-bit band of
     their SimHash (catches pairs within small hamming distance), plus
     exact hamming. ``n_bits`` must match the ``simhash`` hash family
-    (64 for xxhash64, 60 for md5)."""
+    (64 for xxhash64, 60 for md5).
+
+    ``max_bucket`` is the DEGENERACY GUARD for corpus regimes where
+    SimHash collapses: unweighted token votes concentrate when documents
+    share one narrow vocabulary/frequency profile (measured at the sf10
+    audit: a 31-word vocabulary put ~all 500k docs in ONE band bucket —
+    the candidate join degenerates to all-pairs and spills the disk).
+    With a cap, band buckets holding more than ``max_bucket`` ids are
+    EXCLUDED from candidate generation (standard LSH practice: an
+    oversized bucket carries no discriminative signal — emitting its
+    pairs is quadratic cost for near-zero precision); docs can still
+    pair through their other, non-degenerate bands. The bucket-count
+    aggregate shuffles on the same (band, band_val) key as the self-join
+    right after it, so the guard adds no new partitioning at scale.
+    Default None preserves exact uncapped semantics (the oracle-attested
+    catalog configuration)."""
     band_width = n_bits // bands
     band_vals = F.array(
         *[
@@ -455,6 +474,14 @@ def simhash_candidate_pairs(
         F.col("simhash"),
         F.posexplode(band_vals).alias("band", "band_val"),
     )
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band", "band_val")
+            .agg(F.count("*").alias("_bucket_n"))
+            .where(F.col("_bucket_n") <= max_bucket)
+            .select("band", "band_val")
+        )
+        banded = banded.join(ok, on=["band", "band_val"])
     left = banded.select(
         F.col(id_col).alias("id_1"), F.col("simhash").alias("sh_1"), "band", "band_val"
     )

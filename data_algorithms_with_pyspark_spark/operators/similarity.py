@@ -196,6 +196,7 @@ def srp_banded_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     materialize: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded SRP-LSH cosine near-dup pairs — the multi-probe recall fix
     over single-bucket ``lsh_near_dup_pairs``.
@@ -222,6 +223,17 @@ def srp_banded_near_dup_pairs(
     reference than the ~(16 + 8*dim) bytes/vector it occupies — the same
     "checkpoint the sketch, not the corpus" move as the MinHash path
     (measured 2x end-to-end on the warm benchmark).
+
+    ``max_bucket`` excludes band buckets holding more than that many ids
+    from candidate generation — the degeneracy guard for fixed-width
+    bands on a corpus that outgrew them (candidates are O(bands * n^2 /
+    2^w): measured at the sf10 audit, 8-bit bands over 200k vectors
+    produce ~3e8 candidate pairs and spill out the disk; the RIGHT fix
+    is raising the width with log2(n), the cap is the safety rail that
+    bounds the damage when the corpus grows faster than the config).
+    The count aggregate shuffles on the (band, band_code) key the
+    self-join right after it already needs. Default None = exact
+    uncapped semantics (the oracle-attested catalog configuration).
     """
     if n_planes % bands:
         raise ValueError("n_planes must divide evenly into bands")
@@ -241,6 +253,14 @@ def srp_banded_near_dup_pairs(
     banded = coded.select(
         F.col(id_col), F.posexplode(band_vals).alias("band", "band_code")
     )
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band", "band_code")
+            .agg(F.count("*").alias("_bucket_n"))
+            .where(F.col("_bucket_n") <= max_bucket)
+            .select("band", "band_code")
+        )
+        banded = banded.join(ok, on=["band", "band_code"])
     left = banded.select(F.col(id_col).alias("id_1"), "band", "band_code")
     right = banded.select(F.col(id_col).alias("id_2"), "band", "band_code")
     pairs = (

@@ -1138,3 +1138,66 @@ def test_sq8_dot_topk_self_query_ranks_first(spark):
         assert r["idot"] == int(
             np.dot(np.array(codes[r["vec_id"]]), np.array(qq))
         )
+
+
+def test_simhash_max_bucket_guards_degenerate_corpus(spark):
+    """A narrow-vocabulary corpus collapses SimHash to one value — the
+    sf10 audit's all-pairs blow-up. max_bucket must drop the degenerate
+    bucket (no candidates) while leaving diverse corpora untouched."""
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        simhash,
+        simhash_candidate_pairs,
+    )
+
+    clones = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 6) for i in range(20)],
+        "doc_id long, text string",
+    )
+    h = simhash(clones)
+    uncapped = simhash_candidate_pairs(h)
+    assert uncapped.count() == 190  # all pairs of 20 identical hashes
+    assert simhash_candidate_pairs(h, max_bucket=5).count() == 0
+    # a diverse corpus is unaffected by a cap far above its bucket sizes
+    diverse = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} tok{i * 7 % 13} unique{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    hd = simhash(diverse)
+    base = {
+        (r["id_1"], r["id_2"])
+        for r in simhash_candidate_pairs(hd).collect()
+    }
+    capped = {
+        (r["id_1"], r["id_2"])
+        for r in simhash_candidate_pairs(hd, max_bucket=29).collect()
+    }
+    assert capped == base
+
+
+def test_srp_banded_max_bucket_guards_hot_bucket(spark):
+    """Vectors collapsed onto one point share every band bucket; the cap
+    must suppress that bucket's quadratic pairs while pairs from
+    non-degenerate buckets survive."""
+    import numpy as np
+
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        srp_banded_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    hot = [1.0] * 8
+    rows = [(i, hot) for i in range(15)]  # degenerate cluster
+    # two genuine near-dups away from the cluster
+    a = rng.randn(8)
+    rows += [(100, [float(x) for x in a]), (101, [float(x) for x in a * 1.01])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = srp_banded_near_dup_pairs(
+        vecs, dim=8, threshold=0.99, n_planes=16, bands=4
+    )
+    assert uncapped.count() >= 105 + 1  # hot-cluster pairs + the pair
+    capped = srp_banded_near_dup_pairs(
+        vecs, dim=8, threshold=0.99, n_planes=16, bands=4, max_bucket=10
+    ).collect()
+    got = {(r["id_1"], r["id_2"]) for r in capped}
+    assert (100, 101) in got  # genuine pair survives (its buckets are small)
+    assert not any(i < 15 and j < 15 for i, j in got)  # hot cluster muted
