@@ -90,6 +90,7 @@ _SAMPLE_PRIORITY = (
     "streaming_pyds_source_parity",
     "sql_parameterized_top_customers",
     "orders_observed_pass_metrics",
+    "simhash_guarded_near_dups",
     "wordpiece_learned_merges",
     "wordpiece_greedy_segmentation",
     "minhash_lsh_recall_report",

@@ -3493,3 +3493,43 @@ def sq8_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+_SIMHASH_GUARD_BUCKET = 25
+
+
+@register(
+    "simhash_guarded_near_dups",
+    tags=("dedup", "lsh", "scale"),
+    description="The SimHash candidate generator under its DEGENERACY "
+    f"GUARD (max_bucket={_SIMHASH_GUARD_BUCKET}): band buckets holding "
+    "more ids are excluded from candidate generation — the bounded-cost "
+    "configuration the sf10 audit showed a 100 TB deployment needs on "
+    "concentration-prone corpora; the oracle replays the bucket-count "
+    "filter exactly",
+    oracle=simhash_pairs_sql(
+        max_hamming=15, bands=4, n_bits=60, max_bucket=_SIMHASH_GUARD_BUCKET
+    ),
+)
+def simhash_guarded_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guarded twin of ``simhash_near_dup_candidates`` (operators/
+    dedup.py:simhash_candidate_pairs max_bucket): identical sketch and
+    banding, but band buckets larger than the cap contribute NO
+    candidate pairs — candidate volume is bounded by
+    bands * n_buckets * cap^2 / 2 regardless of how the corpus
+    concentrates (the sf10 audit measured disk-spill death uncapped vs
+    20.7 s capped on the 500k-doc homogeneous draw). On healthy draws
+    the output differs from the uncapped row only by pairs routed
+    exclusively through oversized buckets — exactly the pairs with no
+    discriminative value."""
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        simhash,
+        simhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(
+        simhash(docs, hash_fn="md5"),
+        n_bits=60,
+        max_bucket=_SIMHASH_GUARD_BUCKET,
+    ).where(F.col("hamming") <= 15)

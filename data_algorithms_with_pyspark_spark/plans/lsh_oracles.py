@@ -206,13 +206,33 @@ def near_dup_clusters_sql(
     """
 
 
-def simhash_pairs_sql(max_hamming: int, bands: int = 4, n_bits: int = 60) -> str:
+def simhash_pairs_sql(
+    max_hamming: int,
+    bands: int = 4,
+    n_bits: int = 60,
+    max_bucket: int | None = None,
+) -> str:
     """Oracle for simhash(hash_fn="md5") + simhash_candidate_pairs(n_bits=60):
     (id_1, id_2, hamming) for banded candidates within ``max_hamming``.
     Docs with no tokens hash to 0 (the LEFT JOIN/coalesce mirrors Spark's
-    fold over an empty token array)."""
+    fold over an empty token array). ``max_bucket`` replays the operator's
+    degeneracy guard: band buckets holding more ids are excluded from
+    candidate generation."""
     bw = n_bits // bands
     mask = (1 << bw) - 1
+    guard = (
+        f""",
+        bcnt AS (
+            SELECT band, band_val FROM banded
+            GROUP BY band, band_val HAVING count(*) <= {max_bucket}
+        ),
+        banded_ok AS (
+            SELECT banded.* FROM banded JOIN bcnt USING (band, band_val)
+        )"""
+        if max_bucket is not None
+        else ""
+    )
+    cand_src = "banded_ok" if max_bucket is not None else "banded"
     return f"""
         WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
         th AS (
@@ -238,11 +258,11 @@ def simhash_pairs_sql(max_hamming: int, bands: int = 4, n_bits: int = 60) -> str
             SELECT doc_id, simhash, b.b AS band,
                    (simhash >> (b.b * {bw})) & {mask} AS band_val
             FROM sim CROSS JOIN (SELECT unnest(range({bands})) AS b) b
-        )
+        ){guard}
         SELECT * FROM (
             SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-            FROM banded a JOIN banded b
+            FROM {cand_src} a JOIN {cand_src} b
               ON a.band = b.band AND a.band_val = b.band_val
              AND a.doc_id < b.doc_id
         ) WHERE hamming <= {max_hamming}
