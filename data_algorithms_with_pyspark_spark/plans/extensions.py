@@ -123,12 +123,29 @@ def srp_pairs_sql(
     n_planes: int = _SRP_N_PLANES,
     bands: int = _SRP_BANDS,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> str:
     """DuckDB twin of operators/similarity.srp_banded_near_dup_pairs:
     (id_1, id_2, cosine) for banded-SRP candidates with exact cosine >=
-    threshold. Shared by srp_lsh_cosine_near_dups and corpus_curation_v2."""
+    threshold. Shared by srp_lsh_cosine_near_dups and corpus_curation_v2.
+    ``max_bucket`` replays the operator's degeneracy guard (band buckets
+    above the cap excluded from candidate generation)."""
     width = n_planes // bands
     mask = (1 << width) - 1
+    guard = (
+        f""",
+        srp_bcnt AS (
+            SELECT band, band_code FROM srp_banded
+            GROUP BY band, band_code HAVING count(*) <= {max_bucket}
+        ),
+        srp_banded_ok AS (
+            SELECT srp_banded.* FROM srp_banded
+            JOIN srp_bcnt USING (band, band_code)
+        )"""
+        if max_bucket is not None
+        else ""
+    )
+    cand_src = "srp_banded_ok" if max_bucket is not None else "srp_banded"
     return f"""
         WITH srp_v AS MATERIALIZED (
             SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
@@ -140,11 +157,11 @@ def srp_pairs_sql(
         srp_banded AS (
             SELECT vec_id, t.band, (code >> (t.band * {width})) & {mask} AS band_code
             FROM srp_coded, (SELECT unnest(range({bands})) AS band) t
-        ),
+        ){guard},
         srp_cand AS (
             SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
-            FROM srp_banded a
-            JOIN srp_banded b ON a.band = b.band AND a.band_code = b.band_code
+            FROM {cand_src} a
+            JOIN {cand_src} b ON a.band = b.band AND a.band_code = b.band_code
             WHERE a.vec_id < b.vec_id
         )
         SELECT c.id_1, c.id_2,
@@ -3533,3 +3550,43 @@ def simhash_guarded_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bits=60,
         max_bucket=_SIMHASH_GUARD_BUCKET,
     ).where(F.col("hamming") <= 15)
+
+
+_SRP_GUARD_BUCKET = 16
+
+
+@register(
+    "srp_guarded_cosine_near_dups",
+    tags=("dedup", "similarity", "lsh", "scale"),
+    description="Banded SRP-LSH near-dups under the DEGENERACY GUARD "
+    f"(max_bucket={_SRP_GUARD_BUCKET}): band buckets above the cap are "
+    "excluded from candidate generation — bounded candidate volume on "
+    "corpora with hot embedding clusters (the skew draw's planted 40-"
+    "vector cluster exceeds the cap; the sf10 audit measured disk-spill "
+    "death uncapped); oracle replays the bucket-count filter exactly",
+    oracle=srp_pairs_sql(
+        _COSINE_DUP_THRESHOLD, max_bucket=_SRP_GUARD_BUCKET
+    ),
+)
+def srp_guarded_cosine_near_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Guarded twin of ``srp_lsh_cosine_near_dups`` (operators/
+    similarity.py:srp_banded_near_dup_pairs max_bucket): identical
+    hyperplanes and banding, but oversized band buckets contribute no
+    candidates — candidate volume bounded by bands * buckets * cap^2 / 2
+    however the corpus concentrates. On the Zipf-skew draw the planted
+    40-vector hot cluster exceeds the cap, so its quadratic intra-
+    cluster pairs are suppressed unless another (small) band bucket
+    catches them — the cross-engine compare checks the guard's exact
+    semantics there; on draws with balanced buckets the output equals
+    the uncapped row's."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_banded_near_dup_pairs(
+        emb,
+        dim=_SRP_DIM,
+        threshold=_COSINE_DUP_THRESHOLD,
+        n_planes=_SRP_N_PLANES,
+        bands=_SRP_BANDS,
+        max_bucket=_SRP_GUARD_BUCKET,
+    )
