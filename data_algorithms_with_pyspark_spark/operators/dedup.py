@@ -387,11 +387,23 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
+    shingle_n: int | None = None,
 ) -> DataFrame:
-    """SimHash over whitespace tokens (unweighted).
+    """SimHash over whitespace tokens (unweighted), or over word n-gram
+    SHINGLES when ``shingle_n`` is set.
 
-    Per bit b: sum over tokens of ±1 depending on bit b of the token hash;
-    bit set iff the sum is positive. Pure array expressions, one pass.
+    Per bit b: sum over features of ±1 depending on bit b of the feature
+    hash; bit set iff the sum is positive. Pure array expressions, one
+    pass.
+
+    ``shingle_n`` is the feature-diversity fix for the corpus regime the
+    sf10 audit exposed: unigram-token votes collapse when documents
+    share one narrow vocabulary/frequency profile (a 31-word vocabulary
+    gave ~all 500k docs the same hash), while n-gram shingles draw from
+    a |V|^n space whose per-document SETS differ — hashes spread and the
+    banded join stays bucket-local. Shingles follow ``token_shingles``
+    semantics exactly (distinct; short docs fall back to one full-text
+    shingle) so an external oracle replays them.
 
     Hash width follows ``hash_fn``: 64 bits for "xxhash64", 60 bits for
     "md5" (``md5_long60`` — the widest md5 prefix that fits a signed long
@@ -406,9 +418,24 @@ def simhash(
     # re-walked the token array 60x in the interpreter (~3x slower
     # end-to-end at sf0.1). Partial aggregation combines map-side; the
     # shuffle carries one n_bits-wide row per doc per partition.
-    exploded = spread_partitions(docs.select(id_col, text_col)).select(
-        F.col(id_col), F.explode_outer(words(text_col)).alias("_t")
-    ).select(
+    if shingle_n is None:
+        featured = spread_partitions(docs.select(id_col, text_col)).select(
+            F.col(id_col), F.explode_outer(words(text_col)).alias("_t")
+        )
+    else:
+        toks = spread_partitions(docs.select(id_col, text_col)).select(
+            F.col(id_col), words(text_col).alias("_toks")
+        )
+        # empty-token docs vote on nothing (simhash 0, same as the token
+        # path) — token_shingles would otherwise emit one "" shingle
+        feats = F.when(
+            F.size(F.col("_toks")) > 0,
+            token_shingles(F.col("_toks"), shingle_n),
+        ).otherwise(F.array(F.lit(None).cast("string")))
+        featured = toks.select(
+            F.col(id_col), F.explode_outer(feats).alias("_t")
+        )
+    exploded = featured.select(
         F.col(id_col),
         # NULL guard matters for xxhash64, which hashes NULL to the seed
         # hash instead of propagating NULL — without it an empty doc would

@@ -92,6 +92,7 @@ _SAMPLE_PRIORITY = (
     "orders_observed_pass_metrics",
     "simhash_guarded_near_dups",
     "srp_guarded_cosine_near_dups",
+    "simhash_shingle_near_dups",
     "wordpiece_learned_merges",
     "wordpiece_greedy_segmentation",
     "minhash_lsh_recall_report",

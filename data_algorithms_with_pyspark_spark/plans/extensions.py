@@ -3590,3 +3590,31 @@ def srp_guarded_cosine_near_dups(
         bands=_SRP_BANDS,
         max_bucket=_SRP_GUARD_BUCKET,
     )
+
+
+@register(
+    "simhash_shingle_near_dups",
+    tags=("dedup", "lsh", "scale"),
+    description="SimHash over 3-gram word SHINGLES — the feature-diversity "
+    "fix for the corpus regime the sf10 audit exposed (unigram votes "
+    "collapse on a narrow shared vocabulary; shingle SETS drawn from the "
+    "|V|^3 space differ per document, so hashes spread and band buckets "
+    "stay local); full cross-engine value oracle",
+    oracle=simhash_pairs_sql(max_hamming=15, bands=4, n_bits=60, shingle_n=3),
+)
+def simhash_shingle_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-feature twin of ``simhash_near_dup_candidates``
+    (operators/dedup.py:simhash shingle_n): same banding and hamming
+    filter, but votes come from distinct word 3-grams — the production
+    configuration for homogeneous corpora, next to the max_bucket
+    safety rail (the two compose: diverse features PREVENT degeneracy,
+    the cap BOUNDS it)."""
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        simhash,
+        simhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(
+        simhash(docs, hash_fn="md5", shingle_n=3), n_bits=60
+    ).where(F.col("hamming") <= 15)

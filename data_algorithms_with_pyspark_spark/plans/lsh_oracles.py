@@ -211,13 +211,16 @@ def simhash_pairs_sql(
     bands: int = 4,
     n_bits: int = 60,
     max_bucket: int | None = None,
+    shingle_n: int | None = None,
 ) -> str:
     """Oracle for simhash(hash_fn="md5") + simhash_candidate_pairs(n_bits=60):
     (id_1, id_2, hamming) for banded candidates within ``max_hamming``.
     Docs with no tokens hash to 0 (the LEFT JOIN/coalesce mirrors Spark's
     fold over an empty token array). ``max_bucket`` replays the operator's
     degeneracy guard: band buckets holding more ids are excluded from
-    candidate generation."""
+    candidate generation. ``shingle_n`` replays the shingle-feature
+    variant (votes over distinct word n-grams; empty-token docs vote on
+    nothing)."""
     bw = n_bits // bands
     mask = (1 << bw) - 1
     guard = (
@@ -233,12 +236,23 @@ def simhash_pairs_sql(
         else ""
     )
     cand_src = "banded_ok" if max_bucket is not None else "banded"
-    return f"""
-        WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
-        th AS (
+    if shingle_n is None:
+        th_cte = f"""th AS (
             SELECT doc_id, {_md5_long60('tok')} AS h
             FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        )"""
+    else:
+        th_cte = f"""sh AS (
+            SELECT doc_id, {_shingle_case(shingle_n)} AS shingles
+            FROM toks WHERE len(t) > 0
         ),
+        th AS (
+            SELECT doc_id, {_md5_long60('s')} AS h
+            FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+        )"""
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        {th_cte},
         votes AS (
             SELECT doc_id, b.b AS bit, sum(((h >> b.b) & 1) * 2 - 1) AS v
             FROM th CROSS JOIN (SELECT unnest(range({n_bits})) AS b) b

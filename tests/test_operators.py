@@ -1201,3 +1201,44 @@ def test_srp_banded_max_bucket_guards_hot_bucket(spark):
     got = {(r["id_1"], r["id_2"]) for r in capped}
     assert (100, 101) in got  # genuine pair survives (its buckets are small)
     assert not any(i < 15 and j < 15 for i, j in got)  # hot cluster muted
+
+
+def test_simhash_shingles_discriminate_homogeneous_corpus(spark):
+    """On a shared-vocabulary corpus, unigram SimHashes collapse to few
+    values while 3-gram-shingle SimHashes spread — the sf10 finding as a
+    unit invariant. Empty docs still hash to 0 in shingle mode."""
+    import random
+
+    from data_algorithms_with_pyspark_spark.operators.dedup import simhash
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(400))) for i in range(300)
+    ]
+    rows.append((999, ""))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from pyspark.sql import functions as F
+
+    def max_band_bucket(h):
+        bands = F.array(
+            *[
+                F.shiftright(F.col("simhash"), k * 16).bitwiseAND(
+                    F.lit(65535).cast("long")
+                )
+                for k in range(4)
+            ]
+        )
+        b = h.select(F.posexplode(bands).alias("band", "bv"))
+        return (
+            b.groupBy("band", "bv").count().agg(F.max("count")).collect()[0][0]
+        )
+
+    uni_h = simhash(docs)
+    shi_h = simhash(docs, shingle_n=3)
+    # concentration is the degeneracy metric (full hashes may all differ
+    # while 16-bit BAND values pile into one bucket): measured 55-vs-2 at
+    # this geometry, orders of magnitude at sf10
+    assert max_band_bucket(uni_h) > 5 * max_band_bucket(shi_h)
+    shi = {r["doc_id"]: r["simhash"] for r in shi_h.collect()}
+    assert shi[999] == 0  # empty doc votes on nothing
