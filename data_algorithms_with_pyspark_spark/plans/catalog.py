@@ -93,6 +93,10 @@ _SAMPLE_PRIORITY = (
     "simhash_guarded_near_dups",
     "srp_guarded_cosine_near_dups",
     "simhash_shingle_near_dups",
+    "orders_xml_roundtrip_digest",
+    "part_collation_distinct_audit",
+    "corpus_neyman_sample_allocation",
+    "distinct_users_sketch_comparison",
     "wordpiece_learned_merges",
     "wordpiece_greedy_segmentation",
     "minhash_lsh_recall_report",

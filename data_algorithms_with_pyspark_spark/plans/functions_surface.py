@@ -366,3 +366,59 @@ def orders_observed_pass_metrics(
         "n_rows long, total_cents long, min_key long, max_key long, "
         "n_null_custkey long",
     )
+
+
+@register(
+    "part_collation_distinct_audit",
+    tags=("functions", "strings", "api"),
+    description="Spark 4 string COLLATION surface: per-brand distinct part "
+    "names under binary vs UTF8_LCASE collation over a deterministically "
+    "case-perturbed name column (even part keys uppercased) — the "
+    "case-insensitive-semantics-without-rewrites feature, value-checked "
+    "against lower()-normalized counts",
+    oracle="""
+        WITH mixed AS (
+            SELECT p_brand,
+                   CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                        ELSE p_name END AS m
+            FROM part
+        )
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT m) AS BIGINT) AS n_distinct_binary,
+               CAST(count(DISTINCT lower(m)) AS BIGINT) AS n_distinct_lcase
+        FROM mixed GROUP BY p_brand
+    """,
+)
+def part_collation_distinct_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Collated comparison is evaluated INSIDE the aggregate — no data
+    rewrite, no lower() projection materialized. The audit pins
+    UTF8_LCASE distinct == lower()-normalized distinct on a name column
+    with planted case divergence (even keys uppercased), while binary
+    distinct counts the case variants separately.
+
+    Cost honesty (lint-allowlisted): grouping on a NON-BINARY collated
+    key cannot hash-aggregate (collated equality is not binary equality,
+    so UnsafeRow hashing is unsound) — Spark plans the distinct-expand
+    as SortAggregate by design. This row's own output demonstrates the
+    100 TB rewrite: lower()-normalized distinct (hash-aggregable) is
+    numerically identical, so normalize hot columns and reserve
+    collations for correctness-critical comparison sites."""
+    part = load_table(spark, sf_dir, "part")
+    mixed = part.select(
+        "p_brand",
+        F.when(
+            F.col("p_partkey") % 2 == 0, F.upper(F.col("p_name"))
+        )
+        .otherwise(F.col("p_name"))
+        .alias("m"),
+    )
+    return mixed.groupBy("p_brand").agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct(F.col("m")).alias("n_distinct_binary"),
+        F.count_distinct(F.collate(F.col("m"), "UTF8_LCASE")).alias(
+            "n_distinct_lcase"
+        ),
+    )

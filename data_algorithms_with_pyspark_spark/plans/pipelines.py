@@ -1425,3 +1425,129 @@ def corpus_mixture_temperature_weights(
         .cast("long")
         .alias("epochs_milli"),
     )
+
+
+_NEYMAN_BUDGET = 1000
+
+
+@register(
+    "corpus_neyman_sample_allocation",
+    tags=("pipeline", "sampling", "scale"),
+    description=f"Neyman-optimal QC-sample allocation: a {_NEYMAN_BUDGET}-doc "
+    "audit budget split over sources by n_i ~ N_i*sigma_i (per-source "
+    "doc-length std — variance-heavy sources get oversampled relative to "
+    "proportional allocation, which rides along for contrast); variance "
+    "from exact integer sum/sum-of-squares, sigma via one sqrt, "
+    "integer-grid scores",
+    oracle=f"""
+        WITH t AS (SELECT source, len({_TOKENS}) AS nt FROM documents),
+        per AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS tok_sum,
+                   CAST(sum(nt * nt) AS BIGINT) AS tok_ssq
+            FROM t GROUP BY source
+        ),
+        scored AS (
+            SELECT source, n_docs, tok_sum, tok_ssq,
+                   CAST(floor(sqrt((CAST(tok_ssq AS DOUBLE)
+                              - CAST(tok_sum AS DOUBLE)
+                                * CAST(tok_sum AS DOUBLE)
+                                / CAST(n_docs AS DOUBLE))
+                              / CAST(n_docs AS DOUBLE))
+                        * 1e6 + 0.5) AS BIGINT) AS sigma_micro
+            FROM per
+        ),
+        sc2 AS (
+            SELECT *,
+                   CAST(n_docs AS BIGINT) * sigma_micro AS score_units
+            FROM scored
+        ),
+        tot AS (
+            SELECT CAST(sum(score_units) AS BIGINT) AS total_units,
+                   CAST(sum(n_docs) AS BIGINT) AS total_docs
+            FROM sc2
+        )
+        SELECT s.source, s.n_docs, s.tok_sum, s.tok_ssq, s.sigma_micro,
+               CAST(floor({_NEYMAN_BUDGET}.0
+                    * (CAST(s.score_units AS DOUBLE)
+                       / CAST(t.total_units AS DOUBLE)) + 0.5) AS BIGINT)
+                   AS neyman_n,
+               CAST(floor({_NEYMAN_BUDGET}.0
+                    * (CAST(s.n_docs AS DOUBLE)
+                       / CAST(t.total_docs AS DOUBLE)) + 0.5) AS BIGINT)
+                   AS proportional_n
+        FROM sc2 s, tot t
+    """,
+)
+def corpus_neyman_sample_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The third sampling DESIGN primitive (after rational-hash mixing
+    and temperature weighting): how to spend a fixed human/LLM QC-audit
+    budget across sources so the corpus-level quality estimate has
+    minimum variance — Neyman allocation n_i ~ N_i*sigma_i oversamples
+    heterogeneous sources (classic survey sampling; at 100 TB the QC
+    budget is the scarce resource, not compute). Determinism recipe:
+    per-source variance from EXACT integer (sum, sum-of-squares)
+    aggregates (order-free; doc token counts keep nt^2 sums well inside
+    int64 here — a 10^13-token deployment would widen to DECIMAL), one
+    correctly-rounded sqrt, integer micro-grid sigma, integer score
+    totals, and pinned single-division ratio chains. Scale shape: one
+    corpus scan, then source-count-sized rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.size(words("text")).cast("long").alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("tok_sum"),
+            F.sum(F.col("nt") * F.col("nt")).alias("tok_ssq"),
+        )
+    )
+    nd = F.col("n_docs").cast("double")
+    var = (
+        F.col("tok_ssq").cast("double")
+        - F.col("tok_sum").cast("double") * F.col("tok_sum").cast("double") / nd
+    ) / nd
+    scored = per.withColumn(
+        "sigma_micro",
+        F.floor(F.sqrt(var) * F.lit(1e6) + F.lit(0.5)).cast("long"),
+    ).withColumn(
+        "score_units", F.col("n_docs") * F.col("sigma_micro")
+    )
+    # totals as a 1-row partial+final aggregate broadcast back onto the
+    # source rows (the zorder min/max pattern) — a global Window here
+    # would funnel the rows through a raw SinglePartition exchange
+    totals = scored.agg(
+        F.sum("score_units").alias("total_units"),
+        F.sum("n_docs").alias("total_docs"),
+    )
+    budget = F.lit(float(_NEYMAN_BUDGET))
+    return scored.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "tok_sum",
+        "tok_ssq",
+        "sigma_micro",
+        F.floor(
+            budget
+            * (
+                F.col("score_units").cast("double")
+                / F.col("total_units").cast("double")
+            )
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("neyman_n"),
+        F.floor(
+            budget
+            * (
+                F.col("n_docs").cast("double")
+                / F.col("total_docs").cast("double")
+            )
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("proportional_n"),
+    )

@@ -809,3 +809,79 @@ def orders_orc_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_date"
         ),
     )
+
+
+@register(
+    "orders_xml_roundtrip_digest",
+    tags=("reference", "file-source", "sink", "format"),
+    description="XML format lane (built into Spark 4 — SPARK-44265): orders "
+    "written as XML rows and read back with an explicit schema, "
+    "per-priority digest value-checked against the parquet original; "
+    "money pre-quantized to integer cents and dates to ISO strings "
+    "before the write so the text roundtrip is exact by construction",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS total_cents,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key,
+               CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_date,
+               CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_date
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def orders_xml_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-format twin of ``orders_orc_roundtrip_digest``: XML is
+    the interchange format enterprise feeds still arrive in, built into
+    Spark 4 (no external package). Exactness discipline for a TEXT
+    roundtrip: quantize money to integer cents and render dates as ISO
+    strings BEFORE the write, so every value crossing the
+    serialize/parse boundary is integer-or-string-exact (never a
+    double-repr parse); read back with an EXPLICIT schema (inference is
+    a planning convenience, not a contract). Digest identical to the
+    ORC row's, oracled against the parquet original."""
+    import os
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_xml_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    staged = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("odate"),
+    )
+    staged.write.mode("overwrite").format("xml").option(
+        "rootTag", "orders"
+    ).option("rowTag", "order").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(
+            "o_orderpriority string, o_orderkey long, cents long, "
+            "odate string"
+        )
+        .load(path)
+    )
+    # min/max run on DATE (int buffer — stays on the HashAggregate fast
+    # path; a string min/max buffer would demote the whole aggregate to
+    # SortAggregate) and format back to ISO after the agg
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.date_format(F.min(F.to_date("odate")), "yyyy-MM-dd").alias(
+            "min_date"
+        ),
+        F.date_format(F.max(F.to_date("odate")), "yyyy-MM-dd").alias(
+            "max_date"
+        ),
+    )

@@ -893,3 +893,113 @@ def event_value_quantile_approx_audit(
             ).alias(f"p{q}_ok")
         )
     return audit.select(*cols)
+
+
+_CMP_KMV_K = 64
+
+
+def _kmv_est_sql(k: int) -> str:
+    """Subquery: (event_type, estimate) — the kmv_distinct_users oracle's
+    estimate expression (shared construction, plans/curation.py)."""
+    return f"""
+        SELECT event_type,
+               coalesce(
+                   floor({k - 1} * 16777216.0
+                         / max(CASE WHEN rn = {k} THEN h END)
+                         * 100 + 0.5) / 100,
+                   CAST(count(*) AS DOUBLE)) AS estimate
+        FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h)
+                       AS rn
+            FROM (
+                SELECT DISTINCT event_type,
+                       ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                          1, 6))::BIGINT AS h
+                FROM events
+            )
+        )
+        GROUP BY event_type
+    """
+
+
+@register(
+    "distinct_users_sketch_comparison",
+    tags=("sketch", "events", "quality"),
+    description="The distinct-count sketch family on ONE axis: per event "
+    "type, exact COUNT(DISTINCT) vs the KMV(64) estimate vs the portable "
+    "HLL(p=8) estimate, each with its signed error in basis points — the "
+    "accuracy-vs-state trade (exact: O(n) state, KMV: 64 hashes, HLL: 256 "
+    "registers) rendered as data; both sketch replays share their "
+    "attested single-method constructions",
+    oracle=f"""
+        WITH exacts AS (
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n
+            FROM events GROUP BY event_type
+        ),
+        kmv AS ({_kmv_est_sql(_CMP_KMV_K)}),
+        hll AS (
+            SELECT event_type, hll_estimate AS estimate
+            FROM ({_hll_oracle_sql()})
+        ),
+        m AS (
+            SELECT event_type, 'exact' AS method,
+                   CAST(exact_n AS DOUBLE) AS estimate FROM exacts
+            UNION ALL
+            SELECT event_type, 'kmv' AS method, estimate FROM kmv
+            UNION ALL
+            SELECT event_type, 'hll' AS method, estimate FROM hll
+        )
+        SELECT m.event_type, m.method, m.estimate,
+               CAST(floor((m.estimate / CAST(e.exact_n AS DOUBLE) - 1.0)
+                          * 10000 + 0.5) AS BIGINT) AS err_bp
+        FROM m JOIN exacts e ON m.event_type = e.event_type
+    """,
+)
+def distinct_users_sketch_comparison(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Composes the two attested sketch constructions
+    (operators/sketches.py:kmv_distinct / hll_distinct) with the exact
+    baseline into one long-form comparison — the selection table an
+    engineer reads before picking the distinct-count strategy for a
+    100 TB column (exact needs a full shuffle of distinct keys; KMV
+    ships 64 hashes per group; HLL ships 256 registers and merges
+    losslessly). Error in basis points via one pinned division chain on
+    the already-grid-quantized estimates."""
+    from data_algorithms_with_pyspark_spark.operators.sketches import (
+        hll_distinct,
+        kmv_distinct,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    exacts = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_n")
+    )
+    kmv = kmv_distinct(
+        events, "event_type", "user_id", k=_CMP_KMV_K
+    ).select("event_type", F.col("kmv_estimate").alias("estimate"))
+    hll = hll_distinct(events, "event_type", "user_id").select(
+        "event_type", F.col("hll_estimate").alias("estimate")
+    )
+    exact_m = exacts.select(
+        "event_type", F.col("exact_n").cast("double").alias("estimate")
+    )
+    m = (
+        exact_m.withColumn("method", F.lit("exact"))
+        .unionByName(kmv.withColumn("method", F.lit("kmv")))
+        .unionByName(hll.withColumn("method", F.lit("hll")))
+    )
+    err = (
+        F.floor(
+            (F.col("estimate") / F.col("exact_n").cast("double") - F.lit(1.0))
+            * F.lit(10000)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("err_bp")
+    )
+    return m.join(exacts, on="event_type").select(
+        "event_type", "method", "estimate", err
+    )

@@ -52,6 +52,15 @@ _ALLOWED: dict[str, set[str]] = {
     # instead — there the input is the small side and lint cleanliness
     # costs nothing material.
     "latest_event_per_user": {"SortAggregate"},
+    # non-binary COLLATION grouping keys cannot hash-aggregate: equality
+    # under UTF8_LCASE is not binary equality, so UnsafeRow hashing is
+    # unsound and Spark plans the distinct-expand over the collated key
+    # as SortAggregate BY DESIGN (engine behavior, not a plan bug). The
+    # row exists to attest collation semantics AND this cost: its own
+    # output proves lower()-normalized counts (hash-aggregable) are
+    # numerically identical — the rewrite you ship when the column is
+    # hot at 100 TB.
+    "part_collation_distinct_audit": {"SortAggregate"},
 }
 
 _FORBIDDEN = (
