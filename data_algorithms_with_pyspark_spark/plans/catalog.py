@@ -97,6 +97,7 @@ _SAMPLE_PRIORITY = (
     "part_collation_distinct_audit",
     "corpus_neyman_sample_allocation",
     "distinct_users_sketch_comparison",
+    "events_session_window_builtin",
     "wordpiece_learned_merges",
     "wordpiece_greedy_segmentation",
     "minhash_lsh_recall_report",

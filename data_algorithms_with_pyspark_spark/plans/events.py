@@ -1513,3 +1513,78 @@ def orders_priority_year_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out.orderBy("o_year")
+
+
+@register(
+    "events_session_window_builtin",
+    tags=("events", "window", "api"),
+    description="The BUILT-IN session_window operator in BATCH mode (30 min "
+    "gap): per-user session ordinal, event count, integer-cent value sum, "
+    "and span in integer micros — the oracle replays Spark's merge rule "
+    "exactly (same session iff the gap to the previous event is STRICTLY "
+    "below gapDuration; window end = last event + gap), the boundary that "
+    "differs from the hand-rolled sessionizer's '> gap starts new' rule",
+    oracle="""
+        WITH m AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                >= 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, event_id, ts, value,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM m
+        )
+        SELECT user_id,
+               CAST(sid AS BIGINT) AS session_ord,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS value_cents,
+               CAST(max(epoch_us(ts)) - min(epoch_us(ts)) + 1800000000
+                   AS BIGINT) AS span_us
+        FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_window_builtin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``F.session_window`` is the streaming sessionizer
+    (streaming_session_windows_parity drives it as a StreamingQuery);
+    this row attests its BATCH semantics against an islands oracle —
+    notably the merge boundary: session_window merges an event iff its
+    window [ts, ts+gap) OVERLAPS the session's [first, last+gap), i.e.
+    strictly-less-than-gap, where the hand-rolled ``sessionize`` starts
+    a new session only when the gap EXCEEDS the threshold. On
+    microsecond data the two disagree exactly at gap == 30:00.000000 —
+    the class of boundary the alt-draw sweeps exist to catch. Outputs
+    are timezone-free (ordinals, counts, integer cents, micro spans;
+    the absolute window bounds never escape). One shuffle on user_id;
+    session state is the aggregation buffer."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    sess = events.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "value_cents"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("sw.start"))
+    return sess.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_ord"),
+        "n_events",
+        "value_cents",
+        (
+            F.unix_micros(F.col("sw.end")) - F.unix_micros(F.col("sw.start"))
+        ).alias("span_us"),
+    )
