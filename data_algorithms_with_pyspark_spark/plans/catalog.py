@@ -98,6 +98,8 @@ _SAMPLE_PRIORITY = (
     "corpus_neyman_sample_allocation",
     "distinct_users_sketch_comparison",
     "events_session_window_builtin",
+    "part_type_listagg",
+    "nation_top_customer_lateral",
     "wordpiece_learned_merges",
     "wordpiece_greedy_segmentation",
     "minhash_lsh_recall_report",

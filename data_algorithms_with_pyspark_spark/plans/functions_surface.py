@@ -422,3 +422,90 @@ def part_collation_distinct_audit(
             "n_distinct_lcase"
         ),
     )
+
+
+@register(
+    "part_type_listagg",
+    tags=("functions", "sql", "api"),
+    description="SQL:2016 LISTAGG (Spark 4, SPARK-42746): per-brand sorted "
+    "distinct type roster as one delimited string — DISTINCT + "
+    "WITHIN GROUP (ORDER BY) makes the text deterministic under any "
+    "partitioning; plus the distinct count as the cheap cross-check",
+    oracle="""
+        SELECT p_brand,
+               CAST(count(DISTINCT p_type) AS BIGINT) AS n_types,
+               string_agg(DISTINCT p_type, ','
+                          ORDER BY p_type) AS types
+        FROM part GROUP BY p_brand
+    """,
+)
+def part_type_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg only enters the catalog in its DETERMINISTIC form —
+    DISTINCT dedups, WITHIN GROUP (ORDER BY) pins element order — since
+    an unordered listagg is run-order-dependent (the same reason
+    collect_list never appears in catalog output schemas). The rendered
+    roster is bounded by the type vocabulary, not the row count,
+    so the aggregation buffer stays small at any scale."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("la_part")
+    # listagg(DISTINCT x) WITHIN GROUP hits a ClassCastException in the
+    # plain (non-AQE) session on Spark 4.1 (AttributeReference vs
+    # SortOrder in the distinct-agg rewrite), so dedup happens in a
+    # subquery and listagg itself stays non-DISTINCT — identical result
+    return spark.sql(
+        """
+        SELECT p_brand,
+               count(p_type) AS n_types,
+               listagg(p_type, ',') WITHIN GROUP (ORDER BY p_type) AS types
+        FROM (SELECT DISTINCT p_brand, p_type FROM la_part)
+        GROUP BY p_brand
+        """
+    )
+
+
+@register(
+    "nation_top_customer_lateral",
+    tags=("functions", "sql", "api"),
+    description="Correlated LATERAL subquery (Spark 4 SQL surface): per "
+    "nation, the top customer by integer-cent balance (ties by key) via "
+    "LATERAL ... ORDER BY ... LIMIT 1 — the per-row-subquery form of the "
+    "top-k-per-group pattern the window rows already attest",
+    oracle="""
+        SELECT n.n_name AS nation_name, t.c_custkey, t.bal_cents
+        FROM nation n, LATERAL (
+            SELECT c.c_custkey,
+                   CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS bal_cents
+            FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY floor(c.c_acctbal * 100 + 0.5) DESC, c.c_custkey
+            LIMIT 1
+        ) t
+    """,
+)
+def nation_top_customer_lateral(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Catalyst decorrelates the LATERAL LIMIT-1 subquery into a
+    window/aggregate over one join — the declared per-row subquery never
+    executes per row (25 nations x a customer scan would be the naive
+    plan); semantically identical SQL runs on both engines. Nations
+    with no customers are dropped (LATERAL inner join), matching the
+    oracle."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("lt_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "lt_customer"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation_name, t.c_custkey, t.bal_cents
+        FROM lt_nation n, LATERAL (
+            SELECT c.c_custkey,
+                   CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS bal_cents
+            FROM lt_customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY floor(c.c_acctbal * 100 + 0.5) DESC, c.c_custkey
+            LIMIT 1
+        ) t
+        """
+    )
