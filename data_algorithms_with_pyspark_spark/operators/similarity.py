@@ -16,8 +16,10 @@ All vector math is JVM-side (functions/vectors.py). Deterministic seeds.
 
 from __future__ import annotations
 
+import math
 import random
 from collections.abc import Callable
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -34,6 +36,8 @@ from data_algorithms_with_pyspark_spark.functions.vectors import (
 )
 
 __all__ = [
+    "LshPlan",
+    "choose_lsh_params",
     "cosine_topk",
     "hard_negatives",
     "knn_join",
@@ -183,6 +187,79 @@ def lsh_near_dup_pairs(
         .where(F.col("id_1") < F.col("id_2"))
         .select("id_1", "id_2", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+@dataclass(frozen=True)
+class LshPlan:
+    """Auto-sized banded-LSH configuration (see :func:`choose_lsh_params`)."""
+
+    n: int  # corpus-size estimate the plan was derived from
+    bands: int
+    band_width: int  # bits per band
+    n_planes: int  # band_width * bands — pass to srp_banded_near_dup_pairs
+    max_bucket: int  # recommended degeneracy cap (None-able by callers)
+
+
+def choose_lsh_params(
+    n: int,
+    dim: int | None = None,
+    *,
+    bands: int = 4,
+    candidates_per_item: int = 200,
+) -> LshPlan:
+    """Size the banded-LSH knobs from a corpus-size estimate — the
+    planning step the sf10 (100x) audit proved cannot stay a static
+    config: SRP band buckets number 2^width per band, so with width
+    FIXED the expected candidate volume bands*n^2/2^(width+1) is
+    quadratic in corpus size. At 8-bit bands that was invisible at
+    every draw up to sf1 (20k vectors, ~3M candidates) and fatal at
+    sf10 (200k vectors, ~3.4e8 candidate id-pairs whose verify join
+    spilled ~270 GB — ENOSPC), while 16-bit bands ran the same draw in
+    10.0 s. The knob must track n.
+
+    Derivation (all integer, deterministic):
+
+    * ``band_width`` — the smallest width keeping expected candidates
+      ``bands * n^2 / 2^(width+1)`` under ``candidates_per_item * n``
+      (linear in the corpus, the only budget shape that survives a
+      100x), i.e. ``2^(width+1) >= bands * n / candidates_per_item`` —
+      then rounded UP to a byte multiple (8/16/24/32: power-of-two
+      bucket spaces, and the two regimes actually measured at the
+      audit) and clamped to [8, 32]. The default budget of 200
+      candidates/item is calibrated so every oracle-attested draw
+      (500-20k vectors) keeps the attested 8-bit width — re-attested
+      green post-wiring — and the sf10 draw (200k) gets the measured
+      16-bit fix; the flip sits at n > 25_600 (= budget * 2^9 / bands).
+    * ``max_bucket`` — the recommended degeneracy cap for corpora that
+      outgrow even the chosen width (hot near-identical clusters):
+      8x the expected Poisson bucket occupancy ``n / 2^width``, floored
+      at 16 — wide enough that healthy buckets never trip it, tight
+      enough to bound a degenerate bucket's n^2 blowup. Callers with an
+      oracle-attested fixed cap (the guarded catalog rows) keep their
+      own; this is the default for new deployments.
+
+    ``n`` comes from a cheap estimate — a parquet-metadata ``count()``
+    or any distinct-count sketch; being off by 2x moves the width by at
+    most one byte-step. ``dim`` is accepted for signature stability
+    (candidate volume does not depend on it; verification cost does).
+    """
+    if n < 1:
+        n = 1
+    if bands < 1:
+        raise ValueError("bands must be >= 1")
+    if candidates_per_item < 1:
+        raise ValueError("candidates_per_item must be >= 1")
+    need = bands * n / candidates_per_item  # required 2^(width+1)
+    w_min = max(1, math.ceil(math.log2(need)) - 1) if need > 1 else 1
+    width = min(32, max(8, 8 * math.ceil(w_min / 8)))
+    occupancy = math.ceil(n / (1 << width))
+    return LshPlan(
+        n=n,
+        bands=bands,
+        band_width=width,
+        n_planes=width * bands,
+        max_bucket=max(16, 8 * occupancy),
     )
 
 

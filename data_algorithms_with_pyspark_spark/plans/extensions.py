@@ -36,6 +36,7 @@ from data_algorithms_with_pyspark_spark.operators.multimodal import (
     with_binary_payload,
 )
 from data_algorithms_with_pyspark_spark.operators.similarity import (
+    choose_lsh_params,
     cosine_topk,
     random_hyperplanes,
     srp_banded_near_dup_pairs,
@@ -3580,14 +3581,25 @@ def srp_guarded_cosine_near_dups(
     cluster pairs are suppressed unless another (small) band bucket
     catches them — the cross-engine compare checks the guard's exact
     semantics there; on draws with balanced buckets the output equals
-    the uncapped row's."""
+    the uncapped row's.
+
+    Band WIDTH comes from ``choose_lsh_params`` over a parquet-metadata
+    ``count()`` — the sf10 lesson productized (a static 8-bit width goes
+    quadratic at 200k vectors; the planner's budget keeps every
+    oracle-attested draw, <= 20k vectors, at the attested 32/4 config —
+    ``tests/test_similarity_planning.py`` pins that invariance — and
+    picks the measured 16-bit fix beyond the flip at n > 25_600, where
+    this fixed oracle no longer applies). The cap stays this row's
+    attested constant; the planner's recommended cap is for deployments
+    without an attested config."""
     emb = load_table(spark, sf_dir, "embeddings")
+    plan = choose_lsh_params(emb.count(), dim=_SRP_DIM, bands=_SRP_BANDS)
     return srp_banded_near_dup_pairs(
         emb,
         dim=_SRP_DIM,
         threshold=_COSINE_DUP_THRESHOLD,
-        n_planes=_SRP_N_PLANES,
-        bands=_SRP_BANDS,
+        n_planes=plan.n_planes,
+        bands=plan.bands,
         max_bucket=_SRP_GUARD_BUCKET,
     )
 

@@ -328,10 +328,11 @@ def orders_observed_pass_metrics(
     action. All observed metrics are exact-integer (order-free cents,
     extents, counts), so the report is deterministic under any
     partitioning. The one-row report IS the observation dict."""
-    import os
-    import tempfile
+    import shutil
 
     from pyspark.sql import Observation
+
+    from data_algorithms_with_pyspark_spark.scratch import scratch_dir
 
     orders = load_table(spark, sf_dir, "orders")
     obs = Observation("orders_pass")
@@ -347,12 +348,13 @@ def orders_observed_pass_metrics(
             "n_null_custkey"
         ),
     )
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_obs_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    out = scratch_dir("obs", sf_dir)
     observed.write.mode("overwrite").parquet(out)  # the real pass
     m = obs.get
+    # The write is eager and the result below is driver-side — the
+    # scratch parquet is dead the moment the observation payload is
+    # read, so reclaim it now rather than at process exit.
+    shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(
         [
             (

@@ -15,11 +15,11 @@ physically happen.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_algorithms_with_pyspark_spark.scratch import scratch_mkdtemp
 from data_algorithms_with_pyspark_spark.plans.catalog import register
 from data_algorithms_with_pyspark_spark.sources.readers import load_table
 
@@ -46,8 +46,8 @@ def _build(spark: SparkSession, sf_dir: str):
         partition_file_stats,
     )
 
-    frag = tempfile.mkdtemp(prefix="orders_fragmented_")
-    comp = tempfile.mkdtemp(prefix="orders_compacted_")
+    frag = scratch_mkdtemp(prefix="orders_fragmented_")
+    comp = scratch_mkdtemp(prefix="orders_compacted_")
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "o_year", F.year("o_orderdate").cast("long")
     )
@@ -237,7 +237,7 @@ def _build_evolved(spark: SparkSession, sf_dir: str) -> str:
     cached = _EVOLVE_CACHE.get(key)
     if cached is not None and os.path.isdir(cached):
         return cached
-    out = tempfile.mkdtemp(prefix="orders_evolved_")
+    out = scratch_mkdtemp(prefix="orders_evolved_")
     orders = load_table(spark, sf_dir, "orders")
     # Day-1 ingest: the original schema (no cents column).
     orders.where(F.col("o_orderkey") % 2 == 0).select(

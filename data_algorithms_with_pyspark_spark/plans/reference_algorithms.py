@@ -626,16 +626,11 @@ def fasta_base_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table (the file content is a pure function of it), so this
     is the one catalog query that value-checks the text-file SOURCE, not
     just the transform."""
-    import os
-    import tempfile
-
+    from data_algorithms_with_pyspark_spark.scratch import scratch_dir
     from data_algorithms_with_pyspark_spark.sources.readers import read_text
 
     docs = load_table(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_fasta_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = scratch_dir("fasta", sf_dir)
     headers = docs.select(
         F.concat(F.lit(">doc_"), F.col("doc_id").cast("string")).alias("value")
     )
@@ -699,19 +694,13 @@ def fasta_pyds_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``documents`` (the file content is a pure function of it), so a
     wrap/assembly/association/commit bug in either half shows up as a
     value mismatch, not just a row-count drift."""
-    import os
-    import tempfile
-
+    from data_algorithms_with_pyspark_spark.scratch import scratch_dir
     from data_algorithms_with_pyspark_spark.sources.pyds import (
         register_fasta_source,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_fastapyds_"
-        f"{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = scratch_dir("fastapyds", sf_dir)
     register_fasta_source(spark)
     docs.select(
         F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias(
@@ -785,14 +774,10 @@ def orders_orc_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     casts to DATE on both engines). At scale this is the
     format-migration audit you run before switching a 100 TB table's
     storage format."""
-    import os
-    import tempfile
+    from data_algorithms_with_pyspark_spark.scratch import scratch_dir
 
     orders = load_table(spark, sf_dir, "orders")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_orc_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = scratch_dir("orc", sf_dir)
     orders.write.mode("overwrite").partitionBy("o_orderpriority").orc(path)
     back = spark.read.orc(path)
     return back.groupBy("o_orderpriority").agg(
@@ -842,14 +827,10 @@ def orders_xml_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-repr parse); read back with an EXPLICIT schema (inference is
     a planning convenience, not a contract). Digest identical to the
     ORC row's, oracled against the parquet original."""
-    import os
-    import tempfile
+    from data_algorithms_with_pyspark_spark.scratch import scratch_dir
 
     orders = load_table(spark, sf_dir, "orders")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_xml_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = scratch_dir("xml", sf_dir)
     staged = orders.select(
         "o_orderpriority",
         "o_orderkey",

@@ -26,11 +26,11 @@ from __future__ import annotations
 
 import itertools
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_algorithms_with_pyspark_spark.scratch import scratch_mkdtemp
 from data_algorithms_with_pyspark_spark.plans.catalog import register
 from data_algorithms_with_pyspark_spark.sources.readers import load_table
 
@@ -75,7 +75,7 @@ def _events_stream_source(spark: SparkSession, sf_dir: str) -> str:
     path = _SRC_CACHE.get(key)
     if path is not None and os.path.isdir(path):
         return path
-    out = tempfile.mkdtemp(prefix="events_stream_src_")
+    out = scratch_mkdtemp(prefix="events_stream_src_")
     # 4 files -> 4 availableNow micro-batches at maxFilesPerTrigger=1:
     # the aggregation state must survive and merge across batches for the
     # parity to hold, which is exactly what this query attests.
@@ -115,7 +115,7 @@ def _events_stream_source_ordered(spark: SparkSession, sf_dir: str) -> str:
     path = _ORDERED_SRC_CACHE.get(key)
     if path is not None and os.path.isdir(path):
         return path
-    out = tempfile.mkdtemp(prefix="events_stream_ordered_")
+    out = scratch_mkdtemp(prefix="events_stream_ordered_")
     load_table(spark, sf_dir, "events").repartitionByRange(
         4, F.col("ts")
     ).write.mode("overwrite").parquet(out)
@@ -582,7 +582,7 @@ def streaming_cdc_sink_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         image(key % 5 == 0, price + 250, "U", 2),
         image(key % 11 == 0, price, "D", 3),
     ]
-    root = tempfile.mkdtemp(prefix="cdc_stream_")
+    root = scratch_mkdtemp(prefix="cdc_stream_")
     src = os.path.join(root, "src")
     os.makedirs(src)
     for i, b in enumerate(batches, 1):
@@ -648,13 +648,13 @@ def _write_ts_split_files(
     import time as _time
 
     events = load_table(spark, sf_dir, "events")
-    staging = tempfile.mkdtemp(prefix="events_split_stage_")
+    staging = scratch_mkdtemp(prefix="events_split_stage_")
     events.repartitionByRange(n_files, F.col("ts")).write.mode(
         "overwrite"
     ).parquet(staging)
     parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
     max_ts = events.agg(F.max("ts").alias("m")).collect()[0]["m"]
-    flush_stage = tempfile.mkdtemp(prefix="events_flush_stage_")
+    flush_stage = scratch_mkdtemp(prefix="events_flush_stage_")
     from datetime import timedelta
 
     from data_algorithms_with_pyspark_spark.schemas import TABLE_SCHEMAS
@@ -695,7 +695,7 @@ def _events_stream_source_flushed(spark: SparkSession, sf_dir: str) -> str:
     path = _FLUSHED_SRC_CACHE.get(key)
     if path is not None and os.path.isdir(path):
         return path
-    out = tempfile.mkdtemp(prefix="events_stream_flushed_")
+    out = scratch_mkdtemp(prefix="events_stream_flushed_")
     _write_ts_split_files(spark, sf_dir, out)
     _FLUSHED_SRC_CACHE[key] = out
     return out
@@ -913,9 +913,9 @@ def _events_stream_source_redelivered(spark: SparkSession, sf_dir: str) -> str:
     path = _REDELIVERED_SRC_CACHE.get(key)
     if path is not None and os.path.isdir(path):
         return path
-    staging = tempfile.mkdtemp(prefix="events_redeliver_stage_")
+    staging = scratch_mkdtemp(prefix="events_redeliver_stage_")
     n_real = _write_ts_split_files(spark, sf_dir, staging)
-    out = tempfile.mkdtemp(prefix="events_stream_redelivered_")
+    out = scratch_mkdtemp(prefix="events_stream_redelivered_")
     import glob
     import time as _time
 
@@ -983,7 +983,7 @@ def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole table in driver heap (observed OOM at sf1). A parquet file
     # sink is the shape you'd run at scale: executor-side writes, driver
     # holds only the commit log.
-    root = tempfile.mkdtemp(prefix="dedup_parity_sink_")
+    root = scratch_mkdtemp(prefix="dedup_parity_sink_")
     sink_dir = os.path.join(root, "out")
     q = (
         deduped.writeStream.outputMode("append")
@@ -1049,7 +1049,7 @@ def streaming_restart_recovery_parity(
 
     from data_algorithms_with_pyspark_spark.schemas import TABLE_SCHEMAS
 
-    root = tempfile.mkdtemp(prefix="restart_parity_")
+    root = scratch_mkdtemp(prefix="restart_parity_")
     all_files = os.path.join(root, "all")
     n_real = _write_ts_split_files(spark, sf_dir, all_files)
     src = os.path.join(root, "src")

@@ -66,6 +66,24 @@ class _FastaReader(DataSourceReader):
         p = self._path
         if os.path.isfile(p):
             return [_FastaFilePartition(p)]
+        # Committed-files-only read: the sink's commit() writes a
+        # _SUCCESS manifest naming exactly the files whose tasks
+        # returned a commit message. A failed or speculative task
+        # attempt never reaches commit (so abort() cannot know its
+        # file); a directory listing would silently include its
+        # partial/duplicate output. A NON-EMPTY manifest — not the
+        # listing — is therefore the source of truth; an empty one is
+        # Hadoop's zero-byte marker convention (plain .text() writes),
+        # where the listing remains the only record of what committed.
+        manifest = os.path.join(p, "_SUCCESS")
+        if os.path.isfile(manifest):
+            with open(manifest, encoding="utf-8") as fh:
+                names = [ln.strip() for ln in fh if ln.strip()]
+            if names:
+                return [
+                    _FastaFilePartition(os.path.join(p, f))
+                    for f in sorted(names)
+                ]
         files = sorted(
             os.path.join(p, f)
             for f in os.listdir(p)
@@ -124,8 +142,13 @@ class _FastaCommitMessage(WriterCommitMessage):
 class _FastaArrowWriter(DataSourceArrowWriter):
     """One FASTA file per partition, written from Arrow batches; the
     standard two-phase protocol: tasks emit commit messages naming their
-    file, the driver's ``commit()`` finalizes (drops files an overwrite
-    superseded, writes ``_SUCCESS``), ``abort()`` removes partial output.
+    file, the driver's ``commit()`` finalizes — it writes a ``_SUCCESS``
+    manifest naming exactly the committed files (the reader trusts the
+    manifest over the directory listing) and sweeps every other part-*
+    file, which covers both overwrite-superseded files AND orphans from
+    failed/speculative attempts that never returned a commit message
+    (``abort()`` cannot know their names). In append mode the prior
+    manifest's files are retained and merged into the new manifest.
     Assumes driver and executors share one filesystem (true in local
     mode and on any shared-POSIX deployment; an object-store deployment
     would stage to task-temp paths and rename in commit — same protocol,
@@ -140,11 +163,19 @@ class _FastaArrowWriter(DataSourceArrowWriter):
         if self._wrap <= 0:
             raise ValueError("fasta sink 'wrap' must be positive")
         os.makedirs(path, exist_ok=True)
-        self._stale = (
-            sorted(f for f in os.listdir(path) if f.startswith("part-"))
-            if overwrite
-            else []
-        )
+        # Files committed by PRIOR writes, retained under append mode.
+        # Prefer the manifest (committed-only truth); fall back to the
+        # listing for directories produced by other writers.
+        self._keep: set[str] = set()
+        if not overwrite:
+            manifest = os.path.join(path, "_SUCCESS")
+            if os.path.isfile(manifest):
+                with open(manifest, encoding="utf-8") as fh:
+                    self._keep = {ln.strip() for ln in fh if ln.strip()}
+            else:
+                self._keep = {
+                    f for f in os.listdir(path) if f.startswith("part-")
+                }
 
     def write(self, iterator) -> _FastaCommitMessage:
         import uuid
@@ -168,9 +199,16 @@ class _FastaArrowWriter(DataSourceArrowWriter):
         return _FastaCommitMessage(file=fname, n_records=n)
 
     def commit(self, messages) -> None:
-        fresh = {m.file for m in messages if m is not None}
-        for f in self._stale:
-            if f not in fresh:
+        # Finalize = keep exactly the committed files: this write's
+        # commit messages plus (append mode) the prior manifest's files.
+        # Sweeping EVERY other part-* reclaims both overwrite-superseded
+        # files and orphans from failed/speculative attempts that never
+        # produced a message — abort() cannot know their names, and the
+        # reader's manifest rule already excludes them from read-back;
+        # this removes the bytes.
+        keep = {m.file for m in messages if m is not None} | self._keep
+        for f in os.listdir(self._path):
+            if f.startswith("part-") and f not in keep:
                 try:
                     os.remove(os.path.join(self._path, f))
                 except FileNotFoundError:
@@ -178,7 +216,7 @@ class _FastaArrowWriter(DataSourceArrowWriter):
         with open(
             os.path.join(self._path, "_SUCCESS"), "w", encoding="utf-8"
         ) as fh:
-            fh.write("\n".join(sorted(fresh)) + "\n")
+            fh.write("\n".join(sorted(keep)) + "\n")
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -270,10 +308,17 @@ class _EventsReplayStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         lo, hi = int(start["chunk"]), int(end["chunk"])
-        # a checkpoint restart may hand back an offset range this fresh
-        # reader instance has not admitted yet — serve it regardless
-        # (offsets are durable, reader admission state is not)
-        self._pos = max(self._pos, hi)
+        # Offsets are durable (checkpoint log); this reader's admission
+        # state (_pos) is not — a restart builds a FRESH reader at
+        # _pos=0 and then hands back offsets from the log. Every
+        # engine-handed offset therefore FLOORS _pos (both ends: after a
+        # committed-batch restart the engine's start exceeds anything a
+        # fresh reader has admitted, and without the lo clamp the next
+        # latestOffset would go backward — the offset log would regress
+        # and later forward batches would re-serve committed chunks as
+        # duplicates). A backward range (hi < lo) can only be a plan the
+        # engine made against a stale latestOffset; serve it as empty.
+        self._pos = max(self._pos, lo, hi)
         return [_ChunkPartition(self._files[i]) for i in range(lo, hi)]
 
     def read(self, partition: _ChunkPartition):
@@ -285,7 +330,14 @@ class _EventsReplayStreamReader(DataSourceStreamReader):
         yield from t.to_batches()
 
     def commit(self, end: dict) -> None:
-        pass  # chunks are immutable; nothing to release
+        # Chunks are immutable — nothing to release — but the committed
+        # offset must still floor the admission cursor: on a restart
+        # where the last batch WAS committed, the engine may replay
+        # commit(end) to a fresh reader whose _pos is 0, and without
+        # this clamp latestOffset would return an offset BELOW the
+        # committed one (backward batch, then duplicate re-admission of
+        # committed chunks — duplicates folded into restored state).
+        self._pos = max(self._pos, int(end["chunk"]))
 
 
 class EventsReplayDataSource(DataSource):

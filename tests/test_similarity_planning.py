@@ -1,0 +1,84 @@
+"""choose_lsh_params — the auto-sizing the sf10 audit proved is
+scale-critical (VERDICT r9 #3): fixed 8-bit SRP bands go quadratic at
+200k vectors (3.4e8 candidates, ENOSPC) while 16-bit runs in 10 s.
+These tests pin BOTH measured regimes and the invariance that keeps
+every oracle-attested draw on the attested config."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_algorithms_with_pyspark_spark.operators.similarity import (
+    choose_lsh_params,
+)
+
+
+def test_attested_draws_keep_the_attested_config():
+    """Every oracle-attested embeddings draw (sf0.001/sf0.01: 500,
+    sf0.1/alt2/skew: 2000, sf1: 20000) must resolve to the fixed config
+    the catalog oracles were generated with (32 planes / 4 bands / 8-bit
+    width) — otherwise wiring the planner into the guarded row would
+    silently break its cross-engine compare."""
+    for n in (500, 2000, 20000):
+        p = choose_lsh_params(n, dim=64)
+        assert (p.n_planes, p.bands, p.band_width) == (32, 4, 8), (n, p)
+
+
+def test_sf10_regime_picks_the_measured_16bit_fix():
+    """200k vectors (the sf10 draw that ENOSPC'd at 8-bit) must land on
+    the 16-bit width the audit measured as correct-and-fast."""
+    p = choose_lsh_params(200_000, dim=64)
+    assert p.band_width == 16
+    assert p.n_planes == 64
+    assert p.bands == 4
+
+
+def test_width_flip_boundary():
+    """The 8->16 flip sits at n > budget * 2^9 / bands = 25_600 for the
+    defaults — documented so an operator knows which side a corpus is on."""
+    assert choose_lsh_params(25_600).band_width == 8
+    assert choose_lsh_params(25_601).band_width == 16
+
+
+def test_width_monotone_and_candidate_budget_held():
+    """Width never decreases with n, and the expected candidate volume
+    bands*n^2/2^(w+1) stays within the per-item budget at every scale —
+    the linear-cost invariant that makes the 100x question a non-event."""
+    budget = 200
+    prev_w = 0
+    for exp in range(2, 11):
+        n = 10**exp
+        p = choose_lsh_params(n, bands=4, candidates_per_item=budget)
+        assert p.band_width >= prev_w
+        prev_w = p.band_width
+        if p.band_width < 32:  # the clamp ceiling is allowed to saturate
+            expected = 4 * n * n / 2 ** (p.band_width + 1)
+            assert expected <= budget * n, (n, p)
+
+
+def test_max_bucket_recommendation_tracks_occupancy():
+    """Cap = max(16, 8 * ceil(n / 2^w)): floors at 16 on sparse draws
+    (the attested guard constant), scales with expected occupancy."""
+    assert choose_lsh_params(500).max_bucket == 16
+    assert choose_lsh_params(2000).max_bucket == 64  # 8 * ceil(7.8)
+    assert choose_lsh_params(200_000).max_bucket == 32  # 16-bit, occ ~3
+    big = choose_lsh_params(2_000_000)
+    assert big.max_bucket == 8 * -(-2_000_000 // (1 << big.band_width))
+
+
+def test_degenerate_and_invalid_inputs():
+    assert choose_lsh_params(0).band_width == 8  # clamped to n=1
+    with pytest.raises(ValueError):
+        choose_lsh_params(100, bands=0)
+    with pytest.raises(ValueError):
+        choose_lsh_params(100, candidates_per_item=0)
+
+
+def test_n_planes_always_divides_into_bands():
+    """srp_banded_near_dup_pairs requires n_planes % bands == 0 — the
+    planner must satisfy it for any bands choice."""
+    for bands in (1, 2, 4, 8):
+        for n in (100, 30_000, 5_000_000):
+            p = choose_lsh_params(n, bands=bands)
+            assert p.n_planes == p.band_width * bands
+            assert p.n_planes % bands == 0

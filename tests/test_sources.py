@@ -513,3 +513,104 @@ def test_fasta_pyds_writer_rejects_wrong_schema(spark, tmp_path):
         df.write.format("fasta").mode("overwrite").option(
             "path", str(tmp_path / "bad")
         ).save()
+
+
+def test_fasta_pyds_reader_trusts_manifest_over_listing(spark, tmp_path):
+    """A part- file NOT named by a non-empty _SUCCESS manifest (an
+    orphan from a failed/speculative attempt, which never returns a
+    commit message) is excluded from read-back."""
+    from data_algorithms_with_pyspark_spark.sources.pyds import (
+        register_fasta_source,
+    )
+
+    d = tmp_path / "fa"
+    d.mkdir()
+    _write_fasta(str(d / "part-00000-ok.fasta"), ">a\nac\n")
+    _write_fasta(str(d / "part-00001-orphan.fasta"), ">zombie\ntt\n")
+    _write_fasta(str(d / "_SUCCESS"), "part-00000-ok.fasta\n")
+    register_fasta_source(spark)
+    rows = (
+        spark.read.format("fasta").option("path", str(d)).load().collect()
+    )
+    assert {(r["header"], r["sequence"]) for r in rows} == {("a", "ac")}
+
+
+def test_fasta_pyds_commit_sweeps_uncommitted_orphans(spark, tmp_path):
+    """commit() removes part- files that returned no commit message —
+    e.g. a leftover from a failed attempt present before the job —
+    completing the two-phase protocol abort() alone cannot."""
+    from data_algorithms_with_pyspark_spark.sources.pyds import (
+        register_fasta_source,
+    )
+
+    register_fasta_source(spark)
+    out = tmp_path / "fa"
+    out.mkdir()
+    _write_fasta(str(out / "part-99999-orphan.fasta"), ">zombie\ntt\n")
+    spark.createDataFrame(
+        [("a", "acgt")], "header string, sequence string"
+    ).coalesce(1).write.format("fasta").mode("overwrite").option(
+        "path", str(out)
+    ).save()
+    files = {f for f in os.listdir(out) if f.startswith("part-")}
+    assert "part-99999-orphan.fasta" not in files
+    assert len(files) == 1
+    got = {
+        r["header"]
+        for r in spark.read.format("fasta")
+        .option("path", str(out))
+        .load()
+        .collect()
+    }
+    assert got == {"a"}
+
+
+def test_fasta_pyds_append_retains_prior_manifest_files(spark, tmp_path):
+    """mode(append): the prior manifest's files survive the sweep and
+    the merged manifest covers both writes."""
+    from data_algorithms_with_pyspark_spark.sources.pyds import (
+        register_fasta_source,
+    )
+
+    register_fasta_source(spark)
+    out = str(tmp_path / "fa")
+
+    def write(rows, mode):
+        spark.createDataFrame(
+            rows, "header string, sequence string"
+        ).coalesce(1).write.format("fasta").mode(mode).option(
+            "path", out
+        ).save()
+
+    write([("a", "aa")], "overwrite")
+    write([("b", "bb")], "append")
+    manifest = [
+        ln
+        for ln in (tmp_path / "fa" / "_SUCCESS").read_text().split()
+        if ln
+    ]
+    files = sorted(
+        f for f in os.listdir(out) if f.startswith("part-")
+    )
+    assert sorted(manifest) == files and len(files) == 2
+    got = {
+        r["header"]
+        for r in spark.read.format("fasta").option("path", out).load().collect()
+    }
+    assert got == {"a", "b"}
+
+
+def test_scratch_dir_is_pid_keyed_and_tracked():
+    """Two processes at the same SF never collide; the path registers
+    for exit-time cleanup."""
+    import os as _os
+
+    from data_algorithms_with_pyspark_spark import scratch
+
+    p1 = scratch.scratch_dir("x", "/root/testdata/sf0.01")
+    p2 = scratch.scratch_dir("x", "/root/testdata/sf0.01")
+    assert p1 == p2  # stable within a process
+    assert str(_os.getpid()) in _os.path.basename(p1)
+    assert p1 in scratch._CREATED
+    other = scratch.scratch_dir("x", "/root/testdata/sf0.1")
+    assert other != p1

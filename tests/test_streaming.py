@@ -778,3 +778,54 @@ def test_events_replay_pyds_source_multibatch(spark, tmp_path):
         n, us = want.get(t, (0, 0))
         want[t] = (n + 1, us + u)
     assert got == want
+
+
+def test_events_replay_offsets_monotone_across_restart(tmp_path):
+    """Restart safety (offsets are durable, reader admission state is
+    not): a FRESH reader handed the committed offset — via commit(end)
+    replay or via a partitions() range — never returns a latestOffset
+    below it and never re-serves committed chunks as duplicates."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_algorithms_with_pyspark_spark.sources.pyds import (
+        _EventsReplayStreamReader,
+    )
+
+    d = tmp_path / "chunks"
+    d.mkdir()
+    for i in range(8):
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([i], pa.int64()),
+                    "event_type": pa.array(["t"], pa.string()),
+                    "value": pa.array([1.0], pa.float64()),
+                }
+            ),
+            str(d / f"part-{i:05d}.parquet"),
+        )
+    opts = {"path": str(d), "step": "2"}
+
+    # Committed-batch restart: the engine replays commit(end) to the
+    # fresh reader before asking for the next offset.
+    r = _EventsReplayStreamReader(opts)
+    r.commit({"chunk": 4})
+    lat = r.latestOffset()["chunk"]
+    assert lat >= 4
+    served = [p.path for p in r.partitions({"chunk": 4}, {"chunk": lat})]
+    assert all(f"part-0000{i}" in p for i, p in enumerate(served, start=4))
+
+    # Stale-latest restart: the engine planned (committed=5, latest=1)
+    # against a fresh reader's too-small latestOffset. The range must
+    # serve EMPTY (never backward), and the handed-back offsets must
+    # floor the cursor so the next latestOffset moves forward of 5.
+    r2 = _EventsReplayStreamReader(opts)
+    assert r2.latestOffset() == {"chunk": 2}
+    assert r2.partitions({"chunk": 5}, {"chunk": 2}) == []
+    nxt = r2.latestOffset()["chunk"]
+    assert nxt > 5
+    chunks = [p.path for p in r2.partitions({"chunk": 5}, {"chunk": nxt})]
+    assert [c[-13:] for c in chunks] == [
+        f"part-{i:05d}.parquet"[-13:] for i in range(5, nxt)
+    ]
