@@ -22,6 +22,54 @@ import re
 import sys
 import time
 
+# FROZEN bench core (round 10, VERDICT r9 #2) — NEVER add to or remove
+# from this tuple. The full headline set grows with the catalog, which
+# makes its round-over-round total track set growth (GC pressure in the
+# shared 8g JVM) instead of plan changes: r8->r9 read as a uniform 1.11x
+# "drift" purely because the set grew 60->71 in the same heap. The core
+# is a fixed 34-query cross-section (TPC-H reporting, every dedup/LSH
+# lane, the ANN tiers, events/sessionization, tokenizer trainers,
+# curation pipelines, sketches, clustering) whose membership never
+# changes, so core_sec is comparable across rounds exactly. New queries
+# still join the FULL set (bench=True) for coverage; they just don't
+# perturb the core signal.
+CORE_QUERIES = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_nation_profit",
+    "q10_returned_items",
+    "dedup_exact_groups",
+    "minhash_near_dup_candidates",
+    "simhash_near_dup_candidates",
+    "prefix_jaccard_near_dups",
+    "embedding_semdedup_prune",
+    "incremental_near_dup_candidates",
+    "ann_cosine_topk",
+    "ivf_ann_topk",
+    "pq_ann_topk",
+    "ivf_pq_ann_topk",
+    "ivf_pq_ann_persisted_index",
+    "rerank_topk",
+    "events_sessionization",
+    "events_hourly_windows",
+    "events_sliding_windows",
+    "events_cohort_retention",
+    "user_journey_path_ngrams",
+    "session_funnel_report_pipeline",
+    "clicks_last_purchase_asof",
+    "word_count",
+    "doc_token_counts",
+    "bpe_learned_merges",
+    "bm25_search_topk",
+    "corpus_curation_pipeline",
+    "corpus_train_ready_pipeline",
+    "training_shard_packing",
+    "term_count_min_sketch",
+    "embedding_kmeans_assign",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,6 +90,9 @@ def main() -> None:
 
     catalog = all_queries()
     headline = {name: q for name, q in catalog.items() if q.bench}
+    missing_core = [n for n in CORE_QUERIES if n not in headline]
+    if missing_core:  # the core is frozen; losing a member is a bug
+        raise SystemExit(f"frozen bench core missing from catalog: {missing_core}")
 
     # Warm-up pass over the WHOLE set before any timing: interleaving
     # warm-up and timing per query lets whichever query runs first absorb
@@ -93,11 +144,14 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    core = round(sum(timings[n] for n in CORE_QUERIES), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
+                "core_sec": core,
+                "full_sec": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
@@ -107,14 +161,18 @@ def main() -> None:
     # The full line above (~2.5 KB of per-query timings) is truncated at
     # the FRONT by the driver's tail capture, so eight rounds of
     # BENCH_r*.json carry "parsed": null. Repeat the headline metric as a
-    # final COMPACT line (<100 B) so the last complete line always fits
+    # final COMPACT line (<150 B) so the last complete line always fits
     # the capture window and parses; per-query timings stay in the full
-    # line for human/judge tail-regexing.
+    # line for human/judge tail-regexing. core_sec is the FROZEN 34-query
+    # core (round-over-round comparable); value/full_sec is the growing
+    # full headline set.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
+                "core_sec": core,
+                "full_sec": total,
                 "unit": "sec",
                 "sf": sf,
             }

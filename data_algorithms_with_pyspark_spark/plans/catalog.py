@@ -59,82 +59,17 @@ _QUERY_MODULES = (
 # attestation covers every catalog query (scripts/driver_sim.py always
 # verifies all of them regardless of order).
 _SAMPLE_PRIORITY = (
-    # Round 9 rotation (VERDICT r8 #1). Ordering rule (unchanged):
-    # new-this-round queries first, then the stalest re-attestation
-    # blocks. Staleness from CORRECTNESS_r0{1..8} (scripts/staleness.py):
-    # after r8's fully-fresh window, 10 queries are r3-only-green and 48
-    # are r4-only-green. This window = 26 new + 10 r3 + 48 r4 = 84; the
-    # ~50 cut attests every never-attested row plus the r3 block and the
-    # head of the alphabetical r4 block — the r4 tail leads r10 together
-    # with the r5-stale block (never-attested > stale, so the round's
-    # new rows always outrank re-attestation).
-    #
-    # New in r9: the unigram-LM (SentencePiece-style) tokenizer trainer
-    # pair, the at-least-once -> exactly-once streaming dedup parity row,
-    # the append-mode (watermarked, bounded-state) twins of the
-    # tumbling-hourly and sliding-window streaming parity rows, the
-    # trained-IVF coarse-quantizer recall audit, the fully-trained
-    # residual IVFADC (FAISS IVF16,PQ8 shape), the WordPiece trainer +
-    # greedy-segmentation pair (completing the subword trio), the
-    # MinHash-LSH recall/precision audit, the co-located bucketed
-    # fact-fact join, and the SQ8 (symmetric-int8 absmax) ANN tier —
-    # int8-dot MIPS top-k + recall audit, the 4x-compression midpoint
-    # between raw f32 and PQ's 64x codes.
-    # ... and the FASTA RECORD source via Spark 4's Python DataSource
-    # API (Arrow-batched, per-file partitions — sources/pyds.py).
-    "sq8_ann_topk",
-    "sq8_recall_report",
-    "fasta_pyds_record_stats",
-    "corpus_mixture_temperature_weights",
-    "orders_orc_roundtrip_digest",
-    "streaming_pyds_source_parity",
-    "sql_parameterized_top_customers",
-    "orders_observed_pass_metrics",
-    "simhash_guarded_near_dups",
-    "srp_guarded_cosine_near_dups",
-    "simhash_shingle_near_dups",
-    "orders_xml_roundtrip_digest",
-    "part_collation_distinct_audit",
-    "corpus_neyman_sample_allocation",
-    "distinct_users_sketch_comparison",
-    "events_session_window_builtin",
-    "part_type_listagg",
-    "nation_top_customer_lateral",
-    "wordpiece_learned_merges",
-    "wordpiece_greedy_segmentation",
-    "minhash_lsh_recall_report",
-    "bucketed_orders_lineitem_join",
-    "orders_schema_evolution_read",
-    "tokenizer_compression_comparison",
-    "ivf_nprobe_recall_curve",
-    "events_variant_props_rollup",
-    "orders_priority_year_pivot",
-    "unigram_lm_vocab",
-    "unigram_lm_segmentation",
-    "unigram_corpus_compression",
-    "unigram_persisted_tokenizer_encode",
-    "streaming_dedup_parity",
-    "streaming_append_hourly_parity",
-    "streaming_append_sliding_parity",
-    "ivf_trained_recall_report",
-    "ivf_pq_residual_ann_topk",
-    # r3-only-green block (10).
-    "multimodal_video_stats",
-    "near_dup_clusters",
-    "orders_date_functions",
-    "orders_quality_report",
-    "orders_salted_join_agg",
-    "part_string_functions",
-    "rerank_topk",
-    "simhash_near_dup_candidates",
-    "term_posting_lists",
-    "training_shard_packing",
-    # r4-only-green block (48), alphabetical (deterministic tail for
-    # the r10 cut).
-    "audio_fingerprint_dedup_groups",
-    "avg_quantity_by_returnflag",
-    "bm25_search_topk",
-    "cms_join_size_estimate",
+    # Round 10 rotation (VERDICT r9 #1 — the convergence window).
+    # Ordering rule (unchanged): new-this-round queries first, then
+    # the stalest re-attestation blocks. No new catalog rows this
+    # round (round 10 is attestation/productization), so the window
+    # leads with the 44 r4-only-green queries (the alphabetical tail
+    # the r9 ~50 cut dropped; enumerated by scripts/staleness.py from
+    # the CORRECTNESS_r0{1..9} union) followed by the 50 r5-only-green
+    # block. The ~50 cut attests ALL 44 r4-stale rows plus the head
+    # of the r5 block; after this round nothing in the cumulative
+    # union is older than r5, and one more window (r11) drains r5.
+    # r4-only-green block (44), alphabetical.
     "concurrent_session_pairs",
     "customer_balance_ranks",
     "customer_k_anonymity_audit",
@@ -179,9 +114,61 @@ _SAMPLE_PRIORITY = (
     "q2_min_cost_supplier",
     "term_bigram_pmi",
     "user_journey_path_ngrams",
-    # NOTE r10 rotation: whatever the ~50 cut drops from the r4 tail
-    # above leads r10, followed by the r5-only-green block (recompute
-    # from CORRECTNESS_r0{1..9} union via scripts/staleness.py).
+    # r5-only-green block (50), alphabetical (deterministic tail for
+    # the r11 cut).
+    "active_nation_keys",
+    "approx_distinct_users_hll",
+    "char_count",
+    "corpus_dataset_card",
+    "corpus_train_ready_pipeline",
+    "customer_balance_etl",
+    "customers_without_orders",
+    "doc_length_quantile_approx_audit",
+    "event_value_quantile_approx_audit",
+    "graph_bidirectional_edges",
+    "graph_connected_components",
+    "graph_degrees",
+    "graph_pagerank",
+    "graph_shortest_paths",
+    "graph_triangles",
+    "graph_two_hop_paths",
+    "lineitem_cube",
+    "lineitem_rollup",
+    "nation_customer_supplier_setops",
+    "orders_bloom_prefilter_join",
+    "orders_by_year_month",
+    "orders_cdc_replay",
+    "part_name_typo_pairs",
+    "part_name_words",
+    "q10_returned_items",
+    "q12_priority_by_linestatus",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_bracket_revenue",
+    "q1_pricing_summary",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_nation_profit",
+    "returnflag_linestatus_pivot",
+    "session_funnel_report_pipeline",
+    "source_term_heavy_hitters",
+    "sql_nation_supplier_analytics",
+    "sql_recursive_referral_chain",
+    "term_heavy_hitters",
+    "top_orders_per_priority",
+    "video_fingerprint_dedup_groups",
+    # NOTE r11 rotation: whatever the ~50 cut drops from the r5 tail
+    # above leads r11, followed by the r7-stale block (recompute from
+    # CORRECTNESS_r0{1..10} via scripts/staleness.py).
 )
 
 _REGISTRY: dict[str, "CatalogQuery"] = {}
