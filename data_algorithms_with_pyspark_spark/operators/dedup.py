@@ -586,6 +586,7 @@ def prefix_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     cache_registry: list[DataFrame] | None = None,
+    max_posting: int | None = None,
 ) -> DataFrame:
     """EXACT Jaccard similarity join via prefix filtering (PPJoin-style,
     Xiao et al., WWW'08) — same output as the all-pairs
@@ -610,10 +611,46 @@ def prefix_jaccard_pairs(
     Plan: one explode + count for document frequencies (vocabulary-sized
     aggregate), one join + re-group to sort each document's shingles by
     rarity, one equi self-join on prefix shingles with the PPJoin length
-    filter (t*|A| <= |B| <= |A|/t), then exact Jaccard verification on
-    candidates only — identical expression and floor_round grid as the
-    baseline, so the two agree bit-for-bit. Every shuffle is keyed (no
-    cartesian); candidate count tracks true-pair count, not n^2.
+    filter (t*|A| <= |B| <= |A|/t) AND the PPJoin POSITIONAL filter,
+    then exact Jaccard verification on candidates only — identical
+    expression and floor_round grid as the baseline, so the two agree
+    bit-for-bit. Every shuffle is keyed (no cartesian); candidate count
+    tracks true-pair count, not n^2, PROVIDED prefix tokens are rare.
+
+    Positional filter (Xiao et al. §3.2, lossless): a pair needs overlap
+    o >= alpha = ceil(t*(|A|+|B|)/(1+t)) to reach J >= t. For a shared
+    token at 0-based rank i in A's rarity order and j in B's, every
+    OTHER shared token... the FIRST shared token (in the global order)
+    has all remaining shared tokens after it in both lists, so
+    o <= 1 + min(|A|-i-1, |B|-j-1) holds for that generating row; a pair
+    where EVERY index row fails the bound cannot be a true pair. Applied
+    per index-join row BEFORE the distinct/verify shuffles. This is the
+    narrow-vocabulary defense the sf10 (100x) audit showed is not
+    optional: on a corpus whose ~30k-shingle space leaves even the
+    RAREST prefix shingles with document frequency in the hundreds, the
+    index join alone emits O(sum df_prefix^2) ~ 5e8 candidates and the
+    wide-array verification join behind it shuffles ~TB (observed
+    ENOSPC at sf10); the positional bound kills the bulk of those rows
+    in the join filter, before anything is written. alpha uses the same
+    basis-point integer arithmetic as the prefix length, with t_bp
+    FLOORED so alpha only gets looser — candidates, never correctness.
+
+    ``max_posting`` (opt-in, default None = exact lossless semantics):
+    the degeneracy guard for corpora the positional filter cannot save —
+    prefix-index entries whose shingle appears in more than that many
+    PREFIXES are excluded from candidate generation, bounding the join
+    at sum-over-kept-shingles df_prefix^2 <= n_shingles * cap^2. NOT
+    lossless: a true pair reachable only through hot shingles is
+    dropped — the same bounded-damage contract as the LSH lanes'
+    ``max_bucket`` (and the same diagnosis: if the cap bites hard, the
+    corpus regime wants MinHash, whose banding keys on signature
+    agreement, not individual-feature rarity). The sf10 audit measured
+    the uncapped narrow-vocab cost at > 76 GB of spill (ENOSPC) even
+    WITH the positional filter; see the guarded catalog row for the
+    oracle-attested capped semantics (the oracle replays the cap AND
+    the positional filter — under a cap the positional filter is no
+    longer output-neutral, because a true pair's first-common-token row
+    may be capped away while its remaining rows fail the bound).
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
@@ -665,13 +702,39 @@ def prefix_jaccard_pairs(
     pre = ordered.select(
         F.col(id_col),
         F.col("n_sh"),
-        F.explode(F.slice("sorted_sh", F.lit(1), prefix_len)).alias("s"),
+        F.posexplode(F.slice("sorted_sh", F.lit(1), prefix_len)).alias(
+            "p", "s"
+        ),
     )
+    if max_posting is not None:
+        # one count aggregate over the prefix postings (same key the
+        # self-join shuffles on); shingles hotter than the cap generate
+        # no candidates — bounded cost, documented recall trade
+        ok = (
+            pre.groupBy("s")
+            .agg(F.count("*").alias("_pdf"))
+            .where(F.col("_pdf") <= max_posting)
+            .select("s")
+        )
+        pre = pre.join(ok, on="s")
     left = pre.select(
-        F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1"), "s"
+        F.col(id_col).alias("id_1"),
+        F.col("n_sh").alias("n_1"),
+        F.col("p").alias("p_1"),
+        "s",
     )
     right = pre.select(
-        F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_2"), "s"
+        F.col(id_col).alias("id_2"),
+        F.col("n_sh").alias("n_2"),
+        F.col("p").alias("p_2"),
+        "s",
+    )
+    # minimal overlap for J >= t: alpha = ceil(t*(n1+n2)/(1+t)), integer
+    # ceil in basis points (floored t_bp -> alpha only gets looser)
+    n_sum = F.col("n_1") + F.col("n_2")
+    alpha = F.floor(
+        (F.lit(t_bp) * n_sum + F.lit(10000 + t_bp - 1))
+        / F.lit(10000 + t_bp)
     )
     cand = (
         left.join(right, on="s")
@@ -680,6 +743,17 @@ def prefix_jaccard_pairs(
             # length filter: J >= t forces t <= |B|/|A| <= 1/t
             & (F.col("n_2") * F.lit(10000) >= F.col("n_1") * F.lit(t_bp))
             & (F.col("n_1") * F.lit(10000) >= F.col("n_2") * F.lit(t_bp))
+            # positional filter: overlap via THIS token is at most
+            # 1 + min(tokens after it on each side); a true pair's
+            # first-common-token row always passes (see docstring)
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("n_1") - F.col("p_1") - 1,
+                    F.col("n_2") - F.col("p_2") - 1,
+                )
+                >= alpha
+            )
         )
         .select("id_1", "id_2")
         .dropDuplicates(["id_1", "id_2"])

@@ -243,7 +243,9 @@ _PREFIX_JACCARD_THRESHOLD = 0.8  # the qualifying testdata pairs are all
 # prefixes short (len = |S| - ceil(0.8|S|) + 1) and the candidate join tiny
 
 
-def _prefix_jaccard_oracle(threshold: float) -> str:
+def _prefix_jaccard_oracle(
+    threshold: float, max_posting: int | None = None
+) -> str:
     """DuckDB replay of the PPJoin prefix-index plan itself
     (operators/dedup.prefix_jaccard_pairs): df-ordered shingles, integer
     prefix length n - ceil(t*n) + 1, prefix equi-join + length filter,
@@ -257,9 +259,94 @@ def _prefix_jaccard_oracle(threshold: float) -> str:
     verified output is identical; equality against the brute-force
     all-pairs form stays mechanically checked on small data by
     tests/test_operators.py::test_prefix_jaccard_matches_bruteforce and
-    by ngram_jaccard_near_dups' all-pairs oracle.
+    by ngram_jaccard_near_dups' all-pairs oracle. (The Spark side's
+    positional filter needs no replay here: it only removes candidates
+    that fail exact verification anyway, so the VERIFIED output the
+    driver compares is unchanged.)
+
+    ``max_posting`` replays the capped (guarded) variant instead. Under
+    a cap the shingle ORDER becomes semantic (which entries are "in the
+    prefix" and hot decides which pairs survive), and the positional
+    filter is no longer output-neutral (a true pair's first-common-token
+    row may be capped away while its remaining index rows fail the
+    bound) — so the capped oracle replays the cap AND the positional
+    filter, position-for-position, and additionally pins the tie-order:
+    both engines sort prefixes by (df, shingle), which is a total order,
+    so prefix membership is engine-independent.
     """
     t_bp = int(threshold * 10000)
+    if max_posting is not None:
+        pre_extra = f"""
+        pdf AS (
+            SELECT s FROM pre GROUP BY s HAVING count(*) <= {max_posting}
+        ),
+        pref AS (SELECT pre.* FROM pre JOIN pdf USING (s)),
+"""
+        cand_src = "pref"
+        positional = f"""
+              AND 1 + least(l.n_sh - l.p, r.n_sh - r.p)
+                  >= floor(({t_bp} * (l.n_sh + r.n_sh) + {10000 + t_bp - 1})
+                           / {10000 + t_bp})
+"""
+        pos_unnest = f"""
+        pre AS MATERIALIZED (
+            SELECT doc_id, n_sh, u.s AS s, u.p AS p FROM (
+                SELECT doc_id, n_sh,
+                       unnest(list_transform(
+                           list_slice(
+                               sorted_sh, 1,
+                               CAST(n_sh - floor(({t_bp} * n_sh + 9999) / 10000) + 1
+                                    AS BIGINT)),
+                           (x, i) -> struct_pack(s := x, p := i)),
+                           recursive := true)
+                FROM ordered
+            ) u
+        ),
+"""
+        return f"""
+        WITH sh AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN len({_TOKENS}) >= {_NGRAM_N}
+                        THEN list_distinct(list_transform(
+                                 range(1, len({_TOKENS}) - {_NGRAM_N} + 2),
+                                 i -> array_to_string(list_slice({_TOKENS}, i, i + {_NGRAM_N} - 1), ' ')))
+                        ELSE [array_to_string({_TOKENS}, ' ')]
+                   END AS shingles
+            FROM documents
+        ),
+        posting AS MATERIALIZED (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ),
+        dfreq AS (
+            SELECT s, count(*) AS df FROM posting GROUP BY s
+        ),
+        ordered AS (
+            SELECT p.doc_id,
+                   list(p.s ORDER BY d.df, p.s) AS sorted_sh,
+                   count(*) AS n_sh
+            FROM posting p JOIN dfreq d USING (s)
+            GROUP BY p.doc_id
+        ),
+        {pos_unnest.strip()}
+        {pre_extra.strip()}
+        cand AS (
+            SELECT DISTINCT l.doc_id AS id_1, r.doc_id AS id_2
+            FROM {cand_src} l JOIN {cand_src} r
+              ON l.s = r.s AND l.doc_id < r.doc_id
+            WHERE r.n_sh * 10000 >= l.n_sh * {t_bp}
+              AND l.n_sh * 10000 >= r.n_sh * {t_bp}
+              {positional.strip()}
+        )
+        SELECT id_1, id_2, jaccard FROM (
+            SELECT c.id_1, c.id_2,
+                   floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                         * 10000 + 0.5) / 10000 AS jaccard
+            FROM cand c
+            JOIN sh a ON c.id_1 = a.doc_id
+            JOIN sh b ON c.id_2 = b.doc_id
+        ) WHERE jaccard >= {threshold}
+"""
     # AS MATERIALIZED on the multiply-referenced CTEs: DuckDB inlines CTEs
     # by default, so `sh` (the tokenizer+shingler, the dominant cost —
     # exactly why the Spark side persists it) would be recomputed for all
@@ -350,6 +437,52 @@ def prefix_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, _PREFIX_JACCARD_THRESHOLD, shingle_n=_NGRAM_N
     )
 
+
+_PREFIX_GUARD_POSTING = 25
+
+
+@register(
+    "prefix_jaccard_guarded_near_dups",
+    tags=("dedup", "similarity-join", "scale"),
+    description="PPJoin exact-Jaccard pairs under the DEGENERACY GUARD "
+    f"(max_posting={_PREFIX_GUARD_POSTING}): prefix shingles appearing "
+    "in more prefixes than the cap generate no candidates — the "
+    "bounded-cost configuration for narrow-vocabulary corpora where "
+    "even rarity-ordered prefixes stay hot (the r10 sf10 audit measured "
+    "ENOSPC uncapped, even WITH the positional filter); the oracle "
+    "replays the cap AND the positional filter exactly",
+    oracle=_prefix_jaccard_oracle(
+        _PREFIX_JACCARD_THRESHOLD, max_posting=_PREFIX_GUARD_POSTING
+    ),
+)
+def prefix_jaccard_guarded_near_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Guarded twin of ``prefix_jaccard_near_dups`` (operators/
+    dedup.prefix_jaccard_pairs max_posting): identical rarity-ordered
+    prefix index, length filter, and positional filter, but prefix
+    postings hotter than the cap contribute no candidate pairs —
+    candidate volume is bounded by n_shingles * cap^2 / 2 however the
+    corpus vocabulary concentrates. On the driver draws every prefix
+    posting is under the cap (max 3 at sf0.01, 8 at sf0.1), so the
+    output equals the lossless row's; on the Zipf-skew draw (hottest
+    prefix posting 126) the cap bites and the cross-engine compare
+    checks the guard's exact semantics — including the cap/positional
+    interaction, where a pair's first-common-token row can be capped
+    away while its remaining index rows fail the positional bound (the
+    reason the capped oracle must replay BOTH filters while the
+    lossless row's oracle needs neither)."""
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(
+        docs,
+        _PREFIX_JACCARD_THRESHOLD,
+        shingle_n=_NGRAM_N,
+        max_posting=_PREFIX_GUARD_POSTING,
+    )
 
 
 @register(
@@ -3539,7 +3672,15 @@ def simhash_guarded_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     20.7 s capped on the 500k-doc homogeneous draw). On healthy draws
     the output differs from the uncapped row only by pairs routed
     exclusively through oversized buckets — exactly the pairs with no
-    discriminative value."""
+    discriminative value.
+
+    Unlike SRP (where band WIDTH is the scale knob —
+    ``choose_lsh_params`` sizes it from corpus size), SimHash's band
+    width is fixed by ``n_bits/bands`` and its sf10 failure mode was
+    FEATURE degeneracy, so the scale levers here are the cap (this
+    row's attested constant; ``choose_lsh_params(n).max_bucket`` gives
+    the occupancy-scaled recommendation for unattested deployments) and
+    shingle features (``simhash_shingle_near_dups``)."""
     from data_algorithms_with_pyspark_spark.operators.dedup import (
         simhash,
         simhash_candidate_pairs,

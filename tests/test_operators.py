@@ -1242,3 +1242,78 @@ def test_simhash_shingles_discriminate_homogeneous_corpus(spark):
     assert max_band_bucket(uni_h) > 5 * max_band_bucket(shi_h)
     shi = {r["doc_id"]: r["simhash"] for r in shi_h.collect()}
     assert shi[999] == 0  # empty doc votes on nothing
+
+
+def test_prefix_jaccard_narrow_vocab_positional_filter(spark):
+    """The sf10 regime in miniature: a NARROW vocabulary (8 words) makes
+    every shingle common, so prefix filtering alone degenerates — the
+    positional filter must (a) stay lossless vs the all-pairs baseline
+    and (b) actually prune the candidate join (the ENOSPC defense)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"v{i}" for i in range(8)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(10, 30))))
+        for i in range(80)
+    ]
+    # planted exact + near clones (the pairs that must survive)
+    rows.append((900, rows[5][1]))
+    toks = rows[9][1].split()
+    toks[0] = "v0"
+    rows.append((901, " ".join(toks)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.5, 0.8):
+        brute = sorted(
+            (r["id_1"], r["id_2"], r["jaccard"])
+            for r in ngram_jaccard_pairs(docs, t).collect()
+        )
+        pref = sorted(
+            (r["id_1"], r["id_2"], r["jaccard"])
+            for r in prefix_jaccard_pairs(docs, t).collect()
+        )
+        assert pref == brute, t
+    assert any(a == 5 and b == 900 for a, b, _ in pref)
+
+
+def test_prefix_jaccard_max_posting_guard(spark):
+    """max_posting: a huge cap is a no-op (identical output); a biting
+    cap yields a SUBSET (bounded-damage contract, mirroring the LSH
+    lanes' max_bucket); exact duplicates sharing only hot shingles are
+    the pairs it may drop."""
+    import random
+
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    rng = random.Random(23)
+    vocab = [f"v{i}" for i in range(6)]  # brutally narrow vocabulary
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(12, 25))))
+        for i in range(60)
+    ]
+    rows.append((900, rows[2][1]))  # planted exact clone
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    free = sorted(
+        (r["id_1"], r["id_2"], r["jaccard"])
+        for r in prefix_jaccard_pairs(docs, 0.8).collect()
+    )
+    nocap = sorted(
+        (r["id_1"], r["id_2"], r["jaccard"])
+        for r in prefix_jaccard_pairs(docs, 0.8, max_posting=10**6).collect()
+    )
+    assert nocap == free  # huge cap == lossless semantics
+    capped = sorted(
+        (r["id_1"], r["id_2"], r["jaccard"])
+        for r in prefix_jaccard_pairs(docs, 0.8, max_posting=3).collect()
+    )
+    assert set(capped) <= set(free)  # never invents pairs
+    assert any(a == 2 and b == 900 for a, b, _ in free)
