@@ -37,7 +37,9 @@ from data_algorithms_with_pyspark_spark.functions.vectors import (
 
 __all__ = [
     "LshPlan",
+    "MinHashPlan",
     "choose_lsh_params",
+    "choose_minhash_params",
     "cosine_topk",
     "hard_negatives",
     "knn_join",
@@ -261,6 +263,101 @@ def choose_lsh_params(
         n_planes=width * bands,
         max_bucket=max(16, 8 * occupancy),
     )
+
+
+@dataclass(frozen=True)
+class MinHashPlan:
+    """Auto-sized MinHash banding (see :func:`choose_minhash_params`)."""
+
+    num_perm: int  # rows_per_band * bands — signature length to compute
+    bands: int
+    rows_per_band: int
+    recall_at_catch: float  # realized 1-(1-t_c^r)^b at t_catch
+    fp_at_reject: float  # realized 1-(1-t_r^r)^b at t_reject
+
+
+def choose_minhash_params(
+    t_catch: float,
+    *,
+    target_recall: float = 0.999,
+    t_reject: float | None = None,
+    max_fp: float = 0.03,
+    max_rows_per_band: int = 16,
+    max_bands: int = 64,
+) -> MinHashPlan:
+    """Size the MinHash S-curve — (num_perm, bands) from the similarity
+    contract instead of folklore constants. The banding catch
+    probability for a pair at Jaccard j is ``1 - (1 - j^r)^b`` (r =
+    rows/band, b = bands): the planner returns the cheapest (fewest
+    permutations = fewest hash evaluations per document, the dominant
+    signature cost) configuration satisfying BOTH sides of the curve:
+
+    * recall: pairs at ``t_catch`` are surfaced with probability >=
+      ``target_recall``;
+    * precision: pairs at ``t_reject`` (default ``t_catch / 4``, the
+      "clearly not a duplicate" mass that dominates a real corpus)
+      become candidates with probability <= ``max_fp`` — the constraint
+      that rules out the degenerate few-rows-per-band configs whose
+      recall looks great precisely because they admit everything
+      (r=1, b=5 hits 99.97% recall at 0.8 AND 67% false-positive rate
+      at 0.2; the verification join pays for the difference).
+
+    Ties on num_perm prefer MORE rows per band (steeper curve, fewer
+    false positives at every j). Deterministic integer search over
+    r in [1, max_rows_per_band], b in [1, max_bands].
+
+    The attested catalog configuration (64 perms = 4 rows x 16 bands)
+    satisfies the defaults at t_catch=0.8 (recall 0.99978, fp 0.0253)
+    and is pinned by tests as remaining valid; the planner's cheapest
+    config for that contract is 4x14=56 perms — the catalog rows keep
+    their oracle-attested constants (same policy as the SRP width
+    planner: attested configs are frozen, the planner serves new
+    deployments and the width/band knobs that must track corpus scale).
+    """
+    if not (0.0 < t_catch <= 1.0):
+        raise ValueError("t_catch must be in (0, 1]")
+    if not (0.0 < target_recall < 1.0):
+        raise ValueError("target_recall must be in (0, 1)")
+    if t_reject is None:
+        t_reject = t_catch / 4.0
+    if not (0.0 <= t_reject < t_catch):
+        raise ValueError("t_reject must be in [0, t_catch)")
+    best: MinHashPlan | None = None
+    for r in range(1, max_rows_per_band + 1):
+        p_catch = t_catch**r
+        p_reject = t_reject**r
+        for b in range(1, max_bands + 1):
+            recall = 1.0 - (1.0 - p_catch) ** b
+            if recall < target_recall:
+                continue
+            fp = 1.0 - (1.0 - p_reject) ** b
+            if fp > max_fp:
+                break  # fp only grows with b; recall already met -> no b works for this r
+            plan = MinHashPlan(
+                num_perm=r * b,
+                bands=b,
+                rows_per_band=r,
+                recall_at_catch=recall,
+                fp_at_reject=fp,
+            )
+            if (
+                best is None
+                or plan.num_perm < best.num_perm
+                or (
+                    plan.num_perm == best.num_perm
+                    and plan.rows_per_band > best.rows_per_band
+                )
+            ):
+                best = plan
+            break  # smallest b for this r found; larger b only adds perms
+    if best is None:
+        raise ValueError(
+            "no (rows_per_band, bands) within limits satisfies "
+            f"recall >= {target_recall} at {t_catch} AND fp <= {max_fp} "
+            f"at {t_reject} — widen max_rows_per_band/max_bands or relax "
+            "the contract"
+        )
+    return best
 
 
 def srp_banded_near_dup_pairs(

@@ -82,3 +82,72 @@ def test_n_planes_always_divides_into_bands():
             p = choose_lsh_params(n, bands=bands)
             assert p.n_planes == p.band_width * bands
             assert p.n_planes % bands == 0
+
+
+# --- choose_minhash_params: the S-curve planner ---------------------------
+
+
+def test_minhash_planner_standard_regimes():
+    """Known S-curve solutions: the cheapest config meeting BOTH the
+    recall floor at t_catch and the false-positive ceiling at t_reject."""
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        choose_minhash_params,
+    )
+
+    p = choose_minhash_params(0.8)
+    assert (p.rows_per_band, p.bands, p.num_perm) == (4, 14, 56)
+    assert p.recall_at_catch >= 0.999 and p.fp_at_reject <= 0.03
+
+    p9 = choose_minhash_params(0.9)
+    assert (p9.rows_per_band, p9.bands, p9.num_perm) == (4, 7, 28)
+
+
+def test_minhash_planner_attested_config_satisfies_contract():
+    """The catalog's frozen 64-perm/16-band (r=4) config must satisfy
+    the same default contract the planner enforces — the invariant that
+    lets the attested rows keep their constants."""
+    r, b = 4, 16
+    recall = 1 - (1 - 0.8**r) ** b
+    fp = 1 - (1 - 0.2**r) ** b
+    assert recall >= 0.999
+    assert fp <= 0.03
+
+
+def test_minhash_planner_fp_constraint_rejects_flat_curves():
+    """Without the fp ceiling, r=1/r=2 configs would win on perms while
+    admitting most of the corpus as candidates; the planner must never
+    return them under the default contract."""
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        choose_minhash_params,
+    )
+
+    assert choose_minhash_params(0.8).rows_per_band >= 3
+
+
+def test_minhash_planner_infeasible_contract_raises():
+    import pytest as _pytest
+
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        choose_minhash_params,
+    )
+
+    with _pytest.raises(ValueError, match="no \\(rows_per_band"):
+        choose_minhash_params(0.5)  # needs > 64 bands under defaults
+    # ...and becomes feasible when the band budget is widened
+    p = choose_minhash_params(0.5, max_bands=128)
+    assert p.recall_at_catch >= 0.999 and p.fp_at_reject <= 0.03
+
+
+def test_minhash_planner_input_validation():
+    import pytest as _pytest
+
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        choose_minhash_params,
+    )
+
+    with _pytest.raises(ValueError):
+        choose_minhash_params(0.0)
+    with _pytest.raises(ValueError):
+        choose_minhash_params(0.8, t_reject=0.9)
+    with _pytest.raises(ValueError):
+        choose_minhash_params(0.8, target_recall=1.0)
