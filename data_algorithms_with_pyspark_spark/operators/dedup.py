@@ -62,6 +62,7 @@ __all__ = [
     "simhash_candidate_pairs",
     "ngram_jaccard_pairs",
     "prefix_jaccard_pairs",
+    "prefix_postings",
     "embedding_near_dup_pairs",
     "semdedup_prune",
     "repeated_segment_dedup",
@@ -579,6 +580,60 @@ def ngram_jaccard_pairs(
 
 
 
+def prefix_postings(
+    shingles_df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The PPJoin prefix inverted index as a DataFrame: one row
+    ``(id, n_sh, p, s)`` per document per prefix shingle, where ``p`` is
+    the shingle's 0-based rank in the document's (df asc, shingle asc)
+    rarity order and the prefix length is ``n_sh - ceil(t*n_sh) + 1``
+    in exact basis-point integer arithmetic. Shared by
+    ``prefix_jaccard_pairs`` (candidate generation) and the
+    ``dedup_degeneracy_preflight`` catalog row (the posting-size audit
+    that detects the narrow-vocabulary regime BEFORE a run commits to
+    the quadratic join — the r10 sf10 lesson as a queryable pre-flight
+    check). Input is a ``(id, shingles array<string>)`` table, e.g.
+    ``token_shingles`` output."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    import math as _math
+
+    t_bp = int(_math.floor(threshold * 10000))
+    posting = shingles_df.select(
+        F.col(id_col), F.explode("shingles").alias("s")
+    )
+    dfreq = posting.groupBy("s").agg(F.count("*").alias("df"))
+    # each doc's shingles sorted by (df asc, shingle asc): struct sort_array
+    ordered = (
+        posting.join(dfreq, on="s")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("s")))
+            ).alias("_ord")
+        )
+        .select(
+            F.col(id_col),
+            F.col("_ord.s").alias("sorted_sh"),
+            F.size("_ord").cast("long").alias("n_sh"),
+        )
+    )
+    prefix_len = (
+        F.col("n_sh")
+        - F.floor((F.lit(t_bp) * F.col("n_sh") + F.lit(9999)) / F.lit(10000))
+        + F.lit(1)
+    ).cast("int")
+    return ordered.select(
+        F.col(id_col),
+        F.col("n_sh"),
+        F.posexplode(F.slice("sorted_sh", F.lit(1), prefix_len)).alias(
+            "p", "s"
+        ),
+    )
+
+
 def prefix_jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -677,35 +732,7 @@ def prefix_jaccard_pairs(
     )
     if cache_registry is not None:
         cache_registry.append(sh)
-    posting = sh.select(F.col(id_col), F.explode("shingles").alias("s"))
-    dfreq = posting.groupBy("s").agg(F.count("*").alias("df"))
-    # each doc's shingles sorted by (df asc, shingle asc): struct sort_array
-    ordered = (
-        posting.join(dfreq, on="s")
-        .groupBy(id_col)
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("df"), F.col("s")))
-            ).alias("_ord")
-        )
-        .select(
-            F.col(id_col),
-            F.col("_ord.s").alias("sorted_sh"),
-            F.size("_ord").cast("long").alias("n_sh"),
-        )
-    )
-    prefix_len = (
-        F.col("n_sh")
-        - F.floor((F.lit(t_bp) * F.col("n_sh") + F.lit(9999)) / F.lit(10000))
-        + F.lit(1)
-    ).cast("int")
-    pre = ordered.select(
-        F.col(id_col),
-        F.col("n_sh"),
-        F.posexplode(F.slice("sorted_sh", F.lit(1), prefix_len)).alias(
-            "p", "s"
-        ),
-    )
+    pre = prefix_postings(sh, threshold, id_col=id_col)
     if max_posting is not None:
         # one count aggregate over the prefix postings (same key the
         # self-join shuffles on); shingles hotter than the cap generate

@@ -441,6 +441,136 @@ def prefix_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PREFIX_GUARD_POSTING = 25
 
 
+def _degeneracy_preflight_oracle() -> str:
+    """DuckDB replay of the pre-flight audit: exact posting/bucket-size
+    statistics for the PPJoin prefix index (t=0.8, word 3-grams) and the
+    MinHash banding (64 perms, 16 bands, md5), all integer-exact. The
+    `sh` CTE (shingles) is shared by both lanes — the same sharing the
+    Spark side gets structurally."""
+    from data_algorithms_with_pyspark_spark.plans.lsh_oracles import (
+        _bands_cte,
+        _sig_ctes,
+    )
+
+    t_bp = int(_PREFIX_JACCARD_THRESHOLD * 10000)
+    cap = _PREFIX_GUARD_POSTING
+    return f"""
+        WITH {_sig_ctes(64, _NGRAM_N, 42)},
+        {_bands_cte(64, 16)},
+        mh AS (
+            SELECT CAST(count(*) AS BIGINT) AS mh_n_buckets,
+                   CAST(max(c) AS BIGINT) AS mh_max_bucket,
+                   CAST(sum(c * (c - 1) // 2) AS BIGINT) AS mh_cand_bound
+            FROM (SELECT count(*) AS c FROM bands GROUP BY band, band_hash)
+        ),
+        pposting AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        pdfreq AS (SELECT s, count(*) AS df FROM pposting GROUP BY s),
+        pordered AS (
+            SELECT p.doc_id,
+                   list(p.s ORDER BY d.df, p.s) AS sorted_sh,
+                   count(*) AS n_sh
+            FROM pposting p JOIN pdfreq d USING (s)
+            GROUP BY p.doc_id
+        ),
+        ppre AS (
+            SELECT doc_id,
+                   unnest(list_slice(
+                       sorted_sh, 1,
+                       CAST(n_sh - floor(({t_bp} * n_sh + 9999) / 10000) + 1
+                            AS BIGINT))) AS s
+            FROM pordered
+        ),
+        pp AS (
+            SELECT CAST(count(*) AS BIGINT) AS pp_n_prefix_shingles,
+                   CAST(max(c) AS BIGINT) AS pp_max_posting,
+                   CAST(sum(c * (c - 1) // 2) AS BIGINT) AS pp_cand_bound,
+                   CAST(count(*) FILTER (WHERE c > {cap}) AS BIGINT)
+                       AS pp_over_cap
+            FROM (SELECT count(*) AS c FROM ppre GROUP BY s)
+        ),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        SELECT nd.n_docs,
+               mh.mh_n_buckets, mh.mh_max_bucket, mh.mh_cand_bound,
+               pp.pp_n_prefix_shingles, pp.pp_max_posting,
+               pp.pp_cand_bound, pp.pp_over_cap
+        FROM nd, mh, pp
+"""
+
+
+@register(
+    "dedup_degeneracy_preflight",
+    tags=("dedup", "lsh", "scale", "quality"),
+    description="Pre-flight degeneracy audit for the near-dup lanes: "
+    "exact candidate-volume BOUNDS (sum C(size,2) over PPJoin prefix "
+    "postings at t=0.8 and over MinHash 64/16 band buckets) plus max "
+    f"posting/bucket sizes and the over-cap({_PREFIX_GUARD_POSTING}) "
+    "count — the one-row report that detects a narrow-vocabulary corpus "
+    "BEFORE committing to the quadratic join; all integer-exact, full "
+    "DuckDB oracle",
+    oracle=_degeneracy_preflight_oracle(),
+)
+def dedup_degeneracy_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 sf10 lesson as a first-class queryable operator: before
+    running an exact similarity join (or after an LSH lane misbehaves),
+    audit the index-key size distributions that govern candidate volume.
+    ``pp_cand_bound`` = sum C(df_prefix, 2) is an upper bound on PPJoin
+    candidate pairs (1.95e9 on the sf10 narrow-vocab draw — the ENOSPC
+    predictor; 3.5e3 at sf0.1); ``mh_cand_bound`` is the same bound for
+    the MinHash band join. Costs two keyed aggregates over indexes the
+    dedup lanes build anyway — ~1% of the join it de-risks. All outputs
+    integer (counts/bounds), so the cross-engine compare is exact."""
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        minhash_bands,
+        prefix_postings,
+        spread_partitions,
+        token_shingles,
+    )
+    from data_algorithms_with_pyspark_spark.functions.text_functions import (
+        words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs, num_perm=64, shingle_n=_NGRAM_N, hash_fn="md5"
+    )
+    pair_bound = (F.col("c") * (F.col("c") - 1) / 2).cast("long")
+    mh = (
+        minhash_bands(sigs, 16, hash_fn="md5")
+        .groupBy("band", "band_hash")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count("*").cast("long").alias("mh_n_buckets"),
+            F.max("c").cast("long").alias("mh_max_bucket"),
+            F.sum(pair_bound).cast("long").alias("mh_cand_bound"),
+        )
+    )
+    shingles = (
+        spread_partitions(docs.select("doc_id", "text"))
+        .select(F.col("doc_id"), words("text").alias("_w"))
+        .select(
+            F.col("doc_id"),
+            token_shingles(F.col("_w"), _NGRAM_N).alias("shingles"),
+        )
+    )
+    pp = (
+        prefix_postings(shingles, _PREFIX_JACCARD_THRESHOLD)
+        .groupBy("s")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count("*").cast("long").alias("pp_n_prefix_shingles"),
+            F.max("c").cast("long").alias("pp_max_posting"),
+            F.sum(pair_bound).cast("long").alias("pp_cand_bound"),
+            F.sum(
+                F.when(F.col("c") > _PREFIX_GUARD_POSTING, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("pp_over_cap"),
+        )
+    )
+    nd = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    return nd.crossJoin(mh).crossJoin(pp)
+
+
 @register(
     "prefix_jaccard_guarded_near_dups",
     tags=("dedup", "similarity-join", "scale"),
