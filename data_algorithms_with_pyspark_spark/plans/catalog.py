@@ -61,9 +61,10 @@ _QUERY_MODULES = (
 _SAMPLE_PRIORITY = (
     # Round 10 rotation (VERDICT r9 #1 — the convergence window).
     # Ordering rule (unchanged): new-this-round queries first, then
-    # the stalest re-attestation blocks. TWO new rows this round (the
-    # PPJoin degeneracy guard and the degeneracy pre-flight audit, both
-    # born from the r10 sf10 finding), then the 44 r4-only-green queries (the alphabetical tail the r9 ~50
+    # the stalest re-attestation blocks. THREE new rows this round (the
+    # PPJoin degeneracy guard and the two degeneracy pre-flight audits,
+    # all born from the r10 sf10 finding), then the 44 r4-only-green
+    # queries (the alphabetical tail the r9 ~50
     # cut dropped; enumerated by scripts/staleness.py from the
     # CORRECTNESS_r0{1..9} union) followed by the 50 r5-only-green
     # block. The ~50 cut attests the new row + ALL 44 r4-stale rows
@@ -71,6 +72,7 @@ _SAMPLE_PRIORITY = (
     # cumulative union is older than r5, and r11 drains r5.
     "prefix_jaccard_guarded_near_dups",
     "dedup_degeneracy_preflight",
+    "srp_degeneracy_preflight",
     # r4-only-green block (44), alphabetical.
     "concurrent_session_pairs",
     "customer_balance_ranks",

@@ -105,6 +105,7 @@ def _marker_sql(markers: tuple[str, ...]) -> str:
 _SRP_N_PLANES = 32
 _SRP_BANDS = 4
 _SRP_DIM = 64
+_SRP_GUARD_BUCKET = 16
 
 
 def _srp_code_sql(dim: int = _SRP_DIM, n_planes: int = _SRP_N_PLANES, seed: int = 42) -> str:
@@ -569,6 +570,97 @@ def dedup_degeneracy_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = docs.agg(F.count("*").cast("long").alias("n_docs"))
     return nd.crossJoin(mh).crossJoin(pp)
+
+
+def _srp_preflight_oracle() -> str:
+    """DuckDB replay of the SRP-lane pre-flight: exact band-bucket size
+    statistics for the attested 32-plane/4-band coding."""
+    width = _SRP_N_PLANES // _SRP_BANDS
+    mask = (1 << width) - 1
+    return f"""
+        WITH srp_v AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        ),
+        srp_coded AS (
+            SELECT vec_id, {_srp_code_sql()} AS code FROM srp_v
+        ),
+        srp_banded AS (
+            SELECT vec_id, t.band,
+                   (code >> (t.band * {width})) & {mask} AS band_code
+            FROM srp_coded, (SELECT unnest(range({_SRP_BANDS})) AS band) t
+        ),
+        st AS (
+            SELECT CAST(count(*) AS BIGINT) AS srp_n_buckets,
+                   CAST(max(c) AS BIGINT) AS srp_max_bucket,
+                   CAST(sum(c * (c - 1) // 2) AS BIGINT) AS srp_cand_bound,
+                   CAST(count(*) FILTER (WHERE c > {_SRP_GUARD_BUCKET})
+                        AS BIGINT) AS srp_over_cap
+            FROM (SELECT count(*) AS c FROM srp_banded
+                  GROUP BY band, band_code)
+        ),
+        nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings)
+        SELECT nv.n_vecs, st.srp_n_buckets, st.srp_max_bucket,
+               st.srp_cand_bound, st.srp_over_cap
+        FROM nv, st
+"""
+
+
+@register(
+    "srp_degeneracy_preflight",
+    tags=("dedup", "similarity", "lsh", "scale", "quality"),
+    description="Pre-flight degeneracy audit for the SRP-LSH lane: exact "
+    "band-bucket size statistics (bucket count, max size, sum C(size,2) "
+    f"candidate bound, over-cap({_SRP_GUARD_BUCKET}) count) for the "
+    "attested 32/4 coding — the measured counterpart of "
+    "choose_lsh_params' occupancy model; full DuckDB oracle",
+    oracle=_srp_preflight_oracle(),
+)
+def srp_degeneracy_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings-lane sibling of ``dedup_degeneracy_preflight``:
+    before an SRP near-dup run, audit the band-bucket distribution that
+    governs candidate volume. ``srp_cand_bound`` = sum C(bucket, 2) is
+    the exact pair count the band join would emit (pre-dedup) — the
+    quantity choose_lsh_params bounds by design (expected
+    bands*n^2/2^(w+1)) and the sf10 audit measured blowing up at a
+    fixed 8-bit width; ``srp_over_cap`` counts the buckets the guarded
+    row's cap would exclude. One coding pass + one keyed aggregate."""
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        srp_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    width = _SRP_N_PLANES // _SRP_BANDS
+    mask = (1 << width) - 1
+    coded = srp_codes(emb, _SRP_DIM, _SRP_N_PLANES, 42)
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("srp_code"), b * width).bitwiseAND(
+                F.lit(mask).cast("long")
+            )
+            for b in range(_SRP_BANDS)
+        ]
+    )
+    banded = coded.select(
+        F.col("vec_id"), F.posexplode(band_vals).alias("band", "band_code")
+    )
+    st = (
+        banded.groupBy("band", "band_code")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count("*").cast("long").alias("srp_n_buckets"),
+            F.max("c").cast("long").alias("srp_max_bucket"),
+            F.sum((F.col("c") * (F.col("c") - 1) / 2).cast("long"))
+            .cast("long")
+            .alias("srp_cand_bound"),
+            F.sum(
+                F.when(F.col("c") > _SRP_GUARD_BUCKET, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("srp_over_cap"),
+        )
+    )
+    nv = emb.agg(F.count("*").cast("long").alias("n_vecs"))
+    return nv.crossJoin(st)
 
 
 @register(
@@ -3822,9 +3914,6 @@ def simhash_guarded_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bits=60,
         max_bucket=_SIMHASH_GUARD_BUCKET,
     ).where(F.col("hamming") <= 15)
-
-
-_SRP_GUARD_BUCKET = 16
 
 
 @register(
