@@ -534,7 +534,9 @@ def dedup_degeneracy_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(
         docs, num_perm=64, shingle_n=_NGRAM_N, hash_fn="md5"
     )
-    pair_bound = (F.col("c") * (F.col("c") - 1) / 2).cast("long")
+    # Exact LONG arithmetic (DIV), matching the oracle's hugeint `//`:
+    # float `/ 2` loses integer exactness past 2^53 (postings > ~9.5e7).
+    pair_bound = F.expr("c * (c - 1) DIV 2")
     mh = (
         minhash_bands(sigs, 16, hash_fn="md5")
         .groupBy("band", "band_hash")
@@ -649,7 +651,8 @@ def srp_degeneracy_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("srp_n_buckets"),
             F.max("c").cast("long").alias("srp_max_bucket"),
-            F.sum((F.col("c") * (F.col("c") - 1) / 2).cast("long"))
+            # Exact LONG arithmetic (DIV) — see dedup_degeneracy_preflight.
+            F.sum(F.expr("c * (c - 1) DIV 2"))
             .cast("long")
             .alias("srp_cand_bound"),
             F.sum(
@@ -3943,17 +3946,38 @@ def srp_guarded_cosine_near_dups(
     semantics there; on draws with balanced buckets the output equals
     the uncapped row's.
 
-    Band WIDTH comes from ``choose_lsh_params`` over a parquet-metadata
-    ``count()`` — the sf10 lesson productized (a static 8-bit width goes
+    Band WIDTH comes from ``choose_lsh_params`` over a parquet-FOOTER
+    row count (``readers.parquet_row_count`` — driver-side metadata, no
+    Spark job; ADVICE r10 removed the per-invocation ``count()``
+    action) — the sf10 lesson productized (a static 8-bit width goes
     quadratic at 200k vectors; the planner's budget keeps every
     oracle-attested draw, <= 20k vectors, at the attested 32/4 config —
     ``tests/test_similarity_planning.py`` pins that invariance — and
-    picks the measured 16-bit fix beyond the flip at n > 25_600, where
-    this fixed oracle no longer applies). The cap stays this row's
-    attested constant; the planner's recommended cap is for deployments
-    without an attested config."""
+    picks the measured 16-bit fix beyond the flip at n > 25_600).
+
+    Oracle coherence (ADVICE r10): this row's registered oracle is
+    FROZEN at the attested 32-plane/4-band coding, so a corpus past the
+    planner's flip would make the cross-engine gate report a spurious
+    hash mismatch. Guard: when the plan disagrees with the attested
+    config, fail FAST with the real diagnosis (re-attest at the new
+    width) instead of letting the driver record a false mismatch."""
+    from data_algorithms_with_pyspark_spark.sources.readers import (
+        parquet_row_count,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    plan = choose_lsh_params(emb.count(), dim=_SRP_DIM, bands=_SRP_BANDS)
+    n = parquet_row_count(sf_dir, "embeddings")
+    plan = choose_lsh_params(n, dim=_SRP_DIM, bands=_SRP_BANDS)
+    if plan.n_planes != _SRP_N_PLANES or plan.bands != _SRP_BANDS:
+        raise ValueError(
+            f"srp_guarded_cosine_near_dups: choose_lsh_params(n={n}) "
+            f"picked {plan.band_width}-bit bands ({plan.n_planes} planes) "
+            f"but this row's DuckDB oracle is attested at the "
+            f"{_SRP_N_PLANES}/{_SRP_BANDS} coding — re-attest the oracle "
+            "at the planned width (srp_pairs_sql is parameterized) "
+            "rather than letting the cross-engine gate report a "
+            "spurious mismatch"
+        )
     return srp_banded_near_dup_pairs(
         emb,
         dim=_SRP_DIM,

@@ -23,12 +23,19 @@ from __future__ import annotations
 
 import atexit
 import os
+import re
 import shutil
 import tempfile
 
-__all__ = ["scratch_dir", "scratch_mkdtemp"]
+__all__ = ["scratch_dir", "scratch_mkdtemp", "sweep_orphans"]
 
 _CREATED: set[str] = set()
+
+# Every scratch path embeds the owning PID so a LATER process can tell a
+# live run's scratch from a crashed one's: scratch_dir ends in `_{pid}`,
+# scratch_mkdtemp embeds `pid-{pid}_` before mkdtemp's random suffix.
+_MKDTEMP_PID_RE = re.compile(r"pid-(\d+)_")
+_SUFFIX_PID_RE = re.compile(r"_(\d+)$")
 
 
 def _cleanup() -> None:
@@ -37,6 +44,47 @@ def _cleanup() -> None:
 
 
 atexit.register(_cleanup)
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except OSError:
+        # PermissionError etc.: the PID exists but isn't ours.
+        return True
+    return True
+
+
+def sweep_orphans(tmp: str | None = None) -> list[str]:
+    """Remove spark_graft_* scratch dirs whose owning process is gone.
+
+    atexit never runs on SIGKILL/OOM, and because paths are PID-keyed a
+    later run (different PID) would never overwrite a crashed run's
+    leak — repeated crashes accumulate unbounded /tmp usage. Run
+    opportunistically at import: any dir whose embedded PID no longer
+    exists is dead by construction (its atexit can never fire).
+    Returns the removed paths (for tests)."""
+    tmp = tmp or tempfile.gettempdir()
+    try:
+        names = os.listdir(tmp)
+    except OSError:
+        return []
+    removed: list[str] = []
+    for name in names:
+        if not name.startswith("spark_graft_"):
+            continue
+        m = _MKDTEMP_PID_RE.search(name) or _SUFFIX_PID_RE.search(name)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        if pid == os.getpid() or _pid_alive(pid):
+            continue
+        path = os.path.join(tmp, name)
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(path)
+    return removed
 
 
 def scratch_dir(prefix: str, sf_dir: str) -> str:
@@ -55,7 +103,14 @@ def scratch_dir(prefix: str, sf_dir: str) -> str:
 def scratch_mkdtemp(prefix: str) -> str:
     """``tempfile.mkdtemp`` that is swept at process exit — for staging
     dirs that need a FRESH directory per call (streaming checkpoints,
-    compaction before/after trees) rather than a per-process stable one."""
-    path = tempfile.mkdtemp(prefix=prefix)
+    compaction before/after trees) rather than a per-process stable one.
+    The name embeds the spark_graft marker + owning PID so
+    :func:`sweep_orphans` can reclaim it after a crashed run."""
+    path = tempfile.mkdtemp(
+        prefix=f"spark_graft_{prefix}pid-{os.getpid()}_"
+    )
     _CREATED.add(path)
     return path
+
+
+sweep_orphans()

@@ -115,6 +115,37 @@ def table_fingerprint(sf_dir: str, table: str) -> str:
     return hashlib.md5(sig.encode()).hexdigest()[:8]
 
 
+_ROW_COUNT_CACHE: dict[str, int] = {}
+
+
+def parquet_row_count(sf_dir: str, table: str) -> int:
+    """Exact row count of a testdata table from parquet FOOTERS only —
+    the cheap corpus-size estimate the LSH planners need
+    (``choose_lsh_params`` docstring: "a parquet-metadata count()").
+    Unlike ``df.count()`` this never launches a Spark job: it reads each
+    part file's footer metadata driver-side (pyarrow), O(part files)
+    stat+footer reads. Cached per content fingerprint so repeated
+    planner calls in one process cost nothing, while in-place data
+    regeneration invalidates (same contract as table_fingerprint)."""
+    import pyarrow.parquet as pq
+
+    key = table_fingerprint(sf_dir, table)
+    if key in _ROW_COUNT_CACHE:
+        return _ROW_COUNT_CACHE[key]
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(p):
+        files = sorted(
+            os.path.join(p, e)
+            for e in os.listdir(p)
+            if e.endswith(".parquet") and not e.startswith((".", "_"))
+        )
+    else:
+        files = [p]
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    _ROW_COUNT_CACHE[key] = n
+    return n
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -214,3 +214,35 @@ def test_simhash_planner_validation():
         simhash_band_catch_probability(60, 4, 61)
     with _pytest.raises(ValueError):
         choose_simhash_params(4, 1, min_band_width=8)  # nothing clears floor
+
+
+def test_srp_guarded_row_oracle_coherence_guard(spark, monkeypatch):
+    """ADVICE r10: the srp_guarded row's oracle is frozen at the 32/4
+    coding; past the planner flip the row must fail fast with the
+    re-attestation diagnosis, not let the cross-engine gate record a
+    spurious hash mismatch."""
+    from data_algorithms_with_pyspark_spark.plans.catalog import get_query
+    from data_algorithms_with_pyspark_spark.sources import readers
+
+    row = get_query("srp_guarded_cosine_near_dups")
+    # Below the flip: plan == attested config, query builds fine.
+    df = row.fn(spark, "/root/testdata/sf0.001")
+    assert {"id_1", "id_2"} <= set(df.columns)
+    # Past the flip (n > 25_600): ValueError naming the attested coding.
+    monkeypatch.setattr(readers, "parquet_row_count", lambda *a: 200_000)
+    with pytest.raises(ValueError, match="32/4"):
+        row.fn(spark, "/root/testdata/sf0.001")
+
+
+def test_srp_guarded_row_uses_metadata_count_not_a_job(monkeypatch, spark):
+    """The planner's n comes from parquet footers (driver-side), never a
+    Spark count() action per invocation (ADVICE r10)."""
+    from data_algorithms_with_pyspark_spark.plans.catalog import get_query
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("count() action in srp_guarded planner wiring")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    # Building the (lazy) plan must not trigger any action.
+    get_query("srp_guarded_cosine_near_dups").fn(spark, "/root/testdata/sf0.001")

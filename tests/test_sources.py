@@ -614,3 +614,59 @@ def test_scratch_dir_is_pid_keyed_and_tracked():
     assert p1 in scratch._CREATED
     other = scratch.scratch_dir("x", "/root/testdata/sf0.1")
     assert other != p1
+
+
+def test_scratch_sweep_orphans_reclaims_dead_pid_dirs(tmp_path):
+    """ADVICE r10: atexit never fires on SIGKILL/OOM, and PID-keyed paths
+    mean a later run never overwrites a crashed run's leak — the import-
+    time sweep must reclaim dirs whose embedded PID is dead and leave
+    live ones alone."""
+    import os as _os
+
+    from data_algorithms_with_pyspark_spark import scratch
+
+    # A PID that cannot exist (> kernel pid_max on any default config).
+    dead = tmp_path / "spark_graft_x_sf0.01_999999999"
+    dead.mkdir()
+    dead_mk = tmp_path / "spark_graft_cdc_stream_pid-999999999_ab_1cd"
+    dead_mk.mkdir()
+    live = tmp_path / f"spark_graft_x_sf0.01_{_os.getpid()}"
+    live.mkdir()
+    unmarked = tmp_path / "spark_graft_nopid_suffix"
+    unmarked.mkdir()
+    other = tmp_path / "unrelated_dir_123"
+    other.mkdir()
+
+    removed = scratch.sweep_orphans(str(tmp_path))
+    assert sorted(removed) == sorted([str(dead), str(dead_mk)])
+    assert not dead.exists() and not dead_mk.exists()
+    assert live.exists() and unmarked.exists() and other.exists()
+
+
+def test_scratch_mkdtemp_embeds_marker_and_pid():
+    import os as _os
+
+    from data_algorithms_with_pyspark_spark import scratch
+
+    p = scratch.scratch_mkdtemp(prefix="unittest_stage_")
+    try:
+        base = _os.path.basename(p)
+        assert base.startswith("spark_graft_unittest_stage_")
+        assert f"pid-{_os.getpid()}_" in base
+        assert p in scratch._CREATED
+    finally:
+        _os.rmdir(p)
+
+
+def test_parquet_row_count_matches_scan(spark):
+    """Footer-metadata counts agree with a real scan on file and
+    directory parquet layouts, and cache per content fingerprint."""
+    from data_algorithms_with_pyspark_spark.sources.readers import (
+        load_table,
+        parquet_row_count,
+    )
+
+    for table in ("embeddings", "nation"):
+        n_meta = parquet_row_count("/root/testdata/sf0.001", table)
+        n_scan = load_table(spark, "/root/testdata/sf0.001", table).count()
+        assert n_meta == n_scan > 0
