@@ -255,10 +255,18 @@ def choose_lsh_params(
         raise ValueError("bands must be >= 1")
     if candidates_per_item < 1:
         raise ValueError("candidates_per_item must be >= 1")
-    need = bands * n / candidates_per_item  # required 2^(width+1)
-    w_min = max(1, math.ceil(math.log2(need)) - 1) if need > 1 else 1
-    width = min(32, max(8, 8 * math.ceil(w_min / 8)))
-    occupancy = math.ceil(n / (1 << width))
+    # Pure INTEGER ladder (no float log2): width w qualifies iff
+    # 2^(w+1) >= bands*n/candidates_per_item, i.e.
+    # candidates_per_item << (w+1) >= bands*n — exact at every boundary
+    # (a float `need` can round across a power-of-two edge past 2^53),
+    # and replayable verbatim by an integer SQL oracle
+    # (lsh_planner_recommendations).
+    width = 32
+    for w in (8, 16, 24):
+        if candidates_per_item << (w + 1) >= bands * n:
+            width = w
+            break
+    occupancy = -(-n // (1 << width))  # ceil division, integer-exact
     return LshPlan(
         n=n,
         bands=bands,

@@ -59,70 +59,18 @@ _QUERY_MODULES = (
 # attestation covers every catalog query (scripts/driver_sim.py always
 # verifies all of them regardless of order).
 _SAMPLE_PRIORITY = (
-    # Round 10 rotation (VERDICT r9 #1 — the convergence window).
-    # Ordering rule (unchanged): new-this-round queries first, then
-    # the stalest re-attestation blocks. THREE new rows this round (the
-    # PPJoin degeneracy guard and the two degeneracy pre-flight audits,
-    # all born from the r10 sf10 finding), then the 44 r4-only-green
-    # queries (the alphabetical tail the r9 ~50
-    # cut dropped; enumerated by scripts/staleness.py from the
-    # CORRECTNESS_r0{1..9} union) followed by the 50 r5-only-green
-    # block. The ~50 cut attests the new row + ALL 44 r4-stale rows
-    # plus the head of the r5 block; after this round nothing in the
-    # cumulative union is older than r5, and r11 drains r5.
-    "prefix_jaccard_guarded_near_dups",
-    "dedup_degeneracy_preflight",
-    "srp_degeneracy_preflight",
-    # r4-only-green block (44), alphabetical.
-    "concurrent_session_pairs",
-    "customer_balance_ranks",
-    "customer_k_anonymity_audit",
-    "customer_rfm_segments",
-    "customer_scd2_history",
-    "doc_quality_classifier",
-    "doc_quality_classifier_eval",
-    "documents_cdc_chunk_dedup",
-    "documents_replica_digest",
-    "documents_weighted_sample",
-    "dp_event_type_release",
-    "embedding_cluster_top_terms",
-    "embedding_gram_covariance",
-    "embedding_pca_projection",
-    "event_type_transition_matrix",
-    "event_value_sampled_quantiles",
-    "events_inter_arrival_stats",
-    "events_rolling_hour_avg",
-    "events_value_drift_psi",
-    "events_value_holt_forecast",
-    "events_value_robust_outliers",
-    "graph_cc_star_contraction",
-    "graph_label_propagation",
-    "image_perceptual_dedup_groups",
-    "incremental_hourly_agg_merge",
-    "incremental_near_dup_candidates",
-    "incremental_near_dup_persisted_index",
-    "ivf_pq_ann_topk",
-    "ivf_pq_recall_report",
-    "language_id_confusion",
-    "lineitem_zorder_extents",
-    "near_dup_keep_best",
-    "orders_column_profile",
-    "orders_key_skew_report",
-    "orders_snapshot_diff",
-    "portable_hll_distinct_users",
-    "pq_ann_topk",
-    "pq_recall_report",
-    "prefix_jaccard_near_dups",
-    "q11_important_stock",
-    "q20_promotable_suppliers",
-    "q2_min_cost_supplier",
-    "term_bigram_pmi",
-    "user_journey_path_ngrams",
-    # r5-only-green block (50), alphabetical (deterministic tail for
-    # the r11 cut).
-    "active_nation_keys",
-    "approx_distinct_users_hll",
-    "char_count",
+    # Round 11 rotation (VERDICT r10 #1 — the FINAL drain). Ordering
+    # rule (unchanged): new-this-round queries first, then the stalest
+    # re-attestation block. TWO new rows this round (the LSH planner
+    # trio under oracle attestation and the choose_dedup_lane decision
+    # row — VERDICT r10 orders #3/#4), then the 47 r5-only-green
+    # queries (enumerated by scripts/staleness.py from the
+    # CORRECTNESS_r0{1..10} union). 2 + 47 = 49 fits the ~50 cut with
+    # slack; after this round NOTHING in the cumulative union is older
+    # than r7 — the attestation ledger has no stale tail left.
+    "lsh_planner_recommendations",
+    "dedup_lane_choice",
+    # r5-only-green block (47), alphabetical.
     "corpus_dataset_card",
     "corpus_train_ready_pipeline",
     "customer_balance_etl",
@@ -170,10 +118,21 @@ _SAMPLE_PRIORITY = (
     "term_heavy_hitters",
     "top_orders_per_priority",
     "video_fingerprint_dedup_groups",
-    # NOTE r11 rotation: whatever the ~50 cut drops from the r5 tail
-    # above leads r11, followed by the r7-stale block (recompute from
-    # CORRECTNESS_r0{1..10} via scripts/staleness.py).
+    # NOTE r12 rotation: the r5 tail is drained; lead r12 with any new
+    # rows followed by the r7-stale block (recompute from
+    # CORRECTNESS_r0{1..11} via scripts/staleness.py).
 )
+
+# Queries pinned to the very END of catalog iteration order so the
+# driver's ~50-query sample window never lands on them again:
+# approx_distinct_users_hll is the one row with no DuckDB oracle
+# (Spark's built-in HLL internals are not replayable in another
+# engine), so every window that samples it records a spurious-looking
+# `err: no_oracle` (VERDICT r10 #6). It stays in the catalog — the
+# hostile driver_sim still runs its rows-only check every round, its
+# exact twin brackets it, and the md5-lane portable_hll_distinct_users
+# carries the full value oracle for the estimate itself.
+_SAMPLE_LAST = ("approx_distinct_users_hll",)
 
 _REGISTRY: dict[str, "CatalogQuery"] = {}
 _LOADED = False
@@ -218,7 +177,14 @@ def all_queries() -> dict[str, CatalogQuery]:
     ordered = {
         name: _REGISTRY[name] for name in _SAMPLE_PRIORITY if name in _REGISTRY
     }
-    ordered.update(_REGISTRY)
+    ordered.update(
+        (name, q)
+        for name, q in _REGISTRY.items()
+        if name not in _SAMPLE_LAST
+    )
+    ordered.update(
+        (name, _REGISTRY[name]) for name in _SAMPLE_LAST if name in _REGISTRY
+    )
     return ordered
 
 
