@@ -61,6 +61,34 @@ __all__ = [
 _SRC_CACHE: dict[str, str] = {}
 _SINK_SEQ = itertools.count()
 
+# Per-prefix state-store telemetry from the MOST RECENT terminated
+# StreamingQuery: {"max_state_rows": N, "max_state_bytes": B,
+# "n_batches": K}, maxed over the run's progress events. Observability
+# only — no query semantics read it; the sf10 scale panel
+# (scripts/sf10_panel_r11.py) uses it to put "state is bounded by the
+# watermark" on the record as a measured number instead of a design
+# claim (VERDICT r10 #5).
+STATE_METRICS: dict[str, dict[str, int]] = {}
+
+
+def _record_state_metrics(prefix: str, q) -> None:
+    rows = 0
+    bytes_ = 0
+    dropped = 0
+    batches = 0
+    for p in q.recentProgress:
+        batches += 1
+        for op in p.stateOperators or ():
+            rows = max(rows, int(op.numRowsTotal or 0))
+            bytes_ = max(bytes_, int(op.memoryUsedBytes or 0))
+            dropped += int(op.numRowsDroppedByWatermark or 0)
+    STATE_METRICS[prefix] = {
+        "max_state_rows": rows,
+        "max_state_bytes": bytes_,
+        "rows_dropped_by_watermark": dropped,
+        "n_batches": batches,
+    }
+
 
 def _events_src_key(sf_dir: str) -> str:
     from data_algorithms_with_pyspark_spark.sources.readers import (
@@ -99,6 +127,7 @@ def _run_complete(stream_df: DataFrame, prefix: str) -> str:
         .start()
     )
     q.awaitTermination()
+    _record_state_metrics(prefix, q)
     return name
 
 
@@ -143,6 +172,7 @@ def _run_update(stream_df: DataFrame, prefix: str) -> str:
         .start()
     )
     q.awaitTermination()
+    _record_state_metrics(prefix, q)
     return name
 
 
@@ -158,6 +188,7 @@ def _run_append(stream_df: DataFrame, prefix: str) -> str:
         .start()
     )
     q.awaitTermination()
+    _record_state_metrics(prefix, q)
     return name
 
 
@@ -1093,7 +1124,9 @@ def streaming_restart_recovery_parity(
             .start()
         )
         q.awaitTermination()
+        _record_state_metrics(f"restart_recovery_run{next(run_seq)}", q)
 
+    run_seq = itertools.count(1)
     _arrive(staged[:half])
     _run_once()  # run 1: prefix only, then a real stop
     _arrive(staged[half:])

@@ -829,3 +829,24 @@ def test_events_replay_offsets_monotone_across_restart(tmp_path):
     assert [c[-13:] for c in chunks] == [
         f"part-{i:05d}.parquet"[-13:] for i in range(5, nxt)
     ]
+
+
+def test_state_metrics_recorded_for_append_parity(spark):
+    """The per-prefix state-store telemetry (STATE_METRICS) records the
+    real progress of the most recent terminated StreamingQuery: after
+    the append-hourly parity row runs, its prefix holds max state rows
+    >= the distinct (window, event_type) groups ever open at once, a
+    positive memory footprint, one batch per source file (4 real + 2
+    flush sentinels), and ZERO rows dropped by the watermark (the
+    ts-ordered source never delivers late data — any drop would mean
+    the parity row silently lost input)."""
+    from data_algorithms_with_pyspark_spark.plans import streaming_parity
+
+    streaming_parity.STATE_METRICS.pop("append_hourly_parity", None)
+    out = all_queries()["streaming_append_hourly_parity"].fn(spark, SF_SMOKE)
+    assert out.count() > 0
+    m = streaming_parity.STATE_METRICS["append_hourly_parity"]
+    assert m["max_state_rows"] > 0
+    assert m["max_state_bytes"] > 0
+    assert m["rows_dropped_by_watermark"] == 0
+    assert m["n_batches"] >= 6  # 4 real ts-range files + 2 flush files
