@@ -61,15 +61,17 @@ _QUERY_MODULES = (
 _SAMPLE_PRIORITY = (
     # Round 11 rotation (VERDICT r10 #1 — the FINAL drain). Ordering
     # rule (unchanged): new-this-round queries first, then the stalest
-    # re-attestation block. TWO new rows this round (the LSH planner
-    # trio under oracle attestation and the choose_dedup_lane decision
-    # row — VERDICT r10 orders #3/#4), then the 47 r5-only-green
+    # re-attestation block. THREE new rows this round (the LSH planner
+    # trio under oracle attestation, the choose_dedup_lane decision
+    # row — VERDICT r10 orders #3/#4 — and the routed near-dup join
+    # that EXECUTES the decision), then the 47 r5-only-green
     # queries (enumerated by scripts/staleness.py from the
-    # CORRECTNESS_r0{1..10} union). 2 + 47 = 49 fits the ~50 cut with
-    # slack; after this round NOTHING in the cumulative union is older
+    # CORRECTNESS_r0{1..10} union). 3 + 47 = 50 exactly fills the ~50
+    # cut; after this round NOTHING in the cumulative union is older
     # than r7 — the attestation ledger has no stale tail left.
     "lsh_planner_recommendations",
     "dedup_lane_choice",
+    "auto_routed_near_dups",
     # r5-only-green block (47), alphabetical.
     "corpus_dataset_card",
     "corpus_train_ready_pipeline",

@@ -683,6 +683,23 @@ def srp_degeneracy_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with the Spark side, inlined into the oracle f-string):
 _MH_T_CATCH = 0.8  # -> t_reject = t_catch/4 = 0.2 (planner default)
 _SH_CONTRACT = (60, 15)  # the catalog rows' 60-bit sketch, radius 15
+
+
+def _auto_mh_plan():
+    """The MinHash plan the auto-routed lane executes: purely a function
+    of the t_catch contract (corpus-size independent), so it is a
+    module-level constant — and because the oracle text below inlines
+    THESE values, planner and oracle move together by construction
+    (lsh_planner_recommendations attests the grid search itself
+    cross-engine on every draw)."""
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        choose_minhash_params,
+    )
+
+    return choose_minhash_params(_MH_T_CATCH)
+
+
+_AUTO_MH = _auto_mh_plan()  # (num_perm=56, bands=14, r=4) at t_catch=0.8
 _SH64_CONTRACT = (64, 3)  # a lossless-branch contract (bands = h+1)
 
 
@@ -990,27 +1007,14 @@ def _dedup_lane_choice_oracle() -> str:
 """
 
 
-@register(
-    "dedup_lane_choice",
-    tags=("dedup", "lsh", "scale", "planning", "quality"),
-    description="The pre-flight lane-selection rule as a catalog row: "
-    "exact PPJoin posting stats (incl. the CAPPED candidate volume) "
-    "feed operators/planning.choose_dedup_lane, which routes to exact "
-    "/ guarded / MinHash per the thresholds that reproduce the sf10 "
-    "diagnoses; the oracle replays index, readings, and decision in "
-    "integer SQL",
-    oracle=_dedup_lane_choice_oracle(),
-)
-def dedup_lane_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Runs ``choose_dedup_lane`` (operators/planning.py) on this
-    corpus's actual pre-flight readings: one keyed aggregate over the
-    PPJoin prefix index (the same index the dedup lanes build anyway)
-    collected as a single bounded row, then the pure-integer decision.
-    On the driver draws the readings are healthy and the rule picks the
-    lossless exact lane; the narrow-vocabulary and hot-cluster regimes
-    are pinned by tests/test_dedup_lane_planning.py with the measured
-    sf10 readings. The cross-engine compare covers readings AND
-    decision — the rule cannot drift from its oracle restatement."""
+def _collect_lane_plan(spark: SparkSession, sf_dir: str):
+    """The shared planning step: one keyed aggregate over the PPJoin
+    prefix index (the same index the dedup lanes build anyway) collected
+    as a single bounded row of pre-flight readings, then the
+    pure-integer ``choose_dedup_lane`` decision. Returns
+    ``(readings_row, n_docs, DedupLanePlan)`` — consumed by the
+    ``dedup_lane_choice`` attestation row (readings + decision as data)
+    and by ``auto_routed_near_dups`` (decision EXECUTED)."""
     from data_algorithms_with_pyspark_spark.operators.dedup import (
         prefix_postings,
         spread_partitions,
@@ -1074,6 +1078,29 @@ def dedup_lane_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_posting=cap,
         t_catch=_MH_T_CATCH,
     )
+    return r, n_docs, plan
+
+
+@register(
+    "dedup_lane_choice",
+    tags=("dedup", "lsh", "scale", "planning", "quality"),
+    description="The pre-flight lane-selection rule as a catalog row: "
+    "exact PPJoin posting stats (incl. the CAPPED candidate volume) "
+    "feed operators/planning.choose_dedup_lane, which routes to exact "
+    "/ guarded / MinHash per the thresholds that reproduce the sf10 "
+    "diagnoses; the oracle replays index, readings, and decision in "
+    "integer SQL",
+    oracle=_dedup_lane_choice_oracle(),
+)
+def dedup_lane_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs ``choose_dedup_lane`` (operators/planning.py) on this
+    corpus's actual pre-flight readings via ``_collect_lane_plan``. On
+    the driver draws the readings are healthy and the rule picks the
+    lossless exact lane; the narrow-vocabulary and hot-cluster regimes
+    are pinned by tests/test_dedup_lane_planning.py with the measured
+    sf10 readings. The cross-engine compare covers readings AND
+    decision — the rule cannot drift from its oracle restatement."""
+    r, n_docs, plan = _collect_lane_plan(spark, sf_dir)
     row = (
         n_docs,
         r.pp_n_prefix_shingles,
@@ -1094,6 +1121,246 @@ def dedup_lane_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rec_mh_rows_per_band long, rec_mh_bands long"
     )
     return spark.createDataFrame([row], schema)
+
+
+def _auto_routed_oracle() -> str:
+    """DuckDB replay of the ROUTED near-dup join: the same pre-flight
+    readings + integer CASE decision as ``_dedup_lane_choice_oracle``,
+    then the CHOSEN lane's pairs. All three branch pipelines are
+    written, each gated at its INPUT by the decision (an uncorrelated
+    scalar subquery DuckDB evaluates once), so only the chosen lane's
+    join executes — in particular the exact PPJoin branch is EMPTY on a
+    narrow-vocabulary draw where it would explode (the sf10 1.95e9-
+    candidate lesson). The union of the three branches is therefore
+    exactly the routed lane's verified pairs; one shared shingle table
+    feeds readings, all candidate generators, and the exact-Jaccard
+    verification (same floor-grid as the standalone lanes)."""
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        _minhash_params,
+    )
+    from data_algorithms_with_pyspark_spark.plans.lsh_oracles import (
+        _TOKENS as _LSH_TOKENS,
+    )
+    from data_algorithms_with_pyspark_spark.plans.lsh_oracles import (
+        _MERSENNE_PRIME_31 as _LSH_P,
+    )
+    from data_algorithms_with_pyspark_spark.plans.lsh_oracles import (
+        _bands_cte,
+        _md5_long60,
+        _shingle_case,
+    )
+
+    t_bp = int(_PREFIX_JACCARD_THRESHOLD * 10000)
+    threshold = _PREFIX_JACCARD_THRESHOLD
+    cap = _PREFIX_GUARD_POSTING
+    num_perm, bands = _AUTO_MH.num_perm, _AUTO_MH.bands
+    mins = ", ".join(
+        f"min(({a} * hv + {b}) % {_LSH_P})"
+        for a, b in _minhash_params(num_perm, 42)
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, {_LSH_TOKENS} AS t FROM documents),
+        sh AS MATERIALIZED (
+            SELECT doc_id, {_shingle_case(_NGRAM_N)} AS shingles FROM toks
+        ),
+        pposting AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        pdfreq AS (SELECT s, count(*) AS df FROM pposting GROUP BY s),
+        pordered AS MATERIALIZED (
+            SELECT p.doc_id,
+                   list(p.s ORDER BY d.df, p.s) AS sorted_sh,
+                   count(*) AS n_sh
+            FROM pposting p JOIN pdfreq d USING (s)
+            GROUP BY p.doc_id
+        ),
+        pre_pos AS MATERIALIZED (
+            SELECT doc_id, n_sh, u.s AS s, u.p AS p FROM (
+                SELECT doc_id, n_sh,
+                       unnest(list_transform(
+                           list_slice(
+                               sorted_sh, 1,
+                               CAST(n_sh - floor(({t_bp} * n_sh + 9999) / 10000) + 1
+                                    AS BIGINT)),
+                           (x, i) -> struct_pack(s := x, p := i)),
+                           recursive := true)
+                FROM pordered
+            ) u
+        ),
+        pp AS (
+            SELECT CAST(count(*) AS BIGINT) AS pp_n_prefix_shingles,
+                   CAST(COALESCE(sum(c * (c - 1) // 2), 0) AS BIGINT)
+                       AS pp_cand_bound,
+                   CAST(COALESCE(sum(CASE WHEN c <= {cap}
+                                          THEN c * (c - 1) // 2
+                                          ELSE 0 END), 0) AS BIGINT)
+                       AS pp_cand_bound_capped,
+                   CAST(count(*) FILTER (WHERE c > {cap}) AS BIGINT)
+                       AS pp_over_cap
+            FROM (SELECT count(*) AS c FROM pre_pos GROUP BY s)
+        ),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        decision AS (
+            SELECT CASE
+                       WHEN pp.pp_cand_bound <= 200 * nd.n_docs
+                           THEN 'ppjoin_exact'
+                       WHEN pp.pp_over_cap * 10000
+                                <= 100 * pp.pp_n_prefix_shingles
+                            AND pp.pp_cand_bound_capped <= 200 * nd.n_docs
+                           THEN 'ppjoin_guarded'
+                       ELSE 'minhash'
+                   END AS lane
+            FROM nd, pp
+        ),
+        pre_x AS (
+            SELECT doc_id, n_sh, s FROM pre_pos
+            WHERE (SELECT lane FROM decision) = 'ppjoin_exact'
+        ),
+        cand_x AS (
+            SELECT DISTINCT l.doc_id AS id_1, r.doc_id AS id_2
+            FROM pre_x l JOIN pre_x r ON l.s = r.s AND l.doc_id < r.doc_id
+            WHERE r.n_sh * 10000 >= l.n_sh * {t_bp}
+              AND l.n_sh * 10000 >= r.n_sh * {t_bp}
+        ),
+        pok AS (
+            SELECT s FROM pre_pos GROUP BY s HAVING count(*) <= {cap}
+        ),
+        pre_g AS (
+            SELECT pre_pos.* FROM pre_pos JOIN pok USING (s)
+            WHERE (SELECT lane FROM decision) = 'ppjoin_guarded'
+        ),
+        cand_g AS (
+            SELECT DISTINCT l.doc_id AS id_1, r.doc_id AS id_2
+            FROM pre_g l JOIN pre_g r ON l.s = r.s AND l.doc_id < r.doc_id
+            WHERE r.n_sh * 10000 >= l.n_sh * {t_bp}
+              AND l.n_sh * 10000 >= r.n_sh * {t_bp}
+              AND 1 + least(l.n_sh - l.p, r.n_sh - r.p)
+                  >= floor(({t_bp} * (l.n_sh + r.n_sh) + {10000 + t_bp - 1})
+                           / {10000 + t_bp})
+        ),
+        h AS (
+            SELECT doc_id, {_md5_long60('s')} % {_LSH_P} AS hv
+            FROM (
+                SELECT doc_id, unnest(shingles) AS s FROM sh
+                WHERE (SELECT lane FROM decision) = 'minhash'
+            )
+        ),
+        sig AS (SELECT doc_id, [{mins}] AS sig FROM h GROUP BY doc_id),
+        {_bands_cte(num_perm, bands)},
+        cand_mh AS (
+            SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        cand AS (
+            SELECT * FROM cand_x
+            UNION ALL SELECT * FROM cand_g
+            UNION ALL SELECT * FROM cand_mh
+        )
+        SELECT lane, id_1, id_2, jaccard FROM (
+            SELECT (SELECT lane FROM decision) AS lane, c.id_1, c.id_2,
+                   floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                         * 10000 + 0.5) / 10000 AS jaccard
+            FROM cand c
+            JOIN sh a ON c.id_1 = a.doc_id
+            JOIN sh b ON c.id_2 = b.doc_id
+        ) WHERE jaccard >= {threshold}
+"""
+
+
+@register(
+    "auto_routed_near_dups",
+    tags=("dedup", "similarity-join", "lsh", "scale", "planning"),
+    description="The routed near-dup join: choose_dedup_lane's decision "
+    "EXECUTED — pre-flight readings route this corpus to exact PPJoin / "
+    "guarded PPJoin / planned MinHash banding, and the chosen lane's "
+    f"exact-Jaccard >= {_PREFIX_JACCARD_THRESHOLD} pairs are returned "
+    "with the lane tag; the oracle replays readings, decision, AND all "
+    "three input-gated branch pipelines, so decision and execution are "
+    "cross-engine attested TOGETHER on every draw, including the sf10 "
+    "regime flip",
+    oracle=_auto_routed_oracle(),
+)
+def auto_routed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the planner trio was for: a near-dup join a user can point
+    at ANY corpus, which pays ~1% pre-flight cost to pick the lane the
+    sf10 audits measured correct for the corpus's regime — lossless
+    PPJoin inside the linear candidate budget, the max_posting guard
+    when only isolated hot keys break the budget, MinHash banding
+    (choose_minhash_params' S-curve plan, md5 lane) + exact verification
+    when the vocabulary itself is narrow. Output on every lane:
+    ``(lane, id_1, id_2, jaccard)`` with EXACT floor-grid Jaccard —
+    identical schema and threshold, so downstream dedup logic is
+    lane-agnostic; only the recall contract differs (exact lanes are
+    lossless; the MinHash lane's band-catch probability is the planned
+    ~0.999 at J >= 0.8). The MinHash branch fails fast if the planner's
+    (num_perm, bands) ever drifts from the frozen oracle coding — same
+    re-attestation discipline as srp_guarded_cosine_near_dups."""
+    from data_algorithms_with_pyspark_spark.functions.text_functions import (
+        words,
+    )
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+        spread_partitions,
+        token_shingles,
+    )
+
+    _, _, plan = _collect_lane_plan(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    t = _PREFIX_JACCARD_THRESHOLD
+    if plan.lane == "ppjoin_exact":
+        pairs = prefix_jaccard_pairs(docs, t, shingle_n=_NGRAM_N)
+    elif plan.lane == "ppjoin_guarded":
+        pairs = prefix_jaccard_pairs(
+            docs, t, shingle_n=_NGRAM_N, max_posting=plan.max_posting
+        )
+    else:
+        mh = plan.minhash
+        if (mh.num_perm, mh.bands) != (_AUTO_MH.num_perm, _AUTO_MH.bands):
+            raise RuntimeError(
+                "auto_routed_near_dups: choose_minhash_params returned "
+                f"({mh.num_perm}, {mh.bands}) but the registered oracle "
+                f"is coded for ({_AUTO_MH.num_perm}, {_AUTO_MH.bands}); "
+                "re-attest the oracle against the new plan before "
+                "trusting the cross-engine gate"
+            )
+        sigs = minhash_signatures(
+            docs, num_perm=mh.num_perm, shingle_n=_NGRAM_N, hash_fn="md5"
+        )
+        cand = minhash_candidate_pairs(
+            sigs, bands=mh.bands, min_jaccard=0.0, hash_fn="md5"
+        ).select("id_1", "id_2")
+        # One persisted shingle table feeds BOTH verification sides
+        # (same re-tokenize trade as prefix_jaccard_pairs' internal
+        # persist), pinned to sort-merge with a `merge` hint: the
+        # shingle table is wide string arrays whose cached-aggregate
+        # size estimate runs far under reality, so the planner would
+        # otherwise BROADCAST it into the verify joins — observed as a
+        # 295 MiB broadcast build (driver OOM) at sf1 under the hostile
+        # 1g default heap, and never the right plan at corpus scale:
+        # verification must shuffle candidates TO the shingles, keyed
+        # by id, not ship the corpus to every task.
+        from pyspark import StorageLevel
+
+        sh = (
+            spread_partitions(docs.select("doc_id", "text"))
+            .select(F.col("doc_id"), words("text").alias("_w"))
+            .select(
+                F.col("doc_id"),
+                token_shingles(F.col("_w"), _NGRAM_N).alias("shingles"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+            .hint("merge")
+        )
+        pairs = ngram_jaccard_pairs(
+            docs, t, shingle_n=_NGRAM_N, candidates=cand, shingles_df=sh
+        )
+    return pairs.select(
+        F.lit(plan.lane).alias("lane"), "id_1", "id_2", "jaccard"
+    )
 
 
 @register(

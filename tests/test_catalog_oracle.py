@@ -102,8 +102,10 @@ def test_sample_last_pins_no_oracle_row_out_of_the_window():
     for n in _SAMPLE_LAST:
         assert n not in names[:50], f"{n} inside the sample window"
     assert names[-len(_SAMPLE_LAST):] == list(_SAMPLE_LAST)
-    # The r11 window: the two new planning rows lead, and every name in
-    # the first 49 has an oracle (zero non-green entries by design).
+    # The r11 window: the three new planning/routing rows lead, and
+    # every name in the first 50 has an oracle (zero non-green entries
+    # by design).
     assert names[0] == "lsh_planner_recommendations"
     assert names[1] == "dedup_lane_choice"
-    assert all(qs[n].oracle is not None for n in names[:49])
+    assert names[2] == "auto_routed_near_dups"
+    assert all(qs[n].oracle is not None for n in names[:50])

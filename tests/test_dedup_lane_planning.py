@@ -128,3 +128,60 @@ def test_input_validation():
 def test_empty_corpus_is_exact():
     plan = choose_dedup_lane(0, 0, 0, 0, 0)
     assert plan.lane == "ppjoin_exact" and plan.budget == 0
+
+
+def test_auto_routed_row_executes_the_chosen_lane(spark):
+    """auto_routed_near_dups EXECUTES the decision: on the healthy smoke
+    draw the lane tag is ppjoin_exact and the pairs are exactly the
+    lossless PPJoin lane's output (same threshold, same floor grid)."""
+    from data_algorithms_with_pyspark_spark.plans.catalog import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    routed = qs["auto_routed_near_dups"].fn(spark, sf).collect()
+    assert routed and all(r.lane == "ppjoin_exact" for r in routed)
+    exact = {
+        (r.id_1, r.id_2, r.jaccard)
+        for r in qs["prefix_jaccard_near_dups"].fn(spark, sf).collect()
+    }
+    assert {(r.id_1, r.id_2, r.jaccard) for r in routed} == exact
+
+
+def test_auto_routed_minhash_branch(spark, monkeypatch):
+    """Force the minhash decision (the sf10 regime) onto the smoke draw
+    to exercise the planned-banding branch end-to-end: the output is
+    tagged 'minhash', every pair is exact-verified (subset of the
+    lossless truth at the same threshold), and recall on this fixture's
+    planted near-dups is total under the planned ~0.999 S-curve —
+    deterministic given the fixed md5/seed-42 hash lane."""
+    from data_algorithms_with_pyspark_spark.operators.planning import (
+        DedupLanePlan,
+    )
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        choose_minhash_params,
+    )
+    from data_algorithms_with_pyspark_spark.plans import extensions
+    from data_algorithms_with_pyspark_spark.plans.catalog import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    forced = DedupLanePlan(
+        lane="minhash",
+        budget=0,
+        max_posting=None,
+        minhash=choose_minhash_params(extensions._MH_T_CATCH),
+        reason="forced by test",
+    )
+    monkeypatch.setattr(
+        extensions, "_collect_lane_plan", lambda s, d: (None, 0, forced)
+    )
+    routed = {
+        (r.id_1, r.id_2, r.jaccard)
+        for r in extensions.auto_routed_near_dups(spark, sf).collect()
+    }
+    qs = all_queries()
+    truth = {
+        (r.id_1, r.id_2, r.jaccard)
+        for r in qs["prefix_jaccard_near_dups"].fn(spark, sf).collect()
+    }
+    assert routed <= truth  # exact verify: no false positives, ever
+    assert routed == truth  # planned banding catches every planted pair
