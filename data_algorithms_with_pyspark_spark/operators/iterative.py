@@ -57,8 +57,10 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             labels.union(neighbor_labels)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # the convergence scalar below materializes the lazy checkpoint:
+        # one job per round instead of checkpoint-pass + collect-pass
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
             break
@@ -117,7 +119,7 @@ def pagerank(
                     * (F.col("in_rank") + F.lit(dangling / n))
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -151,7 +153,7 @@ def shortest_paths(
             dist.union(relaxed)
             .groupBy("id")
             .agg(F.min("distance").alias("distance"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         row = dist.agg(
             F.count("*").alias("n"), F.sum("distance").alias("s")
@@ -210,7 +212,7 @@ def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:
                 ).alias("m")
             )
             .select("id", (-F.col("m.neg")).alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -313,7 +315,7 @@ def connected_components_star(
             )
             .where(F.col("hi") != F.col("lo"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sig = signature(small)
         e = small

@@ -20,6 +20,7 @@ from data_algorithms_with_pyspark_spark.functions.text_functions import (
 __all__ = [
     "LANG_MARKERS",
     "token_counts",
+    "curation_features",
     "quality_scores",
     "quality_score_expr",
     "language_id",
@@ -73,14 +74,19 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score_expr(text_col: str = "text") -> Column:
-    """The combined quality score as a single column expression (rounded 4),
-    for single-pass pipelines that don't need the feature breakdown."""
-    tokens = words(text_col)
-    n_tokens = F.size(tokens).cast("long")
-    n_chars = F.length(F.col(text_col)).cast("long")
-    n_alpha = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]"), 0))
-    stop_hits = _marker_hits(tokens, LANG_MARKERS["en"])
+def _n_alpha_expr(text_col: str) -> Column:
+    return F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]"), 0)
+    )
+
+
+def _quality_score_from_parts(
+    n_tokens: Column, stop_hits: Column, n_alpha: Column, n_chars: Column
+) -> Column:
+    """The combined quality score from already-computed parts — the exact
+    arithmetic of the original inline form (bit-identical: same ops, same
+    order), factored out so tokenize-once pipelines can feed materialized
+    columns instead of re-deriving each part from ``text`` per reference."""
     safe_tokens = F.greatest(n_tokens, F.lit(1).cast("long"))
     safe_chars = F.greatest(n_chars, F.lit(1).cast("long"))
     score = (
@@ -97,6 +103,23 @@ def quality_score_expr(text_col: str = "text") -> Column:
     return floor_round4(score)
 
 
+def quality_score_expr(text_col: str = "text") -> Column:
+    """The combined quality score as a single column expression (rounded 4).
+
+    PERFORMANCE: this inline form re-tokenizes ``text`` once per
+    reference inside higher-order-function lambdas (no subexpression
+    elimination there — the word_ngrams 27x lesson). Hot paths should use
+    :func:`curation_features`, which materializes the token array and the
+    marker counts once per row; this form remains for one-off use."""
+    tokens = words(text_col)
+    n_tokens = F.size(tokens).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    stop_hits = _marker_hits(tokens, LANG_MARKERS["en"])
+    return _quality_score_from_parts(
+        n_tokens, stop_hits, _n_alpha_expr(text_col), n_chars
+    )
+
+
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document-quality features: length, mean token length,
     stopword ratio, alphabetic-character ratio, and a combined score.
@@ -104,12 +127,26 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     The score formula is arbitrary but fixed; what matters for a data
     pipeline is that it is deterministic, cheap, and monotone in the
     features a filter would use.
+
+    Tokenize-once staging (see ``curation_features``): the token array
+    and the en marker count materialize in stacked Projects, so each
+    document tokenizes exactly once instead of once per feature
+    reference; arithmetic is unchanged (bit-identical outputs).
     """
-    tokens = words(text_col)
-    n_tokens = F.size(tokens).cast("long")
-    n_chars = F.length(F.col(text_col)).cast("long")
-    n_alpha = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]"), 0))
-    stop_hits = _marker_hits(tokens, LANG_MARKERS["en"])
+    staged = docs.select(
+        "doc_id",
+        F.col(text_col).alias("_cf_text"),
+        words(text_col).alias("_cf_t"),
+    ).select(
+        "doc_id",
+        "_cf_text",
+        F.size("_cf_t").cast("long").alias("_cf_nt"),
+        _marker_hits(F.col("_cf_t"), LANG_MARKERS["en"]).alias("_cf_s_en"),
+    )
+    n_tokens = F.col("_cf_nt")
+    n_chars = F.length("_cf_text").cast("long")
+    n_alpha = _n_alpha_expr("_cf_text")
+    stop_hits = F.col("_cf_s_en")
     safe_tokens = F.greatest(n_tokens, F.lit(1).cast("long"))
     safe_chars = F.greatest(n_chars, F.lit(1).cast("long"))
     mean_tok_len = (n_chars.cast("double") / safe_tokens).alias("x")
@@ -120,7 +157,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + stop_ratio * 0.3
         + alpha_ratio * 0.3
     )
-    return docs.select(
+    return staged.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_chars.alias("n_chars_measured"),
@@ -131,13 +168,12 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def pred_lang_expr(text_col: str = "text") -> Column:
-    """Predicted-language code as a single column expression (same vote +
-    tie-break as ``language_id``), for single-pass pipelines."""
-    tokens = words(text_col)
-    scores = {
-        lang: _marker_hits(tokens, markers) for lang, markers in LANG_MARKERS.items()
-    }
+def _pred_lang_from_scores(scores: dict[str, Column]) -> Column:
+    """Argmax + fixed alphabetical tie-break over per-language marker-hit
+    score columns — the exact vote of the original inline form. Feed it
+    MATERIALIZED score columns (attribute refs): ``best`` is re-inlined
+    per CASE branch, which is free over attributes but re-runs the five
+    token-filter passes per branch when fed inline expressions."""
     order = sorted(scores)
     best = F.greatest(*[scores[lang] for lang in order])
     expr = None
@@ -145,6 +181,106 @@ def pred_lang_expr(text_col: str = "text") -> Column:
         cond = scores[lang] == best
         expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
     return F.when(best > 0, expr.otherwise(F.lit("und"))).otherwise(F.lit("und"))
+
+
+def pred_lang_expr(text_col: str = "text") -> Column:
+    """Predicted-language code as a single column expression (same vote +
+    tie-break as ``language_id``).
+
+    PERFORMANCE: the inline form re-tokenizes per score reference (see
+    ``quality_score_expr``); hot paths should use
+    :func:`curation_features` instead."""
+    tokens = words(text_col)
+    scores = {
+        lang: _marker_hits(tokens, markers) for lang, markers in LANG_MARKERS.items()
+    }
+    return _pred_lang_from_scores(scores)
+
+
+def curation_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+    features: tuple[str, ...] = (
+        "pred_lang",
+        "quality_score",
+        "n_tokens",
+        "content_hash",
+    ),
+) -> DataFrame:
+    """Tokenize-ONCE curation feature projection: ``keep_cols`` +
+    any of ``pred_lang`` / ``quality_score`` / ``n_tokens`` / ``n_chars``
+    / ``content_hash``, value-identical to the inline
+    ``pred_lang_expr``/``quality_score_expr`` forms (same expressions,
+    same op order — the DuckDB oracles keep matching bit-for-bit).
+
+    Why staged: the language vote and quality score reference the token
+    array through higher-order-function lambdas, which evaluate
+    interpreted with NO common-subexpression elimination — the inline
+    single-Column forms re-run ``words(text)`` (a regex split of the
+    whole document) for every score reference, ~20-40 tokenizations per
+    row through the argmax CASE. Three stacked Projects materialize (1)
+    the token array, (2) the five marker-hit counts + token count, then
+    (3) compute the outputs from attribute refs — ``CollapseProject``
+    keeps multiply-referenced non-cheap aliases materialized, so each
+    document tokenizes exactly once and each marker vocabulary filters
+    the array exactly once. Row-local only: no shuffle, fuses into the
+    scan, and at 100 TB this is the difference between one and ~30
+    regex passes over every document. (Guide §4: built-ins over opaque
+    re-evaluation; project early.)
+    """
+    order = sorted(LANG_MARKERS)
+    want_pred = "pred_lang" in features
+    want_quality = "quality_score" in features
+    keep = list(keep_cols)
+
+    stage1 = docs.select(
+        *[F.col(c) for c in keep],
+        F.col(text_col).alias("_cf_text"),
+        words(text_col).alias("_cf_t"),
+    )
+
+    score_langs: list[str] = []
+    if want_pred:
+        score_langs = order
+    elif want_quality:
+        score_langs = ["en"]  # quality's stop_hits is the en marker count
+    stage2 = stage1.select(
+        *keep,
+        "_cf_text",
+        F.size("_cf_t").cast("long").alias("_cf_nt"),
+        *[
+            _marker_hits(F.col("_cf_t"), LANG_MARKERS[lang]).alias(f"_cf_s_{lang}")
+            for lang in score_langs
+        ],
+    )
+
+    out: list[Column] = [F.col(c) for c in keep]
+    for feat in features:
+        if feat == "pred_lang":
+            out.append(
+                _pred_lang_from_scores(
+                    {lang: F.col(f"_cf_s_{lang}") for lang in order}
+                ).alias("pred_lang")
+            )
+        elif feat == "quality_score":
+            out.append(
+                _quality_score_from_parts(
+                    F.col("_cf_nt"),
+                    F.col("_cf_s_en"),
+                    _n_alpha_expr("_cf_text"),
+                    F.length("_cf_text").cast("long"),
+                ).alias("quality_score")
+            )
+        elif feat == "n_tokens":
+            out.append(F.col("_cf_nt").alias("n_tokens"))
+        elif feat == "n_chars":
+            out.append(F.length("_cf_text").cast("long").alias("n_chars"))
+        elif feat == "content_hash":
+            out.append(F.md5(normalize_text(F.col("_cf_text"))).alias("content_hash"))
+        else:
+            raise ValueError(f"unknown curation feature {feat!r}")
+    return stage2.select(*out)
 
 
 def language_id(
@@ -157,24 +293,30 @@ def language_id(
     reproducible by an external oracle. ``keep_cols`` passes named input
     columns through the projection (e.g. a ground-truth label for a
     confusion matrix) so audits stay one-scan instead of joining back.
+
+    Tokenize-once staging (see ``curation_features``): tokens + the five
+    marker counts materialize once; the argmax CASE then reads attribute
+    refs. Identical vote, identical outputs.
     """
-    tokens = words(text_col)
-    scores = {
-        lang: _marker_hits(tokens, markers) for lang, markers in LANG_MARKERS.items()
-    }
-    order = sorted(scores)  # deterministic tie-break: alphabetical
-    best = F.greatest(*[scores[lang] for lang in order])
-    pred: Column = F.lit("und")
-    # Build CASE WHEN score == best THEN lang, first (alphabetical) wins.
-    expr = None
-    for lang in order:
-        cond = scores[lang] == best
-        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
-    pred = F.when(best > 0, expr.otherwise(F.lit("und"))).otherwise(F.lit("und"))
+    order = sorted(LANG_MARKERS)  # deterministic tie-break: alphabetical
+    staged = docs.select(
+        "doc_id",
+        *[F.col(c) for c in keep_cols],
+        words(text_col).alias("_cf_t"),
+    ).select(
+        "doc_id",
+        *keep_cols,
+        *[
+            _marker_hits(F.col("_cf_t"), LANG_MARKERS[lang]).alias(f"_cf_s_{lang}")
+            for lang in order
+        ],
+    )
+    scores = {lang: F.col(f"_cf_s_{lang}") for lang in order}
+    pred = _pred_lang_from_scores(scores)
     sel = [F.col("doc_id"), pred.alias("pred_lang")]
     sel += [scores[lang].alias(f"score_{lang}") for lang in order]
     sel += [F.col(c) for c in keep_cols]
-    return docs.select(*sel)
+    return staged.select(*sel)
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:

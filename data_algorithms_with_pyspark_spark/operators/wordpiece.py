@@ -186,9 +186,11 @@ def wordpiece_train(
             (k, left, right, int(top[0]["pair_count"]), int(top[0]["score_q"]))
         )
         merged = left + _strip_continuation(right)
+        # LAZY checkpoint (same move as bpe_train): the next round's
+        # argmax materializes the rewrite — one job per round, not two.
         vocab = vocab.withColumn(
             "syms", merge_pair_expr(F.col("syms"), left, right, merged=merged)
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges, vocab
 
 

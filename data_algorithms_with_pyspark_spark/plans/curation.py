@@ -4055,29 +4055,28 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per-lang and one per-source hash aggregate — all three outputs
     are |distinct-values|-sized, unioned into the (section, metric,
     value) long form every card renderer consumes."""
-    from data_algorithms_with_pyspark_spark.functions.text_functions import (
-        normalize_text,
-        words,
-    )
     from data_algorithms_with_pyspark_spark.operators.text import (
-        quality_score_expr,
+        curation_features,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    fingerprint = F.md5(normalize_text("text"))
-    u = F.conv(F.substring(fingerprint, 1, 6), 16, 10).cast("long")
-    featured = docs.select(
+    u = F.conv(F.substring("content_hash", 1, 6), 16, 10).cast("long")
+    featured = curation_features(
+        docs,
+        keep_cols=("lang", "source"),
+        features=("n_tokens", "n_chars", "quality_score", "content_hash"),
+    ).select(
         "lang",
         "source",
-        F.size(words("text")).cast("long").alias("n_tokens"),
-        F.length("text").cast("long").alias("n_chars"),
+        "n_tokens",
+        "n_chars",
         # 1e4 grid — the repo's established quality quantization; 1e6 is
         # finer than the double expression's cross-engine agreement (one
         # flipped floor per ~1e5 docs bit the sf0.1 check)
-        F.floor(quality_score_expr("text") * 10_000 + F.lit(0.5))
+        F.floor(F.col("quality_score") * 10_000 + F.lit(0.5))
         .cast("long")
         .alias("q_e4"),
-        fingerprint.alias("content_hash"),
+        "content_hash",
         F.when(
             u * F.lit(_CARD_SPLIT_DEN) < F.lit(16**6 * _CARD_SPLIT_NUM), 1
         )

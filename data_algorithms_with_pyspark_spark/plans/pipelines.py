@@ -48,8 +48,7 @@ from data_algorithms_with_pyspark_spark.operators.iterative import (
 from data_algorithms_with_pyspark_spark.operators.sampling import hash_sample
 from data_algorithms_with_pyspark_spark.operators.text import (
     LANG_MARKERS,
-    pred_lang_expr,
-    quality_score_expr,
+    curation_features,
 )
 from data_algorithms_with_pyspark_spark.plans.catalog import register
 from data_algorithms_with_pyspark_spark.plans.extensions import (
@@ -140,14 +139,14 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # The feature projection is the CPU hot spot; spread a few-partition
     # scan across cores first (no-op when the input already has enough
-    # partitions, i.e. at real scale).
-    featured = spread_partitions(docs.select("doc_id", "source", "text")).select(
-        "doc_id",
-        "source",
-        pred_lang_expr("text").alias("pred_lang"),
-        quality_score_expr("text").alias("quality_score"),
-        F.size(words("text")).cast("long").alias("n_tokens"),
-        F.md5(normalize_text("text")).alias("content_hash"),
+    # partitions, i.e. at real scale). curation_features materializes the
+    # token array + marker counts once per row (tokenize-once staging;
+    # value-identical to the old inline exprs, ~20-40x fewer regex
+    # tokenizations per document).
+    featured = curation_features(
+        spread_partitions(docs.select("doc_id", "source", "text")),
+        keep_cols=("doc_id", "source"),
+        features=("pred_lang", "quality_score", "n_tokens", "content_hash"),
     )
     # Dedup FIRST via min(struct(...)) — doc_id leads the struct, so the
     # aggregate keeps exactly the min-doc_id row per content hash — then
@@ -268,9 +267,11 @@ def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clusters = near_dup_clusters(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    q = docs.select(
+    q = curation_features(
+        docs, keep_cols=("doc_id",), features=("quality_score",)
+    ).select(
         "doc_id",
-        F.floor(quality_score_expr("text") * 10000 + F.lit(0.5))
+        F.floor(F.col("quality_score") * 10000 + F.lit(0.5))
         .cast("long")
         .alias("quality_q"),
     )
@@ -937,11 +938,9 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
-    feats = docs.select(
-        "doc_id",
-        quality_score_expr("text").alias("q"),
-        F.md5(normalize_text("text")).alias("content_hash"),
-    )
+    feats = curation_features(
+        docs, keep_cols=("doc_id",), features=("quality_score", "content_hash")
+    ).select("doc_id", F.col("quality_score").alias("q"), "content_hash")
     w = Window.partitionBy("content_hash")
     flagged = feats.select(
         "doc_id",
@@ -1252,15 +1251,11 @@ def corpus_train_ready_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    featured = spread_partitions(
-        docs.select("doc_id", "source", "text")
-    ).select(
-        "doc_id",
-        "source",
-        pred_lang_expr("text").alias("pred_lang"),
-        quality_score_expr("text").alias("quality_score"),
-        F.size(words("text")).cast("long").alias("n_tokens"),
-        F.md5(normalize_text("text")).alias("content_hash"),
+    # tokenize-once staged feature pass (operators/text.curation_features)
+    featured = curation_features(
+        spread_partitions(docs.select("doc_id", "source", "text")),
+        keep_cols=("doc_id", "source"),
+        features=("pred_lang", "quality_score", "n_tokens", "content_hash"),
     )
     w = Window.partitionBy("content_hash").orderBy("doc_id")
     deduped = (
