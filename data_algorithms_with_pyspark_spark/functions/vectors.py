@@ -21,7 +21,44 @@ __all__ = [
     "cosine_similarity",
     "cosine_with_norms",
     "int8_quant_sse_fp",
+    "lit_double_array",
+    "lit_double_matrix",
+    "lit_long_array",
 ]
+
+
+def _sql_double(x: float) -> str:
+    """Exact SQL double literal: ``repr`` emits the shortest round-trip
+    decimal and Spark's parser reads it back via Double.parseDouble
+    (correctly rounded), so the engine sees the identical IEEE bits."""
+    return f"{float(x)!r}D"
+
+
+def lit_double_array(xs) -> Column:
+    """array<double> literal built as ONE ``F.expr`` string. Building the
+    same literal Column-by-Column (``F.lit(list)`` → ``array(lit, ...)``)
+    costs 2+ Py4J round trips per element — ~0.5 s of pure driver latency
+    for a 512-double centroid table, paid PER expression construction
+    (the minhash SQL-string lesson, operators/dedup.py). Parsed JVM-side
+    in one call; identical resolved plan."""
+    return F.expr("array(" + ",".join(_sql_double(x) for x in xs) + ")")
+
+
+def lit_double_matrix(rows) -> Column:
+    """array<array<double>> literal as ONE parsed SQL string — see
+    ``lit_double_array`` for why not ``F.lit(nested list)``."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_sql_double(x) for x in r) + ")" for r in rows
+        )
+        + ")"
+    )
+
+
+def lit_long_array(xs) -> Column:
+    """array<bigint> literal as ONE parsed SQL string."""
+    return F.expr("array(" + ",".join(f"{int(x)}L" for x in xs) + ")")
 
 
 def to_double_array(col: Column | str) -> Column:

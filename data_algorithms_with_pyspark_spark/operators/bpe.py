@@ -49,7 +49,11 @@ def char_vocab(
 
 
 def merge_pair_expr(
-    syms: Column, left: str, right: str, merged: str | None = None
+    syms: Column,
+    left: str,
+    right: str,
+    merged: str | None = None,
+    guard: Column | None = None,
 ) -> Column:
     """Greedy left-to-right merge of adjacent (left, right) symbols: the
     exact BPE apply step, as a Catalyst ``aggregate`` fold.
@@ -62,9 +66,19 @@ def merge_pair_expr(
     ``merged`` overrides the produced token (default ``left + right``) —
     WordPiece reuses this fold but strips the ``##`` continuation prefix
     off the right symbol (``operators/wordpiece.py``).
+
+    ``guard``: optional cheap pre-test; rows where it is false keep
+    ``syms`` untouched instead of running the fold. The fold is an
+    INTERPRETED higher-order expression that rebuilds every symbol array
+    element-by-element, so trainers pass ``term contains
+    strip(left)+strip(right)`` (a codegen substring scan): symbols are
+    contiguous substrings of the word, so adjacent (left, right) implies
+    that substring — the guard can only skip rows where the fold is the
+    identity, making the output value-identical while most of the
+    vocabulary skips the rebuild entirely (guide §1.2: per-task work).
     """
     merged = F.lit(left + right if merged is None else merged)
-    return F.aggregate(
+    fold = F.aggregate(
         syms,
         F.expr("CAST(array() AS array<string>)"),
         lambda acc, s: F.when(
@@ -76,6 +90,9 @@ def merge_pair_expr(
             ),
         ).otherwise(F.concat(acc, F.array(s))),
     )
+    if guard is None:
+        return fold
+    return F.when(guard, fold).otherwise(syms)
 
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
@@ -140,7 +157,15 @@ def bpe_train(
         left, right = top[0]["pair"].split(" ", 1)
         merges.append((k, left, right, int(top[0]["pair_count"])))
         vocab = vocab.withColumn(
-            "syms", merge_pair_expr(F.col("syms"), left, right)
+            "syms",
+            merge_pair_expr(
+                F.col("syms"),
+                left,
+                right,
+                # substring guard: only words that can contain the pair
+                # pay the interpreted rebuild (merge_pair_expr docstring)
+                guard=F.col("term").contains(left + right),
+            ),
         ).localCheckpoint(eager=False)
     return merges, vocab
 

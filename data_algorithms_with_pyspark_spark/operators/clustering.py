@@ -30,17 +30,20 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_algorithms_with_pyspark_spark.functions.vectors import (
     cosine_with_norms,
     l2_norm,
+    lit_double_array,
+    lit_double_matrix,
     to_double_array,
 )
 
 __all__ = [
     "CENTROID_QUANT",
+    "assign_expr",
     "assign_to_centroids",
     "kmeans_train",
     "kmeans_fit_assign",
@@ -51,53 +54,105 @@ __all__ = [
 CENTROID_QUANT = 6
 
 
-def assign_to_centroids(
-    vecs: DataFrame, cents: DataFrame, n_cents: int, id_col: str = "vec_id"
-) -> DataFrame:
-    """Nearest-centroid (max-cosine) assignment ``(id_col, cid)``.
+def l2_norm_py(v: list[float]) -> float:
+    """Driver-side twin of ``functions.vectors.l2_norm``: the identical
+    left-to-right IEEE fold (acc + x*x, then sqrt), so a norm computed
+    here over collected doubles is bit-identical to the engine computing
+    it over the same column values. Used to pre-norm centroid literals."""
+    acc = 0.0
+    for x in v:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
 
-    ``vecs``: (id_col, vec: array<double>); ``cents``: (cid, cvec) with
-    cid in [0, n_cents). Broadcast nested-loop against the centroid table
-    (corpus never shuffles) + ONE packed-bigint HashAggregate argmax — see
-    ``similarity.ivf_assign`` for why this beats max_by/max(struct) at
-    scale. Ties break to the lower cid.
 
-    ``n_cents`` is capped at 4000: the packing multiplies the cosine grid
-    (round((cos+1)*1e15) <= 2e15) by n_cents, and 4000 is the largest
-    round cluster count whose product stays clear of Long.MAX (2e15 * 4611
-    overflows and would wrap into wrong assignments silently). Coarse
-    quantizers above 4k clusters should go hierarchical (two-level IVF)
-    rather than widen the pack.
+def assign_expr(
+    centroids: list[list[float]],
+    n_cents: int,
+    vec_col: str = "vec",
+    vn_col: str = "_vn",
+) -> Column:
+    """ROW-LOCAL nearest-centroid (max-cosine) assignment expression.
+
+    Same packed-argmax arithmetic as the historical broadcast-product +
+    HashAggregate form (round((cos+1)*1e15)*n + (n-1-cid), max, ties to
+    the lower cid — bit-identical cosine via ``cosine_with_norms`` with
+    the centroid norms pre-folded driver-side by the same IEEE op
+    sequence), but evaluated as ONE projection over the corpus: a
+    ``transform`` over a single nested-array centroid literal + an
+    ``array_max``. No broadcast join, no per-id aggregate exchange, and —
+    decisive at 100 TB — downstream consumers attach ``cid`` in the SAME
+    projection instead of shuffling the corpus through a join-back on id
+    (guide §2.4/§3.3: the join-back was re-keying the corpus by an id it
+    never needed again). The caller must pre-project ``vn_col`` =
+    ``l2_norm(vec_col)`` (one fold per row, not per centroid).
     """
+    if len(centroids) != n_cents:
+        raise ValueError(f"expected {n_cents} centroids, got {len(centroids)}")
     if n_cents > 4000:
         raise ValueError(
             f"n_cents={n_cents} exceeds the packed-argmax overflow bound "
             "(4000); use a hierarchical/two-level quantizer instead"
         )
-    cents = cents.select(
-        "cid", "cvec", l2_norm(F.col("cvec")).alias("_cn")
-    )
-    vecs = vecs.withColumn("_vn", l2_norm(F.col("vec")))
-    # norms materialized once per vector/centroid: the broadcast-product
-    # evaluation does one fold per (vec, centroid) instead of three —
-    # bit-identical to cosine_similarity, so the unrolled kmeans oracle
-    # keeps matching (functions/vectors.py:cosine_with_norms)
-    cos_vc = cosine_with_norms(
-        F.col("vec"), F.col("cvec"), F.col("_vn"), F.col("_cn")
-    )
-    packed = (
-        F.round((cos_vc + F.lit(1.0)) * F.lit(1e15)).cast("long")
+    # ONE-string SQL literals: F.lit(nested list) costs ~0.5 s of Py4J
+    # round trips per construction (functions/vectors.lit_double_matrix)
+    cvecs = lit_double_matrix(centroids)
+    cns = lit_double_array([l2_norm_py(c) for c in centroids])
+    packed = F.transform(
+        cvecs,
+        lambda cv, i: F.round(
+            (
+                cosine_with_norms(
+                    F.col(vec_col), cv, F.col(vn_col), F.element_at(cns, i + 1)
+                )
+                + F.lit(1.0)
+            )
+            * F.lit(1e15)
+        ).cast("long")
         * F.lit(n_cents)
-        + (F.lit(n_cents - 1) - F.col("cid"))
+        + (F.lit(n_cents - 1) - i),
     )
-    return (
-        vecs.crossJoin(F.broadcast(cents))
-        .groupBy(id_col)
-        .agg(F.max(packed).alias("best"))
-        .select(
-            F.col(id_col),
-            (F.lit(n_cents - 1) - F.col("best") % n_cents).cast("int").alias("cid"),
+    best = F.array_max(packed)
+    return (F.lit(n_cents - 1) - best % n_cents).cast("int")
+
+
+def assign_to_centroids(
+    vecs: DataFrame,
+    cents: DataFrame | list[list[float]],
+    n_cents: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid (max-cosine) assignment ``(id_col, cid)``.
+
+    ``vecs``: (id_col, vec: array<double>); ``cents``: either the trained
+    centroid list (``kmeans_train`` output — row i = centroid i) or a
+    (cid, cvec) DataFrame with cid in [0, n_cents), which is collected
+    (bounded: n_cents rows — the exact payload the old plan broadcast).
+
+    Historically this was a broadcast nested-loop product + packed-bigint
+    HashAggregate argmax; it is now the ROW-LOCAL ``assign_expr``
+    projection — identical packing arithmetic and tie-break (lower cid),
+    identical output values, but zero joins and zero exchanges: the plan
+    is Scan -> Project. See ``assign_expr`` for why this matters at
+    100 TB (consumers no longer shuffle the corpus by id to attach cid).
+    """
+    if n_cents > 4000:  # guard BEFORE any collect — same contract as assign_expr
+        raise ValueError(
+            f"n_cents={n_cents} exceeds the packed-argmax overflow bound "
+            "(4000); use a hierarchical/two-level quantizer instead"
         )
+    if isinstance(cents, DataFrame):
+        rows = cents.select("cid", "cvec").collect()
+        by_cid = {int(r["cid"]): [float(x) for x in r["cvec"]] for r in rows}
+        if sorted(by_cid) != list(range(n_cents)):
+            raise ValueError(
+                f"centroid table must carry cid 0..{n_cents - 1} exactly"
+            )
+        centroids = [by_cid[c] for c in range(n_cents)]
+    else:
+        centroids = [list(c) for c in cents]
+    return vecs.withColumn("_vn", l2_norm(F.col("vec"))).select(
+        F.col(id_col),
+        assign_expr(centroids, n_cents).alias("cid"),
     )
 
 
@@ -121,21 +176,30 @@ def kmeans_train(
     """
     work = (
         vecs.select(F.col(id_col), to_double_array(vec_col).alias("vec"))
+        .withColumn("_vn", l2_norm(F.col("vec")))
         .persist()
     )
-    spark = vecs.sparkSession
     init = work.orderBy(id_col).limit(k).select("vec").collect()
     if len(init) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(init)}")
     centroids = [[round(x, CENTROID_QUANT) for x in row["vec"]] for row in init]
 
     for _ in range(max_iter):
-        cents = spark.createDataFrame(
-            list(enumerate(centroids)), "cid int, cvec array<double>"
-        )
-        assign = assign_to_centroids(work, cents, k, id_col=id_col)
+        # Assignment is the row-local assign_expr (identical packed-argmax
+        # arithmetic), so each Lloyd iteration is ONE fused pass over the
+        # persisted corpus — assign + posexplode + (cid, pos) partial means
+        # in a single stage, one k*dim-keyed exchange. The previous shape
+        # paid a broadcast product, a per-id aggregate exchange, AND a
+        # join-back that re-shuffled the corpus vectors by id every
+        # iteration (three exchanges; at 100 TB the join-back alone moved
+        # the full corpus per iteration).
+        # cid MUST be staged as an attribute in its own Project BEFORE the
+        # generator: a non-attribute expression in a select alongside
+        # posexplode lands in the Project ABOVE the Generate and is
+        # re-evaluated once per EXPLODED row — dim x the argmax work
+        # (measured 5x on this trainer).
         rows = (
-            work.join(assign, on=id_col)
+            work.select(assign_expr(centroids, k).alias("cid"), "vec")
             .select("cid", F.posexplode("vec").alias("pos", "val"))
             .groupBy("cid", "pos")
             .agg(F.avg("val").alias("m"))
@@ -177,7 +241,4 @@ def kmeans_fit_assign(
     centroids = kmeans_train(
         work, k, max_iter=max_iter, id_col=id_col, vec_col="vec"
     )
-    cents = vecs.sparkSession.createDataFrame(
-        list(enumerate(centroids)), "cid int, cvec array<double>"
-    )
-    return assign_to_centroids(work, cents, k, id_col=id_col)
+    return assign_to_centroids(work, centroids, k, id_col=id_col)

@@ -883,21 +883,31 @@ def semdedup_prune(
         # on k-means clusters; the deterministic first-k-ids stand-in below
         # remains the default because the catalog oracle replays it exactly
         from data_algorithms_with_pyspark_spark.operators.clustering import (
-            assign_to_centroids,
+            assign_expr,
         )
 
-        cents = embeddings.sparkSession.createDataFrame(
-            list(enumerate(centroids)), "cid int, cvec array<double>"
-        )
-        assign = assign_to_centroids(vecs, cents, len(centroids), id_col=id_col)
+        k = len(centroids)
+        cid_expr = assign_expr([list(c) for c in centroids], k, vn_col="_n")
     else:
         from data_algorithms_with_pyspark_spark.operators.similarity import (
-            ivf_assign,
+            collect_centroids,
+            ivf_assign_expr,
         )
 
-        assign = ivf_assign(vecs, n_clusters, id_col=id_col)
-    clustered = vecs.join(assign, on=id_col).withColumn(
-        "_n", l2_norm(F.col("vec"))
+        cid_expr = ivf_assign_expr(
+            collect_centroids(vecs, n_clusters, id_col=id_col),
+            n_clusters,
+            vn_col="_n",
+        )
+    # ROW-LOCAL assignment (round 11): cid and the norm land in the SAME
+    # projection as the vector — the old plan computed the assignment
+    # through a broadcast product + per-id aggregate and then JOINED it
+    # back onto the corpus by id (a full-corpus shuffle at 100 TB) before
+    # persisting. Values are bit-identical (same packed-argmax arithmetic,
+    # see assign_expr/ivf_assign_expr); _vn == l2_norm(vec) == the old _n.
+    clustered = (
+        vecs.withColumn("_n", l2_norm(F.col("vec")))
+        .withColumn("cid", cid_expr)
     )
     if materialize:
         clustered = clustered.persist()

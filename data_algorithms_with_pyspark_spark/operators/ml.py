@@ -44,6 +44,7 @@ __all__ = [
     "hashed_token_features",
     "logistic_regression_train",
     "logistic_scores",
+    "packed_logistic_scores",
     "pca_top_component_fp",
 ]
 
@@ -106,6 +107,33 @@ def logistic_scores(
     )
 
 
+def packed_logistic_scores(
+    packed: DataFrame, weights: list[int], id_col: str = "doc_id"
+) -> DataFrame:
+    """Score documents from the TRAINER'S packed relation ``(id_col, _fx,
+    y_micro)`` — the same integer z fold and sigmoid quantize the training
+    loop evaluates (bit-identical to ``logistic_scores``: z is an exact
+    integer sum, order-free), as one PROJECTION over the already-persisted
+    packed table. Returns ``(id_col, y_micro, s_micro)``. The standalone
+    ``logistic_scores`` re-aggregates the sparse feats relation by id —
+    one more corpus shuffle plus (in the catalog query) a full feature
+    recompute; use this whenever the packed relation exists."""
+    w_lit = F.array(*[F.lit(int(wj)) for wj in weights])
+    z_micro = F.aggregate(
+        "_fx",
+        F.lit(0).cast("long"),
+        lambda acc, e: acc
+        + F.element_at(w_lit, (e["j"] + 1).cast("int")) * e["x"],
+    )
+    z = z_micro.cast("double") / F.lit(float(MICRO))
+    s_micro = F.floor(
+        F.lit(float(MICRO)) / (F.lit(1.0) + F.exp(-z)) + F.lit(0.5)
+    ).cast("long")
+    return packed.select(
+        F.col(id_col), F.col("y_micro"), s_micro.alias("s_micro")
+    )
+
+
 def logistic_regression_train(
     feats: DataFrame,
     labels: DataFrame,
@@ -114,6 +142,7 @@ def logistic_regression_train(
     lr_num: int = 1,
     lr_den: int = 2,
     id_col: str = "doc_id",
+    packed_out: list | None = None,
 ) -> list[int]:
     """Full-batch gradient descent; returns micro-unit weights
     (length ``dims + 1``, bias last).
@@ -151,6 +180,13 @@ def logistic_regression_train(
         .join(labels, on=id_col)
         .persist()
     )
+    # packed_out (cache_registry convention, see bm25_topk): the caller
+    # receives the persisted packed relation to score from
+    # (packed_logistic_scores) instead of recomputing features + one more
+    # per-id shuffle; docs is then NOT unpersisted here — the caller's
+    # returned plan still reads it (session/bench clearCache reclaims).
+    if packed_out is not None:
+        packed_out.append(docs)
     try:
         w = [0] * (dims + 1)
         for _ in range(iters):
@@ -186,7 +222,8 @@ def logistic_regression_train(
                 for j, wj in enumerate(w)
             ]
     finally:
-        docs.unpersist()
+        if packed_out is None:
+            docs.unpersist()
     return w
 
 

@@ -32,6 +32,9 @@ from data_algorithms_with_pyspark_spark.functions.vectors import (
     cosine_with_norms,
     dot_product,
     l2_norm,
+    lit_double_array,
+    lit_double_matrix,
+    lit_long_array,
     to_double_array,
 )
 
@@ -53,7 +56,9 @@ __all__ = [
     "srp_codes",
     "lsh_near_dup_pairs",
     "srp_banded_near_dup_pairs",
+    "collect_centroids",
     "ivf_assign",
+    "ivf_assign_expr",
     "ivf_topk",
     "pq_codebook",
     "pq_train_codebook",
@@ -609,49 +614,100 @@ def ivf_assign(
     incremental-index case, where deriving centroids from the subset's own
     low ids would silently change the quantizer.
 
-    Scale shape: broadcast nested-loop against n_lists rows (the corpus
-    never shuffles) followed by one hash aggregate on id. The argmax packs
-    (cos, cid) into ONE bigint — ``round((cos+1)*1e15) * n_lists +
-    (n_lists-1-cid)`` — and takes ``max``: a primitive-buffer aggregate,
-    so it plans as partial+final **HashAggregate** with map-side combine
-    over the broadcast product. The obvious alternatives (``max_by`` with
-    a struct key, ``max(struct(...))``) carry struct buffers, which
-    HashAggregateExec can't hold, forcing a SortAggregate — at 100 TB that
-    sorts n_vectors*n_lists rows and is the cost center this encoding
-    avoids. Quantizing cos at 1e-15 is below double's own rounding noise
-    at |cos|<=1; exact ties still break to the lower centroid id via the
+    Scale shape (round 11): ONE projection — the row-local
+    ``ivf_assign_expr`` packed argmax over a bounded centroid literal
+    (``collect_centroids``: the exact rows the historical plan shipped as
+    a BroadcastExchange). The packing — ``round((cos+1)*1e15) * n_lists +
+    (n_lists-1-cid)``, max, ties to the lower cid — is unchanged from the
+    broadcast-product + HashAggregate form this replaces, so assignments
+    are bit-identical; what changed is the data motion: no broadcast
+    product, no per-id aggregate exchange, and consumers attach ``cid``
+    in the same projection instead of join-shuffling the corpus by id.
+    Quantizing cos at 1e-15 is below double's own rounding noise at
+    |cos|<=1; exact ties still break to the lower centroid id via the
     packed low bits.
     """
+    cent_vecs = collect_centroids(vecs, n_lists, id_col=id_col, centroids=centroids)
+    return vecs.withColumn("_vn", l2_norm(F.col("vec"))).select(
+        F.col(id_col),
+        ivf_assign_expr(cent_vecs, n_lists).alias("cid"),
+    )
+
+
+def collect_centroids(
+    vecs: DataFrame,
+    n_lists: int,
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> list[tuple[int, list[float]]]:
+    """The coarse-quantizer centroids as a driver-side (cid, cvec) list
+    sorted by cid — a bounded collect of exactly the rows the old plan
+    shipped through a BroadcastExchange (same bytes, same motion; they
+    just land as a literal instead of a broadcast relation).
+    ``centroids=None`` collects the deterministic first-``n_lists``-ids
+    stand-in from ``vecs``; a (cid, cvec) DataFrame is collected as-is.
+    The list may be SPARSE (fewer than ``n_lists`` entries) when the
+    source is missing low ids — the historical broadcast form quantized
+    against whatever centroid rows existed, and this reproduces that."""
     if centroids is None:
-        cents = vecs.where(F.col(id_col) < n_lists).select(
-            F.col(id_col).alias("cid"),
-            F.col("vec").alias("cvec"),
-            l2_norm(F.col("vec")).alias("_cn"),
-        )
+        rows = vecs.where(F.col(id_col) < n_lists).select(
+            F.col(id_col).alias("cid"), F.col("vec").alias("cvec")
+        ).collect()
     else:
-        cents = centroids.select(
-            F.col("cid"),
-            F.col("cvec"),
-            l2_norm(F.col("cvec")).alias("_cn"),
+        rows = centroids.select("cid", "cvec").collect()
+    by_cid = {int(r["cid"]): [float(x) for x in r["cvec"]] for r in rows}
+    if not by_cid or len(by_cid) != len(rows) or not all(
+        0 <= c < n_lists for c in by_cid
+    ):
+        raise ValueError(
+            f"need unique centroid ids within 0..{n_lists - 1}, "
+            f"got {sorted(by_cid)}"
         )
-    vecs = vecs.withColumn("_vn", l2_norm(F.col("vec")))
-    cos_vc = cosine_with_norms(
-        F.col("vec"), F.col("cvec"), F.col("_vn"), F.col("_cn")
+    return [(c, by_cid[c]) for c in sorted(by_cid)]
+
+
+def ivf_assign_expr(
+    cent_pairs: list[tuple[int, list[float]]],
+    n_lists: int,
+    vec_col: str = "vec",
+    vn_col: str = "_vn",
+):
+    """ROW-LOCAL packed-argmax list assignment — the same arithmetic as
+    the historical broadcast-product + HashAggregate form (cosine via
+    ``cosine_with_norms``, round((cos+1)*1e15)*n + (n-1-cid), max, ties
+    to the lower cid; centroid norms pre-folded driver-side with the
+    identical left-to-right IEEE sequence), evaluated as a ``transform``
+    over ONE nested-array centroid literal + ``array_max`` inside a
+    projection. Zero joins, zero exchanges — and every consumer that used
+    to attach ``cid`` with a corpus-shuffling join on id now projects it
+    in place (guide §2.4: remove shuffles outright). The caller must
+    pre-project ``vn_col`` = ``l2_norm(vec_col)``."""
+    from data_algorithms_with_pyspark_spark.operators.clustering import (
+        l2_norm_py,
     )
-    packed = (
-        F.round((cos_vc + F.lit(1.0)) * F.lit(1e15)).cast("long")
+
+    if not cent_pairs or not all(0 <= c < n_lists for c, _ in cent_pairs):
+        raise ValueError(f"centroid ids must lie in 0..{n_lists - 1}")
+    # ONE-string SQL literals: F.lit(nested list) costs ~0.5 s of Py4J
+    # round trips per construction (functions/vectors.lit_double_matrix)
+    cvecs = lit_double_matrix([cv for _, cv in cent_pairs])
+    cns = lit_double_array([l2_norm_py(cv) for _, cv in cent_pairs])
+    cids = lit_long_array([c for c, _ in cent_pairs])
+    packed = F.transform(
+        cvecs,
+        lambda cv, i: F.round(
+            (
+                cosine_with_norms(
+                    F.col(vec_col), cv, F.col(vn_col), F.element_at(cns, i + 1)
+                )
+                + F.lit(1.0)
+            )
+            * F.lit(1e15)
+        ).cast("long")
         * F.lit(n_lists)
-        + (F.lit(n_lists - 1) - F.col("cid"))
+        + (F.lit(n_lists - 1) - F.element_at(cids, i + 1)),
     )
-    return (
-        vecs.crossJoin(F.broadcast(cents))
-        .groupBy(id_col)
-        .agg(F.max(packed).alias("best"))
-        .select(
-            F.col(id_col),
-            (F.lit(n_lists - 1) - F.col("best") % n_lists).alias("cid"),
-        )
-    )
+    return F.lit(n_lists - 1) - F.array_max(packed) % n_lists
 
 
 def ivf_topk(
@@ -677,45 +733,68 @@ def ivf_topk(
     TRAINED coarse quantizer (``clustering.kmeans_train``) for the
     default first-``n_lists``-ids stand-in — same plan, better lists.
     """
+    from data_algorithms_with_pyspark_spark.operators.clustering import (
+        l2_norm_py,
+    )
+
     vecs = embeddings.select(
         F.col(id_col), to_double_array(vec_col).alias("vec")
     ).withColumn("_vn", l2_norm(F.col("vec")))
-    if centroids is None:
-        cents = vecs.where(F.col(id_col) < n_lists).select(
-            F.col(id_col).alias("cid"), F.col("vec").alias("cvec")
-        )
-    else:
-        cents = centroids.select("cid", "cvec")
-    assign = ivf_assign(
-        vecs.drop("_vn"), n_lists, id_col=id_col, centroids=cents
+    cent_vecs = collect_centroids(
+        vecs.drop("_vn"), n_lists, id_col=id_col, centroids=centroids
     )
-    query = vecs.where(F.col(id_col) == query_id).select(
-        F.col("vec").alias("query_vec"),
-        F.col("_vn").alias("query_norm"),
-    )
-    probes = (
-        cents.crossJoin(F.broadcast(query))
-        .select(
-            "cid",
-            cosine_similarity(F.col("cvec"), F.col("query_vec")).alias("qc"),
-        )
-        .orderBy(F.col("qc").desc(), F.col("cid"))
-        .limit(n_probe)
-        .select("cid")
-    )
-    # probed-candidate scoring folds once per candidate (norms precomputed)
+    qrow = vecs.where(F.col(id_col) == query_id).select("vec").collect()
+    if not qrow:
+        raise ValueError(f"query_id {query_id} not found")
+    qv = [float(x) for x in qrow[0]["vec"]]
+    qn = l2_norm_py(qv)
+    # Probe selection is pure driver math over the bounded centroid list:
+    # the same cosine fold (left-to-right, zero-norm guarded) and the same
+    # (qc DESC, cid ASC) order the old 16-row Spark job computed — two
+    # whole job/stage pairs (centroid scan + sort) gone per query.
+    probe_cids = [
+        cid
+        for _, cid in sorted(
+            ((-_cosine_py(cv, qv), cid) for cid, cv in cent_vecs)
+        )[:n_probe]
+    ]
+    # Row-local list id + static IN probe filter + query literal: the scan
+    # is ONE projection -> Filter -> TakeOrderedAndProject. The historical
+    # plan attached cid with a corpus join on id (a full-corpus shuffle at
+    # scale) and the probe set with a broadcast join; both are gone.
     cos_q = cosine_with_norms(
-        F.col("vec"), F.col("query_vec"), F.col("_vn"), F.col("query_norm")
+        F.col("vec"),
+        F.lit(qv),
+        F.col("_vn"),
+        F.lit(qn),
     )
     return (
-        vecs.join(assign, on=id_col)
-        .join(F.broadcast(probes), on="cid")
+        vecs.withColumn(
+            "cid", ivf_assign_expr(cent_vecs, n_lists)
+        )
+        .where(F.col("cid").isin([int(c) for c in probe_cids]))
         .where(F.col(id_col) != query_id)
-        .crossJoin(F.broadcast(query))
         .select(F.col(id_col), F.round(cos_q, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def _cosine_py(a: list[float], b: list[float]) -> float:
+    """Driver-side twin of ``functions.vectors.cosine_similarity``: the
+    identical op sequence (left-to-right dot fold, left-to-right norm
+    folds, den = na*nb, zero-den guard) on IEEE doubles, so probe ranking
+    computed here agrees bit-for-bit with the engine expression it
+    replaces."""
+    from data_algorithms_with_pyspark_spark.operators.clustering import (
+        l2_norm_py,
+    )
+
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    den = l2_norm_py(a) * l2_norm_py(b)
+    return 0.0 if den == 0.0 else acc / den
 
 
 def knn_join(
@@ -1070,7 +1149,6 @@ def pq_train_codebook(
         # floor-grid quantization — the catalog-wide floor_round form
         return _math.floor(x * grid + 0.5) / grid
 
-    spark = vecs.sparkSession
     init = (
         vecs.select(F.col(id_col).alias("vid"), to_double_array(vec_col).alias("v"))
         .orderBy("vid")
@@ -1111,38 +1189,54 @@ def pq_train_codebook(
     )
     try:
         for _ in range(max_iter):
-            cents = spark.createDataFrame(
-                [(s, c, codebook[s][c]) for s in range(m) for c in range(ksub)],
-                "s int, cid int, cvec array<double>",
-            )
-            # index-order left-fold squared L2 — the encoder's exact
-            # IEEE sequence (pq_encode's dim-sequential acc += d*d)
-            d2 = F.aggregate(
-                F.zip_with(
-                    F.col("sv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            # packed argmin per (vid, s): pq_encode's grid/tie encoding
-            # (floor(d2*1e12 + 0.5)*ksub + cid, min -> ties to lower cid)
-            packed = (
-                F.floor(d2 * F.lit(1e12) + F.lit(0.5)).cast("long")
-                * F.lit(ksub)
-                + F.col("cid")
-            )
-            assign = (
-                sub.join(F.broadcast(cents), on="s")
-                .groupBy("vid", "s")
-                .agg(F.min(packed).alias("best"))
-                .select(
-                    "vid",
-                    "s",
-                    (F.col("best") % ksub).cast("int").alias("cid"),
+            # ROW-LOCAL packed argmin (round 11): the codebook is a single
+            # nested-array literal indexed by the row's subspace id; per
+            # (vid, s) row a transform computes pq_encode's exact grid/tie
+            # packing (floor(d2*1e12 + 0.5)*ksub + cid, min -> ties to the
+            # lower cid) with the identical index-order left-fold squared
+            # L2, and array_min replaces the per-(vid, s) aggregate. Each
+            # Lloyd iteration is ONE fused pass over the persisted
+            # subvector table — the previous shape paid a broadcast join,
+            # a (vid, s)-keyed exchange, and a join-back that re-shuffled
+            # the subvectors by (vid, s) every iteration.
+            cb_lit = F.expr(
+                "array("
+                + ",".join(
+                    "array("
+                    + ",".join(
+                        "array("
+                        + ",".join(f"{float(x)!r}D" for x in cw)
+                        + ")"
+                        for cw in codebook[s]
+                    )
+                    + ")"
+                    for s in range(m)
                 )
+                + ")"
+            )  # ONE parsed SQL string (lit_double_matrix rationale)
+            cands = F.element_at(cb_lit, F.col("s") + 1)
+            packed_arr = F.transform(
+                cands,
+                lambda cv, c: F.floor(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("sv"), cv, lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    * F.lit(1e12)
+                    + F.lit(0.5)
+                ).cast("long")
+                * F.lit(ksub)
+                + c,
             )
+            cid = (F.array_min(packed_arr) % ksub).cast("int")
+            # cid staged as an attribute BEFORE the generator — an inline
+            # expression next to posexplode is re-evaluated per exploded
+            # element (the clustering.kmeans_train lesson)
             rows = (
-                sub.join(assign, on=["vid", "s"])
+                sub.select("s", cid.alias("cid"), "sv")
                 .select("s", "cid", F.posexplode("sv").alias("pos", "val"))
                 .groupBy("s", "cid", "pos")
                 .agg(F.avg("val").alias("mv"))
@@ -1203,6 +1297,7 @@ def pq_encode(
     codebook: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "vec",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode vectors to packed PQ codes: ``(id_col, pq_code)``.
 
@@ -1274,6 +1369,10 @@ def pq_encode(
     return vecs.select(
         F.col(id_col),
         _enc(to_double_array(vec_col)).alias("pq_code"),
+        # keep_cols ride the SAME projection (e.g. a row-local IVF cid) —
+        # the alternative is a join back onto the codes table by id, which
+        # at 100 TB re-shuffles the corpus for a column it already had
+        *[F.col(c) for c in keep_cols],
     )
 
 
@@ -1283,6 +1382,7 @@ def pq_adc_topk(
     query_vec: list[float],
     k: int = 10,
     id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes.
 
@@ -1332,7 +1432,12 @@ def pq_adc_topk(
         adc = t if adc is None else adc + t
     return (
         encoded.select(
-            F.col(id_col), "pq_code", adc.cast("long").alias("adc_nano")
+            F.col(id_col),
+            "pq_code",
+            adc.cast("long").alias("adc_nano"),
+            # e.g. the row-local IVF cid — carried through the top-k so the
+            # caller never joins back onto the codes scan to recover it
+            *[F.col(c) for c in keep_cols],
         )
         .orderBy(F.col("adc_nano").asc(), F.col(id_col))
         .limit(k)

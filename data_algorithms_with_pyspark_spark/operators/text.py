@@ -663,7 +663,18 @@ def bm25_topk(
         F.size("_t").cast("long").alias("dl"),
         F.explode("_t").alias("term"),
     )
-    stats = docs.select(F.size(words(text_col)).alias("_dl")).agg(
+    # The (N, avgdl) branch counts tokens via regexp_count('\S+') — the
+    # number of maximal non-whitespace runs equals size(words(text))
+    # exactly (words() splits on \s+ and drops empties), but it is a
+    # single codegen'd regex pass with NO array allocation, so the second
+    # corpus scan this branch needs costs I/O plus a cheap count instead
+    # of a full re-tokenization (guide §1.2: per-task work — the r11
+    # Observation variant that fused the scans was measured SLOWER at
+    # bench scale: reading the observed scalars forces a separate
+    # materialization action, which costs more than this branch saves).
+    stats = docs.select(
+        F.regexp_count(F.col(text_col), F.lit(r"\S+")).cast("long").alias("_dl")
+    ).agg(
         F.count("*").cast("double").alias("n_docs"),
         (F.sum("_dl").cast("double") / F.count("*")).alias("avgdl"),
     )

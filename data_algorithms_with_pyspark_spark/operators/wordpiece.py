@@ -189,7 +189,20 @@ def wordpiece_train(
         # LAZY checkpoint (same move as bpe_train): the next round's
         # argmax materializes the rewrite — one job per round, not two.
         vocab = vocab.withColumn(
-            "syms", merge_pair_expr(F.col("syms"), left, right, merged=merged)
+            "syms",
+            merge_pair_expr(
+                F.col("syms"),
+                left,
+                right,
+                merged=merged,
+                # substring guard on the STRIPPED pair (symbols minus the
+                # ## continuation marker concatenate to the word): only
+                # words that can contain the pair pay the interpreted
+                # rebuild (bpe.merge_pair_expr docstring)
+                guard=F.col("term").contains(
+                    _strip_continuation(left) + _strip_continuation(right)
+                ),
+            ),
         ).localCheckpoint(eager=False)
     return merges, vocab
 

@@ -1176,10 +1176,7 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = kmeans_train(
         vecs, _KMEANS_K, max_iter=_KMEANS_ITERS, tol=0.0, vec_col="vec"
     )
-    cents = spark.createDataFrame(
-        list(enumerate(centroids)), "cid int, cvec array<double>"
-    )
-    return assign_to_centroids(vecs, cents, _KMEANS_K).orderBy("vec_id")
+    return assign_to_centroids(vecs, centroids, _KMEANS_K).orderBy("vec_id")
 
 
 # --- scale-safe global numbering and fixed-size group sampling -------------
@@ -3271,7 +3268,7 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_algorithms_with_pyspark_spark.operators.ml import (
         hashed_token_features,
         logistic_regression_train,
-        logistic_scores,
+        packed_logistic_scores,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3286,19 +3283,21 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(1_000_000)
         ).alias("y_micro"),
     )
-    feats = hashed_token_features(toks, _LR_DIMS).persist()
-    labels = labels.persist()  # joined once per iteration + final output
-    try:
-        w = logistic_regression_train(
-            feats, labels, dims=_LR_DIMS, iters=_LR_ITERS
-        )
-        scored = logistic_scores(feats, w)
-    finally:
-        feats.unpersist()
-        labels.unpersist()
+    # feats feeds ONE consumer (the trainer's packed build) — no persist;
+    # final scoring reuses the trainer's persisted packed relation
+    # (packed_out), which drops the old plan's full feature recompute +
+    # per-id re-aggregation + labels join from the returned query
+    # (guide §2.4: one pass, one shuffle, already paid during training).
+    feats = hashed_token_features(toks, _LR_DIMS)
+    labels = labels.persist()  # count + packed-build join
+    packed_reg: list = []
+    w = logistic_regression_train(
+        feats, labels, dims=_LR_DIMS, iters=_LR_ITERS, packed_out=packed_reg
+    )
+    scored = packed_logistic_scores(packed_reg[0], w)
+    labels.unpersist()
     return (
         base.drop("_t")
-        .join(labels, on="doc_id")
         .join(scored, on="doc_id")
         .select(
             "doc_id",
@@ -3425,7 +3424,10 @@ def doc_quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             dims=_LR_DIMS,
             iters=_LR_ITERS,
         )
-        scored = logistic_scores(feats, w)
+        # score ONLY the held-out slice — the report filters to is_eval
+        # anyway, and per-doc scoring commutes with the filter, so this
+        # drops 7/8 of the scoring aggregate for identical counts
+        scored = logistic_scores(feats.where(is_eval), w)
     finally:
         feats.unpersist()
         labels.unpersist()

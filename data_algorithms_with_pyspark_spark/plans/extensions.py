@@ -3341,15 +3341,17 @@ def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sub_d2,
     )
 
-    topk, assign, vecs, qv = _ivf_pq_topk(spark, sf_dir)
+    topk, vecs, qv = _ivf_pq_topk(spark, sf_dir)
     true_nano = (
         F.floor(_sub_d2(F.col("vec"), 0, qv) * F.lit(1e9) + F.lit(0.5))
         .cast("long")
         .alias("true_nano")
     )
+    # cid now rides the candidate projection through the top-k
+    # (pq_adc_topk keep_cols) — the old plan joined the k-row result back
+    # onto a SECOND full assignment pass to recover it
     return (
-        topk.join(assign, on="vec_id")
-        .join(vecs, on="vec_id")
+        topk.join(vecs, on="vec_id")
         .select("vec_id", "cid", "adc_nano", true_nano)
         .orderBy("adc_nano", "vec_id")
     )
@@ -3357,15 +3359,25 @@ def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_pq_topk(spark: SparkSession, sf_dir: str):
     """Shared IVF-PQ pipeline (coarse assign -> quantized probe pick ->
-    PQ encode -> ADC top-k over probed lists); returns
-    ``(topk, assign, vecs, qv)`` for the ships-candidates query and the
-    recall audit."""
+    PQ encode -> ADC top-k over probed lists); returns ``(topk, vecs,
+    qv)`` for the ships-candidates query and the recall audit.
+
+    Round-11 shape: the 16 coarse centroids collect once (bounded — the
+    rows the old plan broadcast), probe selection runs on the driver via
+    ``_ann_qv_and_probes`` (identical quantized 1e15 cosine grid and
+    (qc DESC, cid) order), the list id is the ROW-LOCAL
+    ``ivf_assign_expr`` projected in the SAME select as the PQ encode,
+    and the probe filter is a static IN. One corpus scan, zero joins,
+    zero exchanges before the top-k — the old plan joined codes and
+    assignment by id (a corpus shuffle at scale) and broadcast-joined the
+    probe set."""
     from data_algorithms_with_pyspark_spark.functions.vectors import (
-        cosine_similarity,
+        l2_norm,
         to_double_array,
     )
     from data_algorithms_with_pyspark_spark.operators.similarity import (
-        ivf_assign,
+        collect_centroids,
+        ivf_assign_expr,
         pq_adc_topk,
         pq_codebook,
         pq_encode,
@@ -3374,43 +3386,21 @@ def _ivf_pq_topk(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", to_double_array("embedding").alias("vec"))
     cb = pq_codebook(vecs, m=_PQ_M, ksub=_PQ_KSUB, vec_col="vec")
-    qrow = vecs.where(F.col("vec_id") == _ANN_QUERY_ID).collect()[0]
-    qv = [float(x) for x in qrow["vec"]]
-    cents = vecs.where(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    cent_vecs = collect_centroids(vecs, 16)
+    qv, probe_cids = _ann_qv_and_probes(vecs, cent_vecs=cent_vecs)
+    staged = vecs.withColumn("_vn", l2_norm(F.col("vec"))).withColumn(
+        "cid", ivf_assign_expr(cent_vecs, 16)
     )
-    probes = (
-        cents.crossJoin(
-            F.broadcast(
-                vecs.where(F.col("vec_id") == _ANN_QUERY_ID).select(
-                    F.col("vec").alias("qvec")
-                )
-            )
-        )
-        .select(
-            "cid",
-            # quantized to the same 1e15 grid ivf_assign uses, so probe
-            # selection cannot diverge across engines on near-ties
-            F.floor(
-                (cosine_similarity(F.col("cvec"), F.col("qvec")) + F.lit(1.0))
-                * F.lit(1e15)
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("qc_q"),
-        )
-        .orderBy(F.col("qc_q").desc(), "cid")
-        .limit(4)
-        .select("cid")
-    )
-    assign = ivf_assign(vecs, 16)
     cand = (
-        pq_encode(vecs, cb, vec_col="vec")
-        .join(assign, on="vec_id")
-        .join(F.broadcast(probes), on="cid")
+        pq_encode(staged, cb, vec_col="vec", keep_cols=("cid",))
+        .where(F.col("cid").isin(probe_cids))
         .where(F.col("vec_id") != _ANN_QUERY_ID)
     )
-    return pq_adc_topk(cand, cb, qv, k=_ANN_K), assign, vecs, qv
+    return (
+        pq_adc_topk(cand, cb, qv, k=_ANN_K, keep_cols=("cid",)),
+        vecs,
+        qv,
+    )
 
 
 @register(
@@ -3457,7 +3447,7 @@ def ivf_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sub_d2,
     )
 
-    topk, _assign, vecs, qv = _ivf_pq_topk(spark, sf_dir)
+    topk, vecs, qv = _ivf_pq_topk(spark, sf_dir)
     exact10 = (
         vecs.where(F.col("vec_id") != _ANN_QUERY_ID)
         .select(
@@ -3695,16 +3685,19 @@ def ivf_pq_residual_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     list) — n_probe small constant LUTs of m*ksub longs each, still
     driver-bounded. Scale shape is unchanged from ivf_pq_ann_topk:
     probed-lists x packed-codes scans, broadcasts only."""
+    import math as _math
+
     from data_algorithms_with_pyspark_spark.functions.vectors import (
-        cosine_similarity,
+        l2_norm,
         to_double_array,
     )
     from data_algorithms_with_pyspark_spark.operators.clustering import (
         kmeans_train,
     )
     from data_algorithms_with_pyspark_spark.operators.similarity import (
+        _cosine_py,
         _sub_d2,
-        ivf_assign,
+        ivf_assign_expr,
         pq_adc_topk,
         pq_encode,
         pq_train_codebook,
@@ -3715,23 +3708,32 @@ def ivf_pq_residual_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained = kmeans_train(
         vecs, k=_IVF_LISTS, max_iter=_IVF_TRAIN_ITERS, tol=0.0
     )
-    cents_df = spark.createDataFrame(
-        list(enumerate(trained)), "cid int, cvec array<double>"
-    )
-    assign = ivf_assign(vecs, _IVF_LISTS, centroids=cents_df)
     # persisted: the residual table feeds the PQ trainer's exploded
-    # subvector build AND the encoder; the encoded+assigned codes table
-    # feeds all n_probe per-list branches — without these, the
-    # assign+subtract (and the Arrow encode) replay once per consumer.
-    # Materializing codes once IS how an index build works at scale.
+    # subvector build AND the encoder — without it the assign+subtract
+    # replays once per consumer. Materializing codes once IS how an index
+    # build works at scale. Round 11: assignment AND the residual subtract
+    # are ROW-LOCAL (ivf_assign_expr + zip_with against the trained
+    # centroid literal indexed by cid) — the old plan shuffled the corpus
+    # through a join on id and re-attached the centroid with a second
+    # broadcast join; this is one projection, zero exchanges.
+    from data_algorithms_with_pyspark_spark.functions.vectors import (
+        lit_double_matrix,
+    )
+
+    cvecs_lit = lit_double_matrix(trained)
     residuals = (
-        vecs.join(assign, on="vec_id")
-        .join(F.broadcast(cents_df), on="cid")
+        vecs.withColumn("_vn", l2_norm(F.col("vec")))
+        .withColumn(
+            "cid",
+            ivf_assign_expr(list(enumerate(trained)), _IVF_LISTS).cast("int"),
+        )
         .select(
             "vec_id",
             "cid",
             F.zip_with(
-                F.col("vec"), F.col("cvec"), lambda a, b: a - b
+                F.col("vec"),
+                F.element_at(cvecs_lit, F.col("cid") + 1),
+                lambda a, b: a - b,
             ).alias("vec"),
         )
         .persist()
@@ -3744,43 +3746,31 @@ def ivf_pq_residual_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tol=0.0,
         vec_col="vec",
     )
-    renc = (
-        pq_encode(residuals.select("vec_id", "vec"), rcb, vec_col="vec")
-        .join(assign, on="vec_id")
-        .persist()
-    )
+    # cid rides the encode projection (keep_cols) — no join-back onto the
+    # assignment by id
+    renc = pq_encode(
+        residuals, rcb, vec_col="vec", keep_cols=("cid",)
+    ).persist()
     qv = [
         float(x)
         for x in vecs.where(F.col("vec_id") == _ANN_QUERY_ID)
         .collect()[0]["vec"]
     ]
     # probe ranking on the ivf_pq 1e15 quantized-cosine grid (near-tied
-    # lists must not flip cross-engine); 4-row bounded collect
-    probe_rows = (
-        cents_df.crossJoin(
-            F.broadcast(
-                vecs.where(F.col("vec_id") == _ANN_QUERY_ID).select(
-                    F.col("vec").alias("qvec")
-                )
+    # lists must not flip cross-engine) — pure driver math over the
+    # trained centroids, same folds/order as the 16-row Spark job it
+    # replaces (_ann_qv_and_probes rationale)
+    probe_cids = [
+        cid
+        for _, cid in sorted(
+            (
+                (-_math.floor((_cosine_py(cv, qv) + 1.0) * 1e15 + 0.5), cid)
+                for cid, cv in enumerate(trained)
             )
-        )
-        .select(
-            "cid",
-            F.floor(
-                (cosine_similarity(F.col("cvec"), F.col("qvec")) + F.lit(1.0))
-                * F.lit(1e15)
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("qc_q"),
-        )
-        .orderBy(F.col("qc_q").desc(), "cid")
-        .limit(_IVF_PROBE)
-        .collect()
-    )
+        )[:_IVF_PROBE]
+    ]
     per_list = []
-    for r in probe_rows:
-        c = int(r["cid"])
+    for c in probe_cids:
         qr = [qv[i] - trained[c][i] for i in range(len(qv))]
         part = renc.where(
             (F.col("cid") == c) & (F.col("vec_id") != _ANN_QUERY_ID)
@@ -3806,42 +3796,34 @@ def ivf_pq_residual_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_qv_and_probes(vecs):
-    """Query vector + the 4 probe list ids for the persisted-index ANN
-    queries: two bounded collects (1 row, 4 rows) on the same quantized
-    1e15 cosine grid ivf_assign and the oracle's probes CTE use."""
-    from data_algorithms_with_pyspark_spark.functions.vectors import (
-        cosine_similarity,
+def _ann_qv_and_probes(vecs, cent_vecs: list[list[float]] | None = None):
+    """Query vector + the 4 probe list ids for the ANN queries: one
+    bounded collect for the query row (plus one for the 16 centroids when
+    the caller has not already collected them), then pure driver math on
+    the same quantized 1e15 cosine grid ivf_assign and the oracle's
+    probes CTE use — ``floor((cos+1)*1e15 + 0.5)`` with the identical
+    left-to-right IEEE folds (``similarity._cosine_py``), ranked
+    (qc_q DESC, cid ASC). Replaces a 16-row Spark job (crossJoin + sort)
+    per invocation with arithmetic on already-collected doubles; probe
+    sets are bit-identical."""
+    import math as _math
+
+    from data_algorithms_with_pyspark_spark.operators.similarity import (
+        _cosine_py,
+        collect_centroids,
     )
 
     qrow = vecs.where(F.col("vec_id") == _ANN_QUERY_ID).collect()[0]
     qv = [float(x) for x in qrow["vec"]]
-    cents = vecs.where(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
-    )
-    probe_rows = (
-        cents.crossJoin(
-            F.broadcast(
-                vecs.where(F.col("vec_id") == _ANN_QUERY_ID).select(
-                    F.col("vec").alias("qvec")
-                )
-            )
+    if cent_vecs is None:
+        cent_vecs = collect_centroids(vecs, 16)
+    ranked = sorted(
+        (
+            (-_math.floor((_cosine_py(cv, qv) + 1.0) * 1e15 + 0.5), cid)
+            for cid, cv in cent_vecs
         )
-        .select(
-            "cid",
-            F.floor(
-                (cosine_similarity(F.col("cvec"), F.col("qvec")) + F.lit(1.0))
-                * F.lit(1e15)
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("qc_q"),
-        )
-        .orderBy(F.col("qc_q").desc(), "cid")
-        .limit(4)
-        .collect()
     )
-    return qv, [int(r["cid"]) for r in probe_rows]
+    return qv, [cid for _, cid in ranked[:4]]
 
 
 @register(
@@ -3880,11 +3862,13 @@ def ivf_pq_ann_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly as in the in-query variant."""
 
     from data_algorithms_with_pyspark_spark.functions.vectors import (
+        l2_norm,
         to_double_array,
     )
     from data_algorithms_with_pyspark_spark.operators.similarity import (
         _sub_d2,
-        ivf_assign,
+        collect_centroids,
+        ivf_assign_expr,
         pq_adc_topk,
         pq_codebook,
         pq_encode,
@@ -3901,16 +3885,19 @@ def ivf_pq_ann_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = pq_codebook(vecs, m=_PQ_M, ksub=_PQ_KSUB, vec_col="vec")
     key = _sf_cache_key(sf_dir)
     idx = f"ann_ivfpq_idx_{key}"
+    cent_vecs = collect_centroids(vecs, 16)
     if not spark.catalog.tableExists(idx):
-        codes = pq_encode(vecs, cb, vec_col="vec").join(
-            ivf_assign(vecs, 16), on="vec_id"
+        # row-local cid rides the encode projection (no codes<->assignment
+        # join at build time); repartition on the list id so each of the
+        # 16 lists is owned by one task -> exactly one file per partition
+        staged = vecs.withColumn("_vn", l2_norm(F.col("vec"))).withColumn(
+            "cid", ivf_assign_expr(cent_vecs, 16)
         )
-        # repartition on the list id first: each of the 16 lists is owned
-        # by one task -> exactly one file per list partition
+        codes = pq_encode(staged, cb, vec_col="vec", keep_cols=("cid",))
         write_partitioned_table(
             codes.repartition(F.col("cid")), idx, partition_cols=("cid",)
         )
-    qv, probe_cids = _ann_qv_and_probes(vecs)
+    qv, probe_cids = _ann_qv_and_probes(vecs, cent_vecs=cent_vecs)
     cand = (
         spark.table(idx)
         .where(F.col("cid").isin(probe_cids))
@@ -3975,11 +3962,13 @@ def ivf_pq_ann_incremental_index(
     loses nothing."""
 
     from data_algorithms_with_pyspark_spark.functions.vectors import (
+        l2_norm,
         to_double_array,
     )
     from data_algorithms_with_pyspark_spark.operators.similarity import (
         _sub_d2,
-        ivf_assign,
+        collect_centroids,
+        ivf_assign_expr,
         pq_adc_topk,
         pq_codebook,
         pq_encode,
@@ -3993,30 +3982,30 @@ def ivf_pq_ann_incremental_index(
     cb = pq_codebook(vecs, m=_PQ_M, ksub=_PQ_KSUB, vec_col="vec")
     key = _sf_cache_key(sf_dir)
     idx = f"ann_ivfpq_hist_{key}"
-    # the PINNED quantizer: full-corpus centroids (vec_id < 16), passed
-    # explicitly so history/increment subsets are assigned against the
-    # same lists the oracle's assign CTE replays — deriving centroids
-    # from a subset's own low ids would silently change the quantizer
-    pinned_cents = vecs.where(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
-    )
-    if not spark.catalog.tableExists(idx):
-        hist = vecs.where(F.col("vec_id") % 8 != 0)
-        codes = pq_encode(hist, cb, vec_col="vec").join(
-            ivf_assign(hist, 16, centroids=pinned_cents), on="vec_id"
+    # the PINNED quantizer: FULL-corpus centroids (vec_id < 16), collected
+    # once so history/increment subsets are assigned against the same
+    # lists the oracle's assign CTE replays — deriving centroids from a
+    # subset's own low ids would silently change the quantizer. Row-local
+    # assignment (ivf_assign_expr) rides the encode projection on both the
+    # history build and the daily increment — no codes<->assignment join.
+    pinned = collect_centroids(vecs, 16)
+
+    def _with_cid(side):
+        return side.withColumn("_vn", l2_norm(F.col("vec"))).withColumn(
+            "cid", ivf_assign_expr(pinned, 16)
         )
+
+    if not spark.catalog.tableExists(idx):
+        hist = _with_cid(vecs.where(F.col("vec_id") % 8 != 0))
+        codes = pq_encode(hist, cb, vec_col="vec", keep_cols=("cid",))
         write_partitioned_table(
             codes.repartition(F.col("cid")), idx, partition_cols=("cid",)
         )
-    qv, probe_cids = _ann_qv_and_probes(vecs)
-    increment = vecs.where(F.col("vec_id") % 8 == 0)
-    inc_codes = (
-        pq_encode(increment, cb, vec_col="vec")
-        .join(
-            ivf_assign(increment, 16, centroids=pinned_cents), on="vec_id"
-        )
-        .where(F.col("cid").isin(probe_cids))
-    )
+    qv, probe_cids = _ann_qv_and_probes(vecs, cent_vecs=pinned)
+    increment = _with_cid(vecs.where(F.col("vec_id") % 8 == 0))
+    inc_codes = pq_encode(
+        increment, cb, vec_col="vec", keep_cols=("cid",)
+    ).where(F.col("cid").isin(probe_cids))
     hist_cand = (
         spark.table(idx)
         .where(F.col("cid").isin(probe_cids))
