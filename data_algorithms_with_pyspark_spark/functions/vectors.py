@@ -24,6 +24,8 @@ __all__ = [
     "lit_double_array",
     "lit_double_matrix",
     "lit_long_array",
+    "lit_str_long_map",
+    "sql_str",
 ]
 
 
@@ -59,6 +61,24 @@ def lit_double_matrix(rows) -> Column:
 def lit_long_array(xs) -> Column:
     """array<bigint> literal as ONE parsed SQL string."""
     return F.expr("array(" + ",".join(f"{int(x)}L" for x in xs) + ")")
+
+
+def sql_str(s: str) -> str:
+    """SQL single-quoted string literal (quote-doubling escape)."""
+    return "'" + str(s).replace("'", "''") + "'"
+
+
+def lit_str_long_map(items) -> Column:
+    """map<string,bigint> literal as ONE parsed SQL string — the
+    ``lit_double_array`` rationale applied to ``F.create_map``: building
+    a K-entry map Column-by-Column costs 2+ Py4J round trips per entry,
+    paid per expression construction (per training round for the
+    tokenizer cost tables)."""
+    return F.expr(
+        "map("
+        + ",".join(f"{sql_str(k)},{int(v)}L" for k, v in items)
+        + ")"
+    )
 
 
 def to_double_array(col: Column | str) -> Column:

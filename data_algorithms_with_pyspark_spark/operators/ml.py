@@ -80,11 +80,25 @@ def hashed_token_features(
     return tf.unionByName(bias)
 
 
+def _w_lit(weights: list[int]) -> Column:
+    """The weight vector as ONE parsed SQL array literal — the
+    Column-by-Column ``F.array(lit, ...)`` form costs 2 Py4J round trips
+    per weight PER EXPRESSION CONSTRUCTION (dims+1 weights, rebuilt every
+    training iteration; functions/vectors.lit_long_array rationale).
+    Micro-unit weights are exact longs, so the resolved plan is
+    identical."""
+    from data_algorithms_with_pyspark_spark.functions.vectors import (
+        lit_long_array,
+    )
+
+    return lit_long_array(weights)
+
+
 def _score_expr(weights: list[int]) -> Column:
     """Per-feature-row weighted contribution ``w[j] * x`` with the
     weights inlined as an array literal — broadcast-by-construction,
     no join, stays in whole-stage codegen."""
-    w_lit = F.array(*[F.lit(int(w)) for w in weights])
+    w_lit = _w_lit(weights)
     return F.element_at(w_lit, (F.col("j") + 1).cast("int")) * F.col("x")
 
 
@@ -118,7 +132,7 @@ def packed_logistic_scores(
     ``logistic_scores`` re-aggregates the sparse feats relation by id —
     one more corpus shuffle plus (in the catalog query) a full feature
     recompute; use this whenever the packed relation exists."""
-    w_lit = F.array(*[F.lit(int(wj)) for wj in weights])
+    w_lit = _w_lit(weights)
     z_micro = F.aggregate(
         "_fx",
         F.lit(0).cast("long"),
@@ -190,7 +204,7 @@ def logistic_regression_train(
     try:
         w = [0] * (dims + 1)
         for _ in range(iters):
-            w_lit = F.array(*[F.lit(int(wj)) for wj in w])
+            w_lit = _w_lit(w)
             z_micro = F.aggregate(
                 "_fx",
                 F.lit(0).cast("long"),

@@ -740,13 +740,34 @@ def ivf_topk(
     vecs = embeddings.select(
         F.col(id_col), to_double_array(vec_col).alias("vec")
     ).withColumn("_vn", l2_norm(F.col("vec")))
-    cent_vecs = collect_centroids(
-        vecs.drop("_vn"), n_lists, id_col=id_col, centroids=centroids
-    )
-    qrow = vecs.where(F.col(id_col) == query_id).select("vec").collect()
-    if not qrow:
-        raise ValueError(f"query_id {query_id} not found")
-    qv = [float(x) for x in qrow[0]["vec"]]
+    if centroids is None:
+        # ONE bounded collect for query row + stand-in centroids (both are
+        # low-id rows of the same table — two separate collects paid two
+        # scan jobs for one predicate's worth of data)
+        small = {
+            int(r[id_col]): [float(x) for x in r["vec"]]
+            for r in vecs.where(
+                (F.col(id_col) < n_lists) | (F.col(id_col) == query_id)
+            )
+            .select(id_col, "vec")
+            .collect()
+        }
+        # sparse-tolerant like collect_centroids: the stand-in quantizer is
+        # whatever low-id rows exist
+        cent_vecs = [(c, small[c]) for c in sorted(small) if c < n_lists]
+        if not cent_vecs:
+            raise ValueError(f"no centroid rows with {id_col} < {n_lists}")
+        qv = small.get(query_id)
+        if qv is None:
+            raise ValueError(f"query_id {query_id} not found")
+    else:
+        cent_vecs = collect_centroids(
+            vecs.drop("_vn"), n_lists, id_col=id_col, centroids=centroids
+        )
+        qrow = vecs.where(F.col(id_col) == query_id).select("vec").collect()
+        if not qrow:
+            raise ValueError(f"query_id {query_id} not found")
+        qv = [float(x) for x in qrow[0]["vec"]]
     qn = l2_norm_py(qv)
     # Probe selection is pure driver math over the bounded centroid list:
     # the same cosine fold (left-to-right, zero-norm guarded) and the same
@@ -1422,7 +1443,10 @@ def pq_adc_topk(
     ]
     adc = None
     for s in range(m):
-        lut_s = F.array(*[F.lit(int(x)).cast("long") for x in lut[s]])
+        # ONE parsed SQL string per subspace LUT (lit_long_array): the
+        # Column-by-Column form cost 3 Py4J round trips per cell over
+        # m*ksub cells per invocation
+        lut_s = lit_long_array(lut[s])
         code_s = (
             F.shiftright(F.col("pq_code"), s * nbits)
             .bitwiseAND(F.lit(ksub - 1).cast("long"))
@@ -1528,7 +1552,7 @@ def sq8_dot_topk(
     score_nano)`` descending by score, ties by id.
     """
     qscale, qq = sq8_quantize_query([float(x) for x in query_vec])
-    qlit = F.array(*[F.lit(int(c)).cast("long") for c in qq])
+    qlit = lit_long_array(qq)  # one parsed SQL string, not d Py4J lits
     idot = F.aggregate(
         F.zip_with(F.col("qvec"), qlit, lambda a, b: a * b),
         F.lit(0).cast("long"),

@@ -151,12 +151,17 @@ def piece_costs(counts: list[tuple[str, int]]) -> list[tuple[str, int, int]]:
 
 def cost_map_expr(pieces: list[tuple[str, int, int]]) -> Column:
     """The broadcast piece-cost table as a literal map column (bounded:
-    K+|chars| entries — the same shape as BPE's merge-table literals)."""
-    args: list[Column] = []
-    for piece, _, cost in sorted(pieces):
-        args.append(F.lit(piece))
-        args.append(F.lit(cost).cast("long"))
-    return F.create_map(*args)
+    K+|chars| entries — the same shape as BPE's merge-table literals).
+    Built as ONE parsed SQL string: the Column-by-Column ``create_map``
+    form cost 2 Py4J round trips per entry PER TRAINING ROUND
+    (functions/vectors.lit_str_long_map)."""
+    from data_algorithms_with_pyspark_spark.functions.vectors import (
+        lit_str_long_map,
+    )
+
+    return lit_str_long_map(
+        (piece, cost) for piece, _, cost in sorted(pieces)
+    )
 
 
 def viterbi_expr(

@@ -255,11 +255,15 @@ def greedy_segment_expr(
     """
     t = F.col(term) if isinstance(term, str) else term
     max_piece = max((len(_strip_continuation(p)) for p in pieces), default=1)
-    args: list[Column] = []
-    for p in sorted(set(pieces)):
-        args.append(F.lit(p))
-        args.append(F.lit(1))
-    piece_map = F.create_map(*args)
+    # ONE parsed SQL string (vectors.lit_str_long_map rationale): the
+    # Column-by-Column create_map cost 2 Py4J round trips per piece per
+    # expression construction; membership tests only read isNotNull, so
+    # the long value 1 is equivalent to the old int 1
+    from data_algorithms_with_pyspark_spark.functions.vectors import (
+        lit_str_long_map,
+    )
+
+    piece_map = lit_str_long_map((p, 1) for p in sorted(set(pieces)))
     init = F.array(
         F.struct(
             F.lit(1).cast("int").alias("pos"), F.lit("").alias("seg")

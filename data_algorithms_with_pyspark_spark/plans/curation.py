@@ -2535,8 +2535,23 @@ def term_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = F.md5(F.concat(F.lit(f"{r}:"), col))
         return F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % _CMS_WIDTH
 
-    cells = (
-        terms.select(
+    # COUNT-THEN-SKETCH (round 11): the sketch cells derive from the
+    # vocabulary counts — sum(true_count) over terms hashing to a cell is
+    # exactly count(*) over term OCCURRENCES in that cell, so the corpus
+    # tokenizes ONCE (the truec aggregate, needed for the output anyway)
+    # and the ROWS md5 hashes evaluate per DISTINCT TERM instead of per
+    # occurrence (guide §2.3 "aggregate before you shuffle": at 100 TB
+    # that is |vocab| * ROWS hashes instead of ~10^13 * ROWS). truec is
+    # vocab-sized — persisting it is the standard sketch-not-corpus move;
+    # the old shape re-ran the corpus tokenize for each of the two
+    # aggregates.
+    truec = (
+        terms.groupBy("term").agg(F.count("*").alias("true_count")).persist()
+    )
+
+    def with_cells(df: DataFrame) -> DataFrame:
+        return df.select(
+            *df.columns,
             F.explode(
                 F.array(
                     *[
@@ -2547,28 +2562,15 @@ def term_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for r in range(_CMS_ROWS)
                     ]
                 )
-            ).alias("cell")
-        )
-        .select("cell.r", "cell.bucket")
+            ).alias("cell"),
+        ).select(*df.columns, "cell.r", "cell.bucket")
+
+    cells = (
+        with_cells(truec)
         .groupBy("r", "bucket")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("true_count").alias("c"))
     )
-    truec = terms.groupBy("term").agg(F.count("*").alias("true_count"))
-    lookups = truec.select(
-        "term",
-        "true_count",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).cast("long").alias("r"),
-                        bucket(r, F.col("term")).alias("bucket"),
-                    )
-                    for r in range(_CMS_ROWS)
-                ]
-            )
-        ).alias("cell"),
-    ).select("term", "true_count", "cell.r", "cell.bucket")
+    lookups = with_cells(truec)
     est = (
         lookups.join(F.broadcast(cells), on=["r", "bucket"])
         .groupBy("term", "true_count")

@@ -3376,7 +3376,6 @@ def _ivf_pq_topk(spark: SparkSession, sf_dir: str):
         to_double_array,
     )
     from data_algorithms_with_pyspark_spark.operators.similarity import (
-        collect_centroids,
         ivf_assign_expr,
         pq_adc_topk,
         pq_codebook,
@@ -3386,8 +3385,7 @@ def _ivf_pq_topk(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", to_double_array("embedding").alias("vec"))
     cb = pq_codebook(vecs, m=_PQ_M, ksub=_PQ_KSUB, vec_col="vec")
-    cent_vecs = collect_centroids(vecs, 16)
-    qv, probe_cids = _ann_qv_and_probes(vecs, cent_vecs=cent_vecs)
+    qv, probe_cids, cent_vecs = _ann_qv_and_probes(vecs)
     staged = vecs.withColumn("_vn", l2_norm(F.col("vec"))).withColumn(
         "cid", ivf_assign_expr(cent_vecs, 16)
     )
@@ -3796,34 +3794,47 @@ def ivf_pq_residual_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_qv_and_probes(vecs, cent_vecs: list[list[float]] | None = None):
-    """Query vector + the 4 probe list ids for the ANN queries: one
-    bounded collect for the query row (plus one for the 16 centroids when
-    the caller has not already collected them), then pure driver math on
-    the same quantized 1e15 cosine grid ivf_assign and the oracle's
-    probes CTE use — ``floor((cos+1)*1e15 + 0.5)`` with the identical
-    left-to-right IEEE folds (``similarity._cosine_py``), ranked
-    (qc_q DESC, cid ASC). Replaces a 16-row Spark job (crossJoin + sort)
-    per invocation with arithmetic on already-collected doubles; probe
-    sets are bit-identical."""
+def _ann_qv_and_probes(vecs, cent_vecs: list | None = None):
+    """Query vector + the 4 probe list ids (+ the centroid pairs) for the
+    ANN queries. When the caller has not already collected the centroids,
+    query row AND the 16 stand-in centroids come back in ONE bounded
+    collect (they are low-id rows of the same table — two collects paid
+    two scan jobs for one predicate's worth of data); probe ranking is
+    then pure driver math on the same quantized 1e15 cosine grid
+    ivf_assign and the oracle's probes CTE use —
+    ``floor((cos+1)*1e15 + 0.5)`` with the identical left-to-right IEEE
+    folds (``similarity._cosine_py``), ranked (qc_q DESC, cid ASC).
+    Replaces a 16-row Spark job (crossJoin + sort) per invocation; probe
+    sets are bit-identical. Returns ``(qv, probe_cids, cent_pairs)``."""
     import math as _math
 
     from data_algorithms_with_pyspark_spark.operators.similarity import (
         _cosine_py,
-        collect_centroids,
     )
 
-    qrow = vecs.where(F.col("vec_id") == _ANN_QUERY_ID).collect()[0]
-    qv = [float(x) for x in qrow["vec"]]
     if cent_vecs is None:
-        cent_vecs = collect_centroids(vecs, 16)
+        small = {
+            int(r["vec_id"]): [float(x) for x in r["vec"]]
+            for r in vecs.where(
+                (F.col("vec_id") < 16) | (F.col("vec_id") == _ANN_QUERY_ID)
+            )
+            .select("vec_id", "vec")
+            .collect()
+        }
+        cent_vecs = [(c, small[c]) for c in sorted(small) if c < 16]
+        if sorted(c for c, _ in cent_vecs) != list(range(16)):
+            raise ValueError("need centroid ids 0..15 in the corpus")
+        qv = small[_ANN_QUERY_ID]
+    else:
+        qrow = vecs.where(F.col("vec_id") == _ANN_QUERY_ID).collect()[0]
+        qv = [float(x) for x in qrow["vec"]]
     ranked = sorted(
         (
             (-_math.floor((_cosine_py(cv, qv) + 1.0) * 1e15 + 0.5), cid)
             for cid, cv in cent_vecs
         )
     )
-    return qv, [cid for _, cid in ranked[:4]]
+    return qv, [cid for _, cid in ranked[:4]], cent_vecs
 
 
 @register(
@@ -3867,7 +3878,6 @@ def ivf_pq_ann_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from data_algorithms_with_pyspark_spark.operators.similarity import (
         _sub_d2,
-        collect_centroids,
         ivf_assign_expr,
         pq_adc_topk,
         pq_codebook,
@@ -3885,7 +3895,9 @@ def ivf_pq_ann_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = pq_codebook(vecs, m=_PQ_M, ksub=_PQ_KSUB, vec_col="vec")
     key = _sf_cache_key(sf_dir)
     idx = f"ann_ivfpq_idx_{key}"
-    cent_vecs = collect_centroids(vecs, 16)
+    # one bounded collect serves query row, probe ranking AND the
+    # assignment literal (centroids = low-id rows of the same table)
+    qv, probe_cids, cent_vecs = _ann_qv_and_probes(vecs)
     if not spark.catalog.tableExists(idx):
         # row-local cid rides the encode projection (no codes<->assignment
         # join at build time); repartition on the list id so each of the
@@ -3897,7 +3909,6 @@ def ivf_pq_ann_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_partitioned_table(
             codes.repartition(F.col("cid")), idx, partition_cols=("cid",)
         )
-    qv, probe_cids = _ann_qv_and_probes(vecs, cent_vecs=cent_vecs)
     cand = (
         spark.table(idx)
         .where(F.col("cid").isin(probe_cids))
@@ -3967,7 +3978,6 @@ def ivf_pq_ann_incremental_index(
     )
     from data_algorithms_with_pyspark_spark.operators.similarity import (
         _sub_d2,
-        collect_centroids,
         ivf_assign_expr,
         pq_adc_topk,
         pq_codebook,
@@ -3983,12 +3993,13 @@ def ivf_pq_ann_incremental_index(
     key = _sf_cache_key(sf_dir)
     idx = f"ann_ivfpq_hist_{key}"
     # the PINNED quantizer: FULL-corpus centroids (vec_id < 16), collected
-    # once so history/increment subsets are assigned against the same
-    # lists the oracle's assign CTE replays — deriving centroids from a
-    # subset's own low ids would silently change the quantizer. Row-local
-    # assignment (ivf_assign_expr) rides the encode projection on both the
-    # history build and the daily increment — no codes<->assignment join.
-    pinned = collect_centroids(vecs, 16)
+    # once (ONE bounded collect shared with the query row / probe ranking)
+    # so history/increment subsets are assigned against the same lists the
+    # oracle's assign CTE replays — deriving centroids from a subset's own
+    # low ids would silently change the quantizer. Row-local assignment
+    # (ivf_assign_expr) rides the encode projection on both the history
+    # build and the daily increment — no codes<->assignment join.
+    qv, probe_cids, pinned = _ann_qv_and_probes(vecs)
 
     def _with_cid(side):
         return side.withColumn("_vn", l2_norm(F.col("vec"))).withColumn(
@@ -4001,7 +4012,6 @@ def ivf_pq_ann_incremental_index(
         write_partitioned_table(
             codes.repartition(F.col("cid")), idx, partition_cols=("cid",)
         )
-    qv, probe_cids = _ann_qv_and_probes(vecs, cent_vecs=pinned)
     increment = _with_cid(vecs.where(F.col("vec_id") % 8 == 0))
     inc_codes = pq_encode(
         increment, cb, vec_col="vec", keep_cols=("cid",)
