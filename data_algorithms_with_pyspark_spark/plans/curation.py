@@ -3098,22 +3098,35 @@ def bloom_term_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = toks.select(
         "doc_id", F.explode(word_ngrams(F.col("_t"), 2)).alias("term")
     )
-    bench = (
-        grams.where(F.col("doc_id") % 10 == 0).select("term").distinct()
-    )
-    bloom = bloom_build(bench, "term", m=_BLOOM_M, k=_BLOOM_K)
-    vocab = grams.groupBy("term").agg(F.count("*").alias("freq"))
-    probed = bloom_probe(vocab, "term", bloom, m=_BLOOM_M, k=_BLOOM_K)
-    return (
-        vocab.join(probed, on="term")
-        .join(
-            bench.select("term", F.lit(True).alias("_bm")), on="term", how="left"
+    # ONE vocabulary aggregate carries BOTH outputs the query needs per
+    # term — the corpus frequency AND whether any occurrence sits in the
+    # benchmark slice (max of the slice indicator == the old DISTINCT +
+    # left-join truth). The historical shape aggregated the exploded
+    # corpus twice (bench distinct + vocab counts — different subtrees,
+    # no exchange reuse, so the corpus tokenized twice) and re-attached
+    # membership with a third join. Persisted: vocab-sized (the
+    # sketch-not-corpus move); feeds the filter build, the probe, and the
+    # final projection.
+    base = (
+        grams.groupBy("term")
+        .agg(
+            F.count("*").alias("freq"),
+            F.max((F.col("doc_id") % 10 == 0).cast("int")).alias("_bm"),
         )
+        .persist()
+    )
+    bench = base.where(F.col("_bm") == 1).select("term")
+    bloom = bloom_build(bench, "term", m=_BLOOM_M, k=_BLOOM_K)
+    probed = bloom_probe(
+        base.select("term", "freq"), "term", bloom, m=_BLOOM_M, k=_BLOOM_K
+    )
+    return (
+        base.join(probed.select("term", "in_bloom"), on="term")
         .select(
             "term",
             "freq",
             "in_bloom",
-            F.coalesce("_bm", F.lit(False)).alias("in_benchmark"),
+            (F.col("_bm") == 1).alias("in_benchmark"),
         )
         .orderBy(F.col("freq").desc(), "term")
     )
