@@ -32,8 +32,21 @@ __all__ = [
 def _sql_double(x: float) -> str:
     """Exact SQL double literal: ``repr`` emits the shortest round-trip
     decimal and Spark's parser reads it back via Double.parseDouble
-    (correctly rounded), so the engine sees the identical IEEE bits."""
-    return f"{float(x)!r}D"
+    (correctly rounded), so the engine sees the identical IEEE bits.
+
+    Non-finite doubles need the CAST form: ``nanD`` / ``infD`` parse as
+    unresolved column references (AnalysisException), whereas the
+    ``F.lit`` path these helpers replaced produced valid NaN/Infinity
+    literals — e.g. ``l2_norm_py`` can overflow to inf for components
+    beyond ~1e154 (ADVICE r11)."""
+    v = float(x)
+    if v != v:  # NaN
+        return "CAST('NaN' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{v!r}D"
 
 
 def lit_double_array(xs) -> Column:
@@ -64,8 +77,15 @@ def lit_long_array(xs) -> Column:
 
 
 def sql_str(s: str) -> str:
-    """SQL single-quoted string literal (quote-doubling escape)."""
-    return "'" + str(s).replace("'", "''") + "'"
+    """SQL single-quoted string literal (quote-doubling escape).
+
+    Backslashes are escaped too: Spark's default parser (non-
+    escapedStringLiterals) treats ``\\`` as an escape, so a key containing
+    ``\\b`` would silently become backspace and a trailing backslash would
+    escape the closing quote and break parsing (ADVICE r11). Quote
+    doubling is kept for the quote itself (accepted by this parser and
+    unaffected by the backslash pass)."""
+    return "'" + str(s).replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def lit_str_long_map(items) -> Column:

@@ -732,7 +732,23 @@ def prefix_jaccard_pairs(
     )
     if cache_registry is not None:
         cache_registry.append(sh)
-    pre = prefix_postings(sh, threshold, id_col=id_col)
+    # The prefix-postings index feeds BOTH sides of the candidate
+    # self-join (and, under max_posting, the cap aggregate too). The two
+    # sides cannot share work any other way: AQE turns the self-join into
+    # a broadcast join at bench scale, so one side is a BroadcastExchange
+    # and ReusedExchange never fires — without this persist the whole
+    # index build (explode + df-count aggregate + the groupBy(id) keyed
+    # shuffle of exploded postings + posexplode) runs TWICE (observed in
+    # plans/r12/prefix_jaccard_near_dups_before.txt: the subtree appears
+    # verbatim under both join sides). Persisting the index — prefix-
+    # sized, ~(1-t)|S|+1 entries per doc, far smaller than the corpus —
+    # is the "persist the sketch, not the corpus" move (guide §2.4);
+    # VERDICT r11 next-round #3.
+    pre = prefix_postings(sh, threshold, id_col=id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if cache_registry is not None:
+        cache_registry.append(pre)
     if max_posting is not None:
         # one count aggregate over the prefix postings (same key the
         # self-join shuffles on); shingles hotter than the cap generate

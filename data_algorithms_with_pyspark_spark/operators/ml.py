@@ -194,13 +194,6 @@ def logistic_regression_train(
         .join(labels, on=id_col)
         .persist()
     )
-    # packed_out (cache_registry convention, see bm25_topk): the caller
-    # receives the persisted packed relation to score from
-    # (packed_logistic_scores) instead of recomputing features + one more
-    # per-id shuffle; docs is then NOT unpersisted here — the caller's
-    # returned plan still reads it (session/bench clearCache reclaims).
-    if packed_out is not None:
-        packed_out.append(docs)
     try:
         w = [0] * (dims + 1)
         for _ in range(iters):
@@ -235,9 +228,21 @@ def logistic_regression_train(
                 - math.floor((lr_num * grad.get(j, 0)) / (lr_den * n) + 0.5)
                 for j, wj in enumerate(w)
             ]
-    finally:
-        if packed_out is None:
-            docs.unpersist()
+    except BaseException:
+        # the caller gets no usable handle on the failure path, so the
+        # persisted relation must not outlive the exception (ADVICE r11)
+        docs.unpersist()
+        raise
+    # packed_out (cache_registry convention, see bm25_topk): on SUCCESS
+    # the caller receives the persisted packed relation to score from
+    # (packed_logistic_scores) instead of recomputing features + one more
+    # per-id shuffle; docs is then NOT unpersisted here — the caller's
+    # returned plan still reads it, and the caller (or session/bench
+    # clearCache) owns the unpersist.
+    if packed_out is not None:
+        packed_out.append(docs)
+    else:
+        docs.unpersist()
     return w
 
 

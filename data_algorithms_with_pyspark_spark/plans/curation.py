@@ -3306,11 +3306,15 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = hashed_token_features(toks, _LR_DIMS)
     labels = labels.persist()  # count + packed-build join
     packed_reg: list = []
-    w = logistic_regression_train(
-        feats, labels, dims=_LR_DIMS, iters=_LR_ITERS, packed_out=packed_reg
-    )
-    scored = packed_logistic_scores(packed_reg[0], w)
-    labels.unpersist()
+    try:
+        w = logistic_regression_train(
+            feats, labels, dims=_LR_DIMS, iters=_LR_ITERS, packed_out=packed_reg
+        )
+        scored = packed_logistic_scores(packed_reg[0], w)
+    finally:
+        # must not leak if training raises (ADVICE r11); the returned
+        # plan reads only the packed relation, not labels
+        labels.unpersist()
     return (
         base.drop("_t")
         .join(scored, on="doc_id")

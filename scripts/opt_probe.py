@@ -56,7 +56,7 @@ def main() -> None:
 
     spark = get_spark(app_name="opt_probe", extra_conf={"spark.driver.memory": "8g"})
 
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "plans", "r11")
+    plans_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "plans", "r12")
     os.makedirs(plans_dir, exist_ok=True)
 
     results: dict[str, dict] = {}

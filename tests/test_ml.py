@@ -72,6 +72,29 @@ def test_logistic_regression_zero_iter_rejected(spark):
         logistic_regression_train(df, lab, dims=4, iters=0)
 
 
+def test_logistic_regression_failure_unpersists_packed(spark, monkeypatch):
+    """A raise inside the training loop must not leak the persisted packed
+    relation, and the caller must receive no handle on the failure path
+    (ADVICE r11 / VERDICT r11 #4): docs is persisted BEFORE the loop, so
+    the except path owns the unpersist when no usable packed_out handle
+    will be handed out."""
+    import pytest as _pytest
+
+    import data_algorithms_with_pyspark_spark.operators.ml as ml
+
+    df = spark.createDataFrame([(0, 0, 1), (0, 8, 1)], ["doc_id", "j", "x"])
+    lab = spark.createDataFrame([(0, MICRO)], ["doc_id", "y_micro"])
+    spark.catalog.clearCache()
+    monkeypatch.setattr(
+        ml, "_w_lit", lambda w: (_ for _ in ()).throw(RuntimeError("boom"))
+    )
+    reg: list = []
+    with _pytest.raises(RuntimeError, match="boom"):
+        ml.logistic_regression_train(df, lab, dims=8, packed_out=reg)
+    assert reg == []  # no handle handed out on the failure path
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_embedding_gram_fp_known_answer(spark):
     import numpy as np
 
