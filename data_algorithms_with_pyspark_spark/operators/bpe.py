@@ -143,19 +143,23 @@ def bpe_train(
     vocab = vocab.localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     for k in range(1, n_merges + 1):
-        top = (
-            _pair_counts(vocab)
-            .orderBy(F.col("pair_count").desc(), "pair")
-            .limit(1)
-            .collect()
-        )
-        if not top:
+        # Collect the whole pair-count table and take the argmax driver-
+        # side: the table is BOUNDED state (<= |symbols|^2 <= (26 +
+        # n_merges)^2 keys at ANY corpus scale — the classical trainer's
+        # in-memory pair table), the comparison is pure-integer with the
+        # pair string as tie-break (ASCII, so Python str order == Spark's
+        # binary string order), and the round's plan loses its
+        # TakeOrdered sort. Identical winner to the retired
+        # orderBy(pair_count DESC, pair ASC).limit(1).
+        rows = _pair_counts(vocab).collect()
+        if not rows:
             raise ValueError(
                 f"vocabulary exhausted after {k - 1} merges; "
                 f"asked for {n_merges}"
             )
-        left, right = top[0]["pair"].split(" ", 1)
-        merges.append((k, left, right, int(top[0]["pair_count"])))
+        top = min(rows, key=lambda r: (-r["pair_count"], r["pair"]))
+        left, right = top["pair"].split(" ", 1)
+        merges.append((k, left, right, int(top["pair_count"])))
         vocab = vocab.withColumn(
             "syms",
             merge_pair_expr(

@@ -123,16 +123,26 @@ def seed_pieces(
     """The initial piece inventory: EVERY single character (coverage —
     Viterbi must always be able to segment) plus the ``top_multi``
     multi-character substrings by (count DESC, piece ASC) — the same
-    total order the oracle's LIMIT uses. Driver state: K+|chars| rows."""
-    counts = substring_counts(vocab, max_piece_len)
-    chars = counts.where(F.length("piece") == 1)
-    multi = (
-        counts.where(F.length("piece") > 1)
-        .orderBy(F.col("cnt").desc(), "piece")
-        .limit(top_multi)
-    )
-    rows = chars.unionAll(multi).collect()
-    return sorted((r["piece"], int(r["cnt"])) for r in rows)
+    total order the oracle's LIMIT uses. Driver state: K+|chars| rows.
+
+    ONE aggregate + collect: the substring-count table is HARD-bounded
+    driver state (all ``^[a-z]+$`` substrings of length <= 4: at most
+    26 + 26^2 + 26^3 + 26^4 = 475,254 keys at ANY corpus scale), and the
+    old char-filter/TakeOrdered union re-ran the whole substring
+    aggregate under BOTH branches. The char filter and the top-K
+    selection are pure Python over the collected table with the same
+    total order (ASCII pieces — Python str order == Spark binary string
+    order)."""
+    rows = [
+        (r["piece"], int(r["cnt"]))
+        for r in substring_counts(vocab, max_piece_len).collect()
+    ]
+    chars = [(p, c) for p, c in rows if len(p) == 1]
+    multi = sorted(
+        ((p, c) for p, c in rows if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:top_multi]
+    return sorted(chars + multi)
 
 
 def piece_costs(counts: list[tuple[str, int]]) -> list[tuple[str, int, int]]:

@@ -18,11 +18,15 @@ Distributed shape (identical to the BPE trainer's, the corpus-scale
 analysis in ``operators/bpe.py`` applies verbatim):
 
 1. The corpus collapses ONCE to a (word, frequency) vocabulary.
-2. Each merge round runs TWO vocab-sized hash aggregates (adjacent-pair
-   counts and single-symbol counts, both weighted by word frequency),
-   joins them on the pair's endpoints, takes the single best-scoring
-   pair to the driver (one row), and rewrites the symbol arrays with the
-   same greedy left-to-right Catalyst fold BPE uses.
+2. Each merge round runs ONE vocab-sized hash aggregate carrying both
+   adjacent-pair counts and single-symbol counts (weighted by word
+   frequency; the two families share a key space — pairs contain a
+   space, symbols never do), collects the BOUNDED count table
+   (<= (alphabet*2 + n_merges)^2 keys at any corpus scale — the
+   classical in-memory pair table) and computes the likelihood score +
+   argmax driver-side with the identical IEEE sequence, then rewrites
+   the symbol arrays with the same greedy left-to-right Catalyst fold
+   BPE uses.
 3. ``localCheckpoint()`` per round truncates the growing lineage.
 
 Determinism across engines (the DuckDB oracle replays every round): the
@@ -43,6 +47,8 @@ north-star extension).
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -101,53 +107,74 @@ def _strip_continuation(sym: str) -> str:
     return sym[2:] if sym.startswith("##") else sym
 
 
-def _pair_scores(vocab: DataFrame) -> DataFrame:
-    """(pair, pair_count, score_q) over (n, syms): adjacent-pair counts
-    joined with both endpoints' symbol counts, score quantized to the
-    shared integer grid. Two vocab-sized aggregates + two joins against
-    the (bounded) symbol-count relation — AQE broadcasts it."""
-    pairs = (
-        vocab.where(F.size("syms") >= 2)
-        .select(
-            "n",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("syms") - 1),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("syms"), i),
-                        F.element_at(F.col("syms"), i + 1),
-                    ),
-                )
-            ).alias("pair"),
-        )
-        .groupBy("pair")
-        .agg(F.sum("n").alias("pair_count"))
-    )
-    syms = (
-        vocab.select("n", F.explode("syms").alias("sym"))
-        .groupBy("sym")
-        .agg(F.sum("n").alias("sym_count"))
-    )
-    left = F.split(F.col("pair"), " ").getItem(0)
-    right = F.split(F.col("pair"), " ").getItem(1)
-    l = syms.select(F.col("sym").alias("_ls"), F.col("sym_count").alias("_lc"))
-    r = syms.select(F.col("sym").alias("_rs"), F.col("sym_count").alias("_rc"))
+def _fused_counts(vocab: DataFrame) -> DataFrame:
+    """ONE vocab-sized aggregate carrying BOTH count families a WordPiece
+    round needs: adjacent-pair counts and single-symbol counts, each
+    weighted by word frequency. Pair keys contain the ``' '`` separator
+    while symbol keys never do (symbols are characters / merged pieces of
+    ``^[a-z]+$`` words, optionally ``##``-prefixed), so the two families
+    share one key space without collision and the round pays one Generate
+    + one exchange instead of two of each plus two joins (guide §2.4 —
+    the same one-aggregate move as the r11 CMS/bloom rewrites). The
+    ``size >= 2`` guard is an expression, not a filter: ``sequence(1, 0)``
+    counts DOWN (the bpe_pair_counts footgun), and single-symbol words
+    must still contribute their symbol count."""
+    pair_keys = F.when(
+        F.size("syms") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("syms"), i),
+                F.element_at(F.col("syms"), i + 1),
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
     return (
-        pairs.join(l, left == F.col("_ls"))
-        .join(r, right == F.col("_rs"))
-        .select(
-            "pair",
-            "pair_count",
-            F.floor(
-                F.col("pair_count").cast("double")
-                / (F.col("_lc") * F.col("_rc")).cast("double")
-                * F.lit(float(SCORE_SCALE))
-            )
-            .cast("long")
-            .alias("score_q"),
+        vocab.select(
+            "n", F.explode(F.concat(pair_keys, F.col("syms"))).alias("t")
         )
+        .groupBy("t")
+        .agg(F.sum("n").alias("c"))
     )
+
+
+def _wrap_i64(x: int) -> int:
+    """Signed-64-bit wrap — mirrors Spark's ``long * long`` overflow
+    semantics exactly, so the driver-side score below stays bit-identical
+    to the retired Column form ``(lc * rc).cast("double")`` even in the
+    (never attested, ~1e13-count) regime where the product overflows."""
+    return ((x + (1 << 63)) % (1 << 64)) - (1 << 63)
+
+
+def _best_pair(counts: dict[str, int]) -> tuple[str, int, int] | None:
+    """The round's argmax over a fused count table: (pair, pair_count,
+    score_q) maximizing (score_q, -pair) — the exact total order the old
+    ``orderBy(score_q DESC, pair ASC).limit(1)`` used (ASCII keys, so
+    Python str comparison == Spark's binary string order).
+
+    The score is the SAME IEEE sequence the old Column expression ran —
+    ``floor(double(p) / double(l*r) * 1e12)``: int→double casts are
+    round-to-nearest in both runtimes, the division and multiplication
+    are single correctly-rounded f64 ops, and the i64 product wrap is
+    mirrored by ``_wrap_i64`` — so the returned ints are bit-identical to
+    the retired plan and the DuckDB oracle keeps replaying them."""
+    best: tuple[int, str, int] | None = None  # (-score_q, pair, count)
+    for t, c in counts.items():
+        sp = t.find(" ")
+        if sp < 0:
+            continue
+        l, r = t[:sp], t[sp + 1 :]
+        score_q = math.floor(
+            float(c) / float(_wrap_i64(counts[l] * counts[r]))
+            * float(SCORE_SCALE)
+        )
+        key = (-score_q, t, c)
+        if best is None or key < best:
+            best = key
+    if best is None:
+        return None
+    return best[1], best[2], -best[0]
 
 
 def wordpiece_train(
@@ -170,21 +197,26 @@ def wordpiece_train(
     vocab = vocab.localCheckpoint()
     merges: list[tuple[int, str, str, int, int]] = []
     for k in range(1, n_merges + 1):
-        top = (
-            _pair_scores(vocab)
-            .orderBy(F.col("score_q").desc(), "pair")
-            .limit(1)
-            .collect()
-        )
-        if not top:
+        # One fused aggregate per round; the collected table is BOUNDED
+        # driver state — |symbols| + |adjacent pairs| <= (alphabet*2 +
+        # n_merges) + (alphabet*2 + n_merges)^2 keys at ANY corpus scale
+        # (a few thousand rows), the classical trainer's in-memory pair
+        # table. Scoring + argmax move to the driver with the identical
+        # IEEE sequence and tie order (_best_pair docstring); the old
+        # shape paid a second vocab aggregate, two broadcast joins and a
+        # TakeOrdered per round for the same one-row answer.
+        counts = {
+            r["t"]: int(r["c"]) for r in _fused_counts(vocab).collect()
+        }
+        top = _best_pair(counts)
+        if top is None:
             raise ValueError(
                 f"vocabulary exhausted after {k - 1} merges; "
                 f"asked for {n_merges}"
             )
-        left, right = top[0]["pair"].split(" ", 1)
-        merges.append(
-            (k, left, right, int(top[0]["pair_count"]), int(top[0]["score_q"]))
-        )
+        pair, pair_count, score_q = top
+        left, right = pair.split(" ", 1)
+        merges.append((k, left, right, pair_count, score_q))
         merged = left + _strip_continuation(right)
         # LAZY checkpoint (same move as bpe_train): the next round's
         # argmax materializes the rewrite — one job per round, not two.
