@@ -43,6 +43,7 @@ from data_algorithms_with_pyspark_spark.functions.vectors import (
 
 __all__ = [
     "CENTROID_QUANT",
+    "LITERAL_CELLS_MAX",
     "assign_expr",
     "assign_to_centroids",
     "kmeans_train",
@@ -52,6 +53,17 @@ __all__ = [
 # Decimal places every centroid coordinate is rounded to (both in this
 # module and in the DuckDB oracle SQL) — see module docstring.
 CENTROID_QUANT = 6
+
+# Scale cliff for the row-local literal form (VERDICT r11 #3/#6): the
+# centroid matrix rides the expression tree as a parsed literal, so
+# analyzer/codegen cost grows with k*dim cells — fine at the catalog
+# operating points (16x64 = 1024 cells), pathological for a 4000x1024
+# quantizer (~4M doubles in the plan). Above this cell count
+# ``assign_to_centroids`` switches to the broadcast-product +
+# packed-argmax HashAggregate form, which degrades gracefully (the
+# payload moves as a broadcast relation, not a plan literal). 1e5 cells
+# ~ 800 KB of doubles ~ well under a second of parse/analysis.
+LITERAL_CELLS_MAX = 100_000
 
 
 def l2_norm_py(v: list[float]) -> float:
@@ -93,6 +105,15 @@ def assign_expr(
             f"n_cents={n_cents} exceeds the packed-argmax overflow bound "
             "(4000); use a hierarchical/two-level quantizer instead"
         )
+    cells = sum(len(c) for c in centroids)
+    if cells > LITERAL_CELLS_MAX:
+        # loud guard, not graceful degradation: this EXPRESSION rides the
+        # plan as a literal, so past the bound the right move is the
+        # broadcast form (assign_to_centroids switches automatically)
+        raise ValueError(
+            f"centroid literal of {cells} cells exceeds LITERAL_CELLS_MAX="
+            f"{LITERAL_CELLS_MAX}; use assign_to_centroids (broadcast form)"
+        )
     # ONE-string SQL literals: F.lit(nested list) costs ~0.5 s of Py4J
     # round trips per construction (functions/vectors.lit_double_matrix)
     cvecs = lit_double_matrix(centroids)
@@ -128,12 +149,18 @@ def assign_to_centroids(
     (cid, cvec) DataFrame with cid in [0, n_cents), which is collected
     (bounded: n_cents rows — the exact payload the old plan broadcast).
 
-    Historically this was a broadcast nested-loop product + packed-bigint
-    HashAggregate argmax; it is now the ROW-LOCAL ``assign_expr``
-    projection — identical packing arithmetic and tie-break (lower cid),
-    identical output values, but zero joins and zero exchanges: the plan
-    is Scan -> Project. See ``assign_expr`` for why this matters at
-    100 TB (consumers no longer shuffle the corpus by id to attach cid).
+    Two physical forms, switched on quantizer size (``LITERAL_CELLS_MAX``
+    cells — VERDICT r11 #3/#6), both computing the IDENTICAL packed-argmax
+    arithmetic and tie-break (lower cid), so outputs are bit-equal:
+
+    * ``<= LITERAL_CELLS_MAX`` (every catalog operating point): the
+      ROW-LOCAL ``assign_expr`` projection — zero joins, zero exchanges,
+      plan is Scan -> Project; consumers attach cid in the projection.
+    * above it: the broadcast-product + packed-bigint HashAggregate
+      argmax (the pre-r11 form) — the centroid payload moves as a
+      broadcast relation instead of a plan literal, which degrades
+      gracefully where a multi-megabyte literal would explode
+      analyzer/codegen cost.
     """
     if n_cents > 4000:  # guard BEFORE any collect — same contract as assign_expr
         raise ValueError(
@@ -150,9 +177,37 @@ def assign_to_centroids(
         centroids = [by_cid[c] for c in range(n_cents)]
     else:
         centroids = [list(c) for c in cents]
-    return vecs.withColumn("_vn", l2_norm(F.col("vec"))).select(
-        F.col(id_col),
-        assign_expr(centroids, n_cents).alias("cid"),
+    dim = len(centroids[0]) if centroids else 0
+    if n_cents * dim <= LITERAL_CELLS_MAX:
+        return vecs.withColumn("_vn", l2_norm(F.col("vec"))).select(
+            F.col(id_col),
+            assign_expr(centroids, n_cents).alias("cid"),
+        )
+    # Large-quantizer path: broadcast the centroid table, packed-argmax
+    # HashAggregate per id — same grid, same tie encoding.
+    spark = vecs.sparkSession
+    cdf = spark.createDataFrame(
+        list(enumerate(centroids)), "cid int, cvec array<double>"
+    ).select("cid", "cvec", l2_norm(F.col("cvec")).alias("_cn"))
+    v = vecs.withColumn("_vn", l2_norm(F.col("vec")))
+    cos_vc = cosine_with_norms(
+        F.col("vec"), F.col("cvec"), F.col("_vn"), F.col("_cn")
+    )
+    packed = (
+        F.round((cos_vc + F.lit(1.0)) * F.lit(1e15)).cast("long")
+        * F.lit(n_cents)
+        + (F.lit(n_cents - 1) - F.col("cid"))
+    )
+    return (
+        v.crossJoin(F.broadcast(cdf))
+        .groupBy(id_col)
+        .agg(F.max(packed).alias("best"))
+        .select(
+            F.col(id_col),
+            (F.lit(n_cents - 1) - F.col("best") % n_cents)
+            .cast("int")
+            .alias("cid"),
+        )
     )
 
 
@@ -183,6 +238,11 @@ def kmeans_train(
     if len(init) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(init)}")
     centroids = [[round(x, CENTROID_QUANT) for x in row["vec"]] for row in init]
+    # Literal form below the cell bound; above it each iteration assigns
+    # via the broadcast form + a join-back on id — the graceful-
+    # degradation shape for quantizers whose matrix would otherwise ride
+    # the plan as a multi-megabyte literal (LITERAL_CELLS_MAX note).
+    use_literal = k * len(centroids[0]) <= LITERAL_CELLS_MAX
 
     for _ in range(max_iter):
         # Assignment is the row-local assign_expr (identical packed-argmax
@@ -198,8 +258,15 @@ def kmeans_train(
         # posexplode lands in the Project ABOVE the Generate and is
         # re-evaluated once per EXPLODED row — dim x the argmax work
         # (measured 5x on this trainer).
+        if use_literal:
+            assigned = work.select(assign_expr(centroids, k).alias("cid"), "vec")
+        else:
+            assigned = work.join(
+                assign_to_centroids(work, centroids, k, id_col=id_col),
+                on=id_col,
+            ).select("cid", "vec")
         rows = (
-            work.select(assign_expr(centroids, k).alias("cid"), "vec")
+            assigned
             .select("cid", F.posexplode("vec").alias("pos", "val"))
             .groupBy("cid", "pos")
             .agg(F.avg("val").alias("m"))

@@ -149,6 +149,52 @@ def floor_round(col: Column, scale: int) -> Column:
     return F.floor(col * F.lit(scl) + F.lit(0.5)) / F.lit(scl)
 
 
+def _bytes_conf(v: str) -> int:
+    """Parse a Spark size conf ('256m', '4194304', '1g') to bytes."""
+    s = str(v).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] == "b":
+        s = s[:-1]
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
+
+
+def _scan_partition_estimate(df: DataFrame) -> int | None:
+    """Scan-partition estimate for a plain local-file scan, from file
+    sizes + the session's split config — the same math FilePartition
+    uses (maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    padded_total / defaultParallelism)); parquet is splittable, so the
+    single-large-file case sizes correctly too, which a bare file COUNT
+    could not see). Returns None when the input is not a local file scan
+    (caller falls back to the exact probe). Parquet-footer-free: only
+    file lengths matter for split packing (guide §6; VERDICT r11 #9)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or not all(f.startswith("file:") for f in files):
+        return None
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        sizes = [
+            os.path.getsize(unquote(urlparse(f).path)) for f in files
+        ]
+    except OSError:
+        return None
+    conf = df.sparkSession.conf
+    max_pb = _bytes_conf(conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    open_cost = _bytes_conf(
+        conf.get("spark.sql.files.openCostInBytes", "4194304")
+    )
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    padded = sum(sizes) + open_cost * len(files)
+    max_split = min(max_pb, max(open_cost, padded // max(parallelism, 1)))
+    return max(1, -(-padded // max(max_split, 1)))
+
+
 def spread_partitions(df: DataFrame) -> DataFrame:
     """Ensure at least default-parallelism partitions before a CPU-heavy map.
 
@@ -158,15 +204,19 @@ def spread_partitions(df: DataFrame) -> DataFrame:
     rows. Guarded so a genuinely large input (already more partitions than
     cores, e.g. the 100 TB case) is never shrunk or reshuffled.
 
-    The guard reads ``df.rdd.getNumPartitions()`` — a driver-side plan
-    conversion, NOT a job; ~ms once per operator call. The conversion-free
-    alternative (``len(df.inputFiles())`` vs parallelism) mis-sizes the
-    single-large-file case, where the scan splits one file into many
-    partitions that the file count can't see — so the accurate probe is
-    kept and its cost documented.
+    The guard prefers ``_scan_partition_estimate`` (file metadata only,
+    ~5 ms) and falls back to ``df.rdd.getNumPartitions()`` — a full
+    driver-side physical-plan + RDD conversion measured at ~40-60 ms per
+    fresh DataFrame, which this guard used to pay on ~8 hot paths per
+    bench run (VERDICT r11 #9). The decision is split-size math, so a
+    near-boundary misestimate only toggles a semantics-neutral
+    round-robin repartition.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n = _scan_partition_estimate(df)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
 
@@ -468,11 +518,23 @@ def simhash_candidate_pairs(
     bands: int = 4,
     n_bits: int = 64,
     max_bucket: int | None = None,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-dup candidates: docs sharing any (n_bits/bands)-bit band of
     their SimHash (catches pairs within small hamming distance), plus
     exact hamming. ``n_bits`` must match the ``simhash`` hash family
     (64 for xxhash64, 60 for md5).
+
+    The signature table is PERSISTED here (``cache_registry`` contract,
+    see ``prefix_jaccard_pairs``): both self-join sides — and the bucket
+    aggregate when ``max_bucket`` is set — consume it, and AQE turns the
+    banded join into a broadcast join at bench scale, so ReusedExchange
+    never covers the sides and the whole signature computation (corpus
+    tokenize + per-feature hash + the n_bits-vote aggregate) would
+    otherwise run once PER CONSUMER (observed in
+    plans/r12/simhash_near_dup_candidates_before.txt: the subtree appears
+    verbatim under both join sides). Signatures are one row per doc —
+    the sketch, not the corpus.
 
     ``max_bucket`` is the DEGENERACY GUARD for corpus regimes where
     SimHash collapses: unweighted token votes concentrate when documents
@@ -489,6 +551,9 @@ def simhash_candidate_pairs(
     Default None preserves exact uncapped semantics (the oracle-attested
     catalog configuration)."""
     band_width = n_bits // bands
+    hashes = hashes.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(hashes)
     band_vals = F.array(
         *[
             F.shiftright(F.col("simhash"), b * band_width).bitwiseAND(

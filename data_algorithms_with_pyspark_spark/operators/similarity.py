@@ -627,10 +627,53 @@ def ivf_assign(
     |cos|<=1; exact ties still break to the lower centroid id via the
     packed low bits.
     """
-    cent_vecs = collect_centroids(vecs, n_lists, id_col=id_col, centroids=centroids)
-    return vecs.withColumn("_vn", l2_norm(F.col("vec"))).select(
-        F.col(id_col),
-        ivf_assign_expr(cent_vecs, n_lists).alias("cid"),
+    # Size-based switch (VERDICT r11 #3/#6, clustering.LITERAL_CELLS_MAX):
+    # the row-local literal form below the cell bound — zero joins, zero
+    # exchanges — and the broadcast-product + packed-argmax HashAggregate
+    # form above it, where a multi-megabyte plan literal would explode
+    # analyzer/codegen cost. Identical packing arithmetic either way.
+    from data_algorithms_with_pyspark_spark.operators.clustering import (
+        LITERAL_CELLS_MAX,
+    )
+
+    cent_vecs = collect_centroids(
+        vecs, n_lists, id_col=id_col, centroids=centroids
+    )
+    dim = len(cent_vecs[0][1]) if cent_vecs else 0
+    if len(cent_vecs) * dim <= LITERAL_CELLS_MAX:
+        return vecs.withColumn("_vn", l2_norm(F.col("vec"))).select(
+            F.col(id_col),
+            ivf_assign_expr(cent_vecs, n_lists).alias("cid"),
+        )
+    if centroids is None:
+        cents = vecs.where(F.col(id_col) < n_lists).select(
+            F.col(id_col).alias("cid"),
+            F.col("vec").alias("cvec"),
+            l2_norm(F.col("vec")).alias("_cn"),
+        )
+    else:
+        cents = centroids.select(
+            F.col("cid"),
+            F.col("cvec"),
+            l2_norm(F.col("cvec")).alias("_cn"),
+        )
+    vecs = vecs.withColumn("_vn", l2_norm(F.col("vec")))
+    cos_vc = cosine_with_norms(
+        F.col("vec"), F.col("cvec"), F.col("_vn"), F.col("_cn")
+    )
+    packed = (
+        F.round((cos_vc + F.lit(1.0)) * F.lit(1e15)).cast("long")
+        * F.lit(n_lists)
+        + (F.lit(n_lists - 1) - F.col("cid"))
+    )
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .groupBy(id_col)
+        .agg(F.max(packed).alias("best"))
+        .select(
+            F.col(id_col),
+            (F.lit(n_lists - 1) - F.col("best") % n_lists).alias("cid"),
+        )
     )
 
 
@@ -688,6 +731,18 @@ def ivf_assign_expr(
 
     if not cent_pairs or not all(0 <= c < n_lists for c, _ in cent_pairs):
         raise ValueError(f"centroid ids must lie in 0..{n_lists - 1}")
+    from data_algorithms_with_pyspark_spark.operators.clustering import (
+        LITERAL_CELLS_MAX,
+    )
+
+    cells = sum(len(cv) for _, cv in cent_pairs)
+    if cells > LITERAL_CELLS_MAX:
+        # loud guard (VERDICT r11 #3): the literal rides the plan, so
+        # past the bound callers must use ivf_assign's broadcast form
+        raise ValueError(
+            f"centroid literal of {cells} cells exceeds LITERAL_CELLS_MAX="
+            f"{LITERAL_CELLS_MAX}; use ivf_assign (broadcast form)"
+        )
     # ONE-string SQL literals: F.lit(nested list) costs ~0.5 s of Py4J
     # round trips per construction (functions/vectors.lit_double_matrix)
     cvecs = lit_double_matrix([cv for _, cv in cent_pairs])
@@ -1208,6 +1263,17 @@ def pq_train_codebook(
         .select("vid", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
         .persist()
     )
+    # Size-based switch (VERDICT r11 #3/#6): the codebook literal is
+    # dim*ksub cells total; above clustering.LITERAL_CELLS_MAX each
+    # iteration assigns via the pre-r11 broadcast join + (vid, s) argmin
+    # + join-back instead of riding a multi-megabyte literal through the
+    # analyzer. Same grid/tie packing either way.
+    from data_algorithms_with_pyspark_spark.operators.clustering import (
+        LITERAL_CELLS_MAX,
+    )
+
+    use_literal = dim * ksub <= LITERAL_CELLS_MAX
+    spark = vecs.sparkSession
     try:
         for _ in range(max_iter):
             # ROW-LOCAL packed argmin (round 11): the codebook is a single
@@ -1256,8 +1322,44 @@ def pq_train_codebook(
             # cid staged as an attribute BEFORE the generator — an inline
             # expression next to posexplode is re-evaluated per exploded
             # element (the clustering.kmeans_train lesson)
+            if use_literal:
+                staged = sub.select("s", cid.alias("cid"), "sv")
+            else:
+                cents = spark.createDataFrame(
+                    [
+                        (s, c, codebook[s][c])
+                        for s in range(m)
+                        for c in range(ksub)
+                    ],
+                    "s int, cid int, cvec array<double>",
+                )
+                d2 = F.aggregate(
+                    F.zip_with(
+                        F.col("sv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                packed = (
+                    F.floor(d2 * F.lit(1e12) + F.lit(0.5)).cast("long")
+                    * F.lit(ksub)
+                    + F.col("cid")
+                )
+                assign = (
+                    sub.join(F.broadcast(cents), on="s")
+                    .groupBy("vid", "s")
+                    .agg(F.min(packed).alias("best"))
+                    .select(
+                        "vid",
+                        "s",
+                        (F.col("best") % ksub).cast("int").alias("cid"),
+                    )
+                )
+                staged = sub.join(assign, on=["vid", "s"]).select(
+                    "s", "cid", "sv"
+                )
             rows = (
-                sub.select("s", cid.alias("cid"), "sv")
+                staged
                 .select("s", "cid", F.posexplode("sv").alias("pos", "val"))
                 .groupBy("s", "cid", "pos")
                 .agg(F.avg("val").alias("mv"))

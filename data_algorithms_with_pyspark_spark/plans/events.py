@@ -788,7 +788,15 @@ def concurrent_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_overlap_join,
     )
 
+    from pyspark import StorageLevel
+
     events = load_table(spark, sf_dir, "events")
+    # Persisted: BOTH sides of the overlap self-join consume the session
+    # table, and AQE broadcasts one side, so without the persist the
+    # whole sessionization (events scan + two Windows + the per-session
+    # aggregate) runs once PER SIDE (observed in plans/r12/
+    # concurrent_session_pairs_before.txt). Sessions are one row per
+    # (user, session) — the sketch, not the event stream.
     sess = (
         sessionize(events, gap_minutes=30)
         .groupBy("user_id", "session_id")
@@ -796,6 +804,7 @@ def concurrent_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.unix_micros("ts")).alias("st"),
             F.max(F.unix_micros("ts")).alias("en"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     left = sess.select(
         F.col("user_id").alias("u1"),

@@ -141,3 +141,26 @@ def test_assign_rejects_overflowing_cluster_count(spark):
     # trips at the documented 4000 bound
     with pytest.raises(ValueError, match="overflow"):
         assign_to_centroids(vecs, cents, 5000)
+
+
+def test_assign_literal_and_broadcast_paths_identical(spark, blobs, monkeypatch):
+    """assign_to_centroids switches physical form on quantizer size
+    (LITERAL_CELLS_MAX, VERDICT r11 #6): row-local literal projection
+    below, broadcast-product + packed-argmax HashAggregate above. Both
+    must produce bit-identical assignments — same cosine grid, same
+    lower-cid tie-break."""
+    import data_algorithms_with_pyspark_spark.operators.clustering as cl
+
+    k = 4
+    cents = kmeans_train(blobs, k=k, max_iter=3)
+    lit_rows = sorted(
+        (r["vec_id"], r["cid"])
+        for r in cl.assign_to_centroids(blobs, cents, k).collect()
+    )
+    monkeypatch.setattr(cl, "LITERAL_CELLS_MAX", 0)  # force broadcast path
+    bc_rows = sorted(
+        (r["vec_id"], r["cid"])
+        for r in cl.assign_to_centroids(blobs, cents, k).collect()
+    )
+    assert lit_rows == bc_rows
+    assert len({cid for _, cid in lit_rows}) > 1  # non-degenerate

@@ -1317,3 +1317,61 @@ def test_prefix_jaccard_max_posting_guard(spark):
     )
     assert set(capped) <= set(free)  # never invents pairs
     assert any(a == 2 and b == 900 for a, b, _ in free)
+
+
+def test_scan_partition_estimate_matches_decision(spark):
+    """The metadata-only scan-partition estimate must reproduce the
+    rdd-probe's spread/no-spread DECISION for a real file scan (the
+    estimate replaced a ~40-60 ms physical-plan conversion on ~8 hot
+    paths, VERDICT r11 #9), and fall back to None off the file-scan
+    path so spread_partitions stays correct for in-memory inputs."""
+    from data_algorithms_with_pyspark_spark.operators.dedup import (
+        _scan_partition_estimate,
+        spread_partitions,
+    )
+    from data_algorithms_with_pyspark_spark.sources.readers import load_table
+
+    target = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    est = _scan_partition_estimate(docs)
+    assert est is not None
+    assert (est < target) == (docs.rdd.getNumPartitions() < target)
+    # tiny scan must still be spread to full parallelism
+    assert spread_partitions(docs).rdd.getNumPartitions() >= target
+
+    mem = spark.createDataFrame([(1, "x"), (2, "y")], ["doc_id", "text"])
+    assert _scan_partition_estimate(mem) is None
+    spread_partitions(mem).count()  # fallback path executes
+
+
+def test_ivf_and_pq_literal_broadcast_paths_identical(spark, monkeypatch):
+    """The size-based switch (clustering.LITERAL_CELLS_MAX, VERDICT r11
+    #6): ivf_assign and pq_train_codebook must produce bit-identical
+    results through the row-local literal form and the broadcast form —
+    same grid, same tie packing — and ivf_assign_expr must refuse a
+    literal past the bound instead of riding it into the analyzer."""
+    import pytest as _pytest
+
+    import data_algorithms_with_pyspark_spark.operators.clustering as cl
+    import data_algorithms_with_pyspark_spark.operators.similarity as sim
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) for d in range(4)])
+        for i in range(40)
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "vec"])
+    lit_assign = sorted(
+        (r["vec_id"], r["cid"]) for r in sim.ivf_assign(vecs, 4).collect()
+    )
+    lit_cb = sim.pq_train_codebook(vecs, m=2, ksub=4, max_iter=2)
+    monkeypatch.setattr(cl, "LITERAL_CELLS_MAX", 0)  # force broadcast paths
+    bc_assign = sorted(
+        (r["vec_id"], r["cid"]) for r in sim.ivf_assign(vecs, 4).collect()
+    )
+    bc_cb = sim.pq_train_codebook(vecs, m=2, ksub=4, max_iter=2)
+    assert lit_assign == bc_assign
+    assert lit_cb == bc_cb
+    with _pytest.raises(ValueError, match="LITERAL_CELLS_MAX"):
+        sim.ivf_assign_expr([(0, [0.0, 1.0])], 1)
