@@ -59,70 +59,97 @@ _QUERY_MODULES = (
 # attestation covers every catalog query (scripts/driver_sim.py always
 # verifies all of them regardless of order).
 _SAMPLE_PRIORITY = (
-    # Round 11 rotation (VERDICT r10 #1 — the FINAL drain). Ordering
-    # rule (unchanged): new-this-round queries first, then the stalest
-    # re-attestation block. THREE new rows this round (the LSH planner
-    # trio under oracle attestation, the choose_dedup_lane decision
-    # row — VERDICT r10 orders #3/#4 — and the routed near-dup join
-    # that EXECUTES the decision), then the 47 r5-only-green
-    # queries (enumerated by scripts/staleness.py from the
-    # CORRECTNESS_r0{1..10} union). 3 + 47 = 50 exactly fills the ~50
-    # cut; after this round NOTHING in the cumulative union is older
-    # than r7 — the attestation ledger has no stale tail left.
-    "lsh_planner_recommendations",
-    "dedup_lane_choice",
+    # Round 12 rotation (VERDICT r11 #2). Ordering rule (unchanged):
+    # queries whose code was TOUCHED by the r11/r12 optimizers first —
+    # so the driver's ~50-query sf0.01 window re-attests every rewrite —
+    # then the stalest re-attestation block (last green r7, from
+    # scripts/staleness.py over CORRECTNESS_r0{1..11}), alphabetical,
+    # minus names already in the touched block. No new rows this round
+    # (optimization round, no new features).
+    #
+    # Touched block (r11 ANN/trainer/sketch rewrites + r12's prefix-
+    # postings/simhash/session persists, bm25 row-local filter, trainer
+    # driver-argmax, literal/broadcast switch, single-collect ivf_pq):
+    "embedding_kmeans_assign",
+    "embedding_semdedup_prune",
+    "ivf_ann_topk",
+    "pq_ann_topk",
+    "pq_ann_trained_codebook",
+    "pq_recall_report",
+    "sq8_ann_topk",
+    "ivf_pq_ann_topk",
+    "ivf_pq_ann_persisted_index",
+    "ivf_pq_ann_incremental_index",
+    "ivf_pq_residual_ann_topk",
+    "ivf_pq_recall_report",
+    "doc_quality_classifier",
+    "doc_quality_classifier_eval",
+    "term_count_min_sketch",
+    "bloom_term_membership",
+    "bm25_search_topk",
+    "bpe_learned_merges",
+    "bpe_vocab_segmentation",
+    "wordpiece_learned_merges",
+    "wordpiece_greedy_segmentation",
+    "unigram_lm_vocab",
+    "unigram_lm_segmentation",
+    "tokenizer_compression_comparison",
+    "prefix_jaccard_near_dups",
+    "prefix_jaccard_guarded_near_dups",
+    "dedup_degeneracy_preflight",
+    "simhash_near_dup_candidates",
+    "simhash_guarded_near_dups",
+    "concurrent_session_pairs",
+    "minhash_near_dup_candidates",
     "auto_routed_near_dups",
-    # r5-only-green block (47), alphabetical.
-    "corpus_dataset_card",
-    "corpus_train_ready_pipeline",
-    "customer_balance_etl",
-    "customers_without_orders",
-    "doc_length_quantile_approx_audit",
-    "event_value_quantile_approx_audit",
-    "graph_bidirectional_edges",
-    "graph_connected_components",
-    "graph_degrees",
-    "graph_pagerank",
-    "graph_shortest_paths",
-    "graph_triangles",
-    "graph_two_hop_paths",
-    "lineitem_cube",
-    "lineitem_rollup",
-    "nation_customer_supplier_setops",
-    "orders_bloom_prefilter_join",
-    "orders_by_year_month",
-    "orders_cdc_replay",
-    "part_name_typo_pairs",
-    "part_name_words",
-    "q10_returned_items",
-    "q12_priority_by_linestatus",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_bracket_revenue",
-    "q1_pricing_summary",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_nation_profit",
-    "returnflag_linestatus_pivot",
-    "session_funnel_report_pipeline",
-    "source_term_heavy_hitters",
-    "sql_nation_supplier_analytics",
-    "sql_recursive_referral_chain",
-    "term_heavy_hitters",
-    "top_orders_per_priority",
-    "video_fingerprint_dedup_groups",
-    # NOTE r12 rotation: the r5 tail is drained; lead r12 with any new
-    # rows followed by the r7-stale block (recompute from
-    # CORRECTNESS_r0{1..11} via scripts/staleness.py).
+    # r7-stale block (staleness.py "last green r7"), alphabetical, minus
+    # the touched names above; the window cut lands inside this block
+    # and the remainder leads the r13 rotation.
+    "ann_cosine_topk",
+    "ann_knn_join_bruteforce",
+    "bpe_pair_counts",
+    "clicks_last_purchase_asof",
+    "customer_feature_engineering",
+    "dedup_exact_groups",
+    "doc_fingerprints",
+    "doc_language_id",
+    "doc_quality_scores",
+    "doc_tfidf_top_terms",
+    "doc_token_counts",
+    "documents_global_row_index",
+    "documents_leakage_safe_split",
+    "documents_per_source_sample",
+    "documents_vocab_encode",
+    "embedding_cosine_near_dups",
+    "embedding_label_centroids",
+    "event_type_stats",
+    "event_value_percentiles",
+    "events_cohort_retention",
+    "events_daily_psi_monitor",
+    "events_funnel_stages",
+    "events_hourly_gap_fill",
+    "events_hourly_windows",
+    "events_props_extraction",
+    "events_seasonal_anomalies",
+    "events_selfjoin_explosion_audit",
+    "events_sessionization",
+    "events_sliding_windows",
+    "events_user_running_totals",
+    "events_value_histogram",
+    "events_value_outliers",
+    "events_value_stats",
+    "events_value_trend",
+    "orders_compaction_audit",
+    "streaming_cdc_sink_parity",
+    "streaming_hourly_windows_parity",
+    "streaming_session_windows_parity",
+    "streaming_sliding_windows_parity",
+    "streaming_stateful_totals_parity",
+    "streaming_stream_join_parity",
+    "sum_quantity_by_linestatus",
+    "top_customers_by_balance",
+    "tpch_suite_rowcounts",
+    "word_count",
 )
 
 # Queries pinned to the very END of catalog iteration order so the

@@ -3384,8 +3384,8 @@ def _ivf_pq_topk(spark: SparkSession, sf_dir: str):
 
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", to_double_array("embedding").alias("vec"))
-    cb = pq_codebook(vecs, m=_PQ_M, ksub=_PQ_KSUB, vec_col="vec")
     qv, probe_cids, cent_vecs = _ann_qv_and_probes(vecs)
+    cb = _codebook_from_cents(cent_vecs, m=_PQ_M, ksub=_PQ_KSUB)
     staged = vecs.withColumn("_vn", l2_norm(F.col("vec"))).withColumn(
         "cid", ivf_assign_expr(cent_vecs, 16)
     )
@@ -3794,6 +3794,35 @@ def ivf_pq_residual_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _codebook_from_cents(
+    cent_vecs: list, m: int, ksub: int
+) -> list[list[list[float]]]:
+    """``pq_codebook`` built from the ALREADY-collected centroid pairs —
+    in these lanes the PQ codebook source (the ``ksub`` lowest-id
+    vectors) and the 16 IVF stand-in centroids are the SAME rows of the
+    same table, which ``_ann_qv_and_probes`` validates as exactly ids
+    0..15 and returns cid-sorted. Identical values and slicing to
+    ``pq_codebook`` (same doubles — both read the cast ``vec`` column),
+    one fewer bounded-collect job per invocation (the r11 single-collect
+    move finished: query vector + probes + assignment literal + codebook
+    now all come from ONE collect)."""
+    if ksub < 2 or ksub & (ksub - 1):
+        raise ValueError(
+            f"ksub={ksub} must be a power of two >= 2: codes are packed "
+            "into log2(ksub)-bit lanes and decoded with a ksub-1 bitmask"
+        )
+    if len(cent_vecs) < ksub:
+        raise ValueError(
+            f"need at least ksub={ksub} vectors, got {len(cent_vecs)}"
+        )
+    rows = [cv for _, cv in cent_vecs[:ksub]]
+    dim = len(rows[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    w = dim // m
+    return [[list(v[s * w : (s + 1) * w]) for v in rows] for s in range(m)]
+
+
 def _ann_qv_and_probes(vecs, cent_vecs: list | None = None):
     """Query vector + the 4 probe list ids (+ the centroid pairs) for the
     ANN queries. When the caller has not already collected the centroids,
@@ -3889,15 +3918,15 @@ def ivf_pq_ann_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", to_double_array("embedding").alias("vec"))
-    # codebook = the ksub lowest-id vectors: a 16-row bounded collect,
-    # deterministic, identical at build and query time — persisting it
-    # would save nothing (the codes table is the expensive artifact)
-    cb = pq_codebook(vecs, m=_PQ_M, ksub=_PQ_KSUB, vec_col="vec")
     key = _sf_cache_key(sf_dir)
     idx = f"ann_ivfpq_idx_{key}"
-    # one bounded collect serves query row, probe ranking AND the
-    # assignment literal (centroids = low-id rows of the same table)
+    # one bounded collect serves query row, probe ranking, the
+    # assignment literal AND the codebook (the ksub lowest-id vectors ==
+    # the centroid rows — deterministic, identical at build and query
+    # time; persisting the codebook would save nothing, the codes table
+    # is the expensive artifact)
     qv, probe_cids, cent_vecs = _ann_qv_and_probes(vecs)
+    cb = _codebook_from_cents(cent_vecs, m=_PQ_M, ksub=_PQ_KSUB)
     if not spark.catalog.tableExists(idx):
         # row-local cid rides the encode projection (no codes<->assignment
         # join at build time); repartition on the list id so each of the
@@ -3989,17 +4018,18 @@ def ivf_pq_ann_incremental_index(
 
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", to_double_array("embedding").alias("vec"))
-    cb = pq_codebook(vecs, m=_PQ_M, ksub=_PQ_KSUB, vec_col="vec")
     key = _sf_cache_key(sf_dir)
     idx = f"ann_ivfpq_hist_{key}"
     # the PINNED quantizer: FULL-corpus centroids (vec_id < 16), collected
-    # once (ONE bounded collect shared with the query row / probe ranking)
-    # so history/increment subsets are assigned against the same lists the
+    # once (ONE bounded collect shared with the query row / probe ranking
+    # / codebook — the ksub lowest-id vectors are the same rows) so
+    # history/increment subsets are assigned against the same lists the
     # oracle's assign CTE replays — deriving centroids from a subset's own
     # low ids would silently change the quantizer. Row-local assignment
     # (ivf_assign_expr) rides the encode projection on both the history
     # build and the daily increment — no codes<->assignment join.
     qv, probe_cids, pinned = _ann_qv_and_probes(vecs)
+    cb = _codebook_from_cents(pinned, m=_PQ_M, ksub=_PQ_KSUB)
 
     def _with_cid(side):
         return side.withColumn("_vn", l2_norm(F.col("vec"))).withColumn(
